@@ -1,0 +1,171 @@
+"""Feature front-end parity tests: JAX implementation vs float64 golden."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asv_subtools_tpu.features import (
+    FbankOptions,
+    FrameOptions,
+    MelOptions,
+    MfccOptions,
+    SpectrogramOptions,
+    VadOptions,
+    cmvn_sliding,
+    cmvn_utterance,
+    compute_fbank,
+    compute_mfcc,
+    compute_spectrogram,
+    compute_vad_energy,
+    frame_signal,
+    select_voiced_frames,
+)
+
+import golden_features as gold
+
+
+def make_wave(rng, n=16000 * 2):
+    # int16-scale samples like Kaldi expects
+    return (rng.standard_normal(n) * 4000).astype(np.float32)
+
+
+def test_frame_count():
+    fo = FrameOptions()
+    assert fo.window_shift == 160
+    assert fo.window_size == 400
+    assert fo.padded_window_size == 512
+    assert fo.num_frames(16000) == 98
+    assert fo.num_frames(399) == 0
+    assert fo.num_frames(400) == 1
+    no_snip = FrameOptions(snip_edges=False)
+    assert no_snip.num_frames(16000) == 100
+
+
+def test_frame_signal_matches_golden(rng):
+    wave = make_wave(rng, 3 * 160 + 400 + 37)
+    got = np.asarray(frame_signal(jnp.asarray(wave), FrameOptions()))
+    want = gold.golden_frames(wave.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_frame_signal_no_snip(rng):
+    wave = make_wave(rng, 16000)
+    got = np.asarray(frame_signal(jnp.asarray(wave), FrameOptions(snip_edges=False)))
+    want = gold.golden_frames(wave.astype(np.float64), snip_edges=False)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("fft_mode", ["gemm", "rfft"])
+def test_fbank_matches_golden(rng, fft_mode):
+    wave = make_wave(rng)
+    opts = FbankOptions(mel_opts=MelOptions(num_bins=40))
+    got = np.asarray(compute_fbank(jnp.asarray(wave), opts, fft_mode=fft_mode))
+    want = gold.golden_fbank(wave.astype(np.float64), num_bins=40)
+    assert got.shape == want.shape == (198, 40)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
+def test_fbank_energy_htk(rng):
+    wave = make_wave(rng, 8000)
+    opts = FbankOptions(use_energy=True, htk_compat=True, energy_floor=1.0)
+    got = np.asarray(compute_fbank(jnp.asarray(wave), opts))
+    want = gold.golden_fbank(
+        wave.astype(np.float64), use_energy=True, htk_compat=True, energy_floor=1.0
+    )
+    assert got.shape == want.shape == (48, 24)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
+def test_fbank_batch_vmap(rng):
+    waves = np.stack([make_wave(rng, 16000) for _ in range(4)])
+    opts = FbankOptions(mel_opts=MelOptions(num_bins=40))
+    batched = jax.vmap(lambda w: compute_fbank(w, opts))(jnp.asarray(waves))
+    single = compute_fbank(jnp.asarray(waves[2]), opts)
+    np.testing.assert_allclose(np.asarray(batched[2]), np.asarray(single), atol=5e-5)
+
+
+def test_mfcc_matches_golden(rng):
+    wave = make_wave(rng, 16000)
+    opts = MfccOptions()
+    got = np.asarray(compute_mfcc(jnp.asarray(wave), opts))
+    want = gold.golden_mfcc(wave.astype(np.float64))
+    assert got.shape == want.shape == (98, 13)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
+
+
+def test_spectrogram_shape_and_energy(rng):
+    wave = make_wave(rng, 8000)
+    opts = SpectrogramOptions()
+    got = np.asarray(compute_spectrogram(jnp.asarray(wave), opts))
+    assert got.shape == (48, 257)
+    # column 0 is raw log energy of the DC-removed frame
+    frames = gold.golden_frames(wave.astype(np.float64))
+    x0 = frames[0] - frames[0].mean()
+    np.testing.assert_allclose(got[0, 0], np.log(np.dot(x0, x0)), rtol=1e-4)
+
+
+def test_vad_matches_golden(rng):
+    log_e = rng.standard_normal(200) * 3 + 10
+    for ctx in [0, 2]:
+        opts = VadOptions(frames_context=ctx)
+        got = np.asarray(
+            compute_vad_energy(jnp.asarray(log_e, dtype=jnp.float32), opts)
+        )
+        want = gold.golden_vad(log_e, context=ctx)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_vad_masked(rng):
+    log_e = (rng.standard_normal(100) * 3 + 10).astype(np.float32)
+    mask = np.arange(100) < 70
+    got = np.asarray(
+        compute_vad_energy(jnp.asarray(log_e), VadOptions(), mask=jnp.asarray(mask))
+    )
+    want_valid = gold.golden_vad(log_e[:70].astype(np.float64))
+    np.testing.assert_array_equal(got[:70], want_valid)
+    assert np.all(got[70:] == 0)
+
+
+def test_cmvn_utterance(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    out = np.asarray(cmvn_utterance(jnp.asarray(x), norm_means=True, norm_vars=True))
+    np.testing.assert_allclose(out.mean(axis=0), 0, atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=0), 1, atol=1e-3)
+
+
+def test_cmvn_utterance_masked(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    mask = np.arange(50) < 30
+    out = np.asarray(cmvn_utterance(jnp.asarray(x), mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(out[:30].mean(axis=0), 0, atol=1e-5)
+
+
+def test_cmvn_sliding(rng):
+    x = rng.standard_normal((400, 4)).astype(np.float32)
+    out = np.asarray(cmvn_sliding(jnp.asarray(x), window=300))
+    # frame 0: window = frames [0, 300)
+    np.testing.assert_allclose(out[0], x[0] - x[:300].mean(axis=0), atol=1e-5)
+    # middle frame t=200: centered window [50, 350)
+    np.testing.assert_allclose(out[200], x[200] - x[50:350].mean(axis=0), atol=1e-5)
+    # last frame: window = last 300 frames
+    np.testing.assert_allclose(out[-1], x[-1] - x[100:].mean(axis=0), atol=1e-5)
+
+
+def test_select_voiced_frames(rng):
+    feats = rng.standard_normal((10, 4)).astype(np.float32)
+    voiced = np.array([1, 0, 1, 1, 0, 0, 1, 0, 0, 1], dtype=np.float32)
+    got, mask = select_voiced_frames(jnp.asarray(feats), jnp.asarray(voiced))
+    got, mask = np.asarray(got), np.asarray(mask)
+    assert mask.sum() == 5
+    np.testing.assert_allclose(got[:5], feats[voiced.astype(bool)])
+
+
+def test_fbank_jit_compiles(rng):
+    wave = jnp.asarray(make_wave(rng, 16000))
+    opts = FbankOptions(mel_opts=MelOptions(num_bins=80))
+    f = jax.jit(lambda w: compute_fbank(w, opts))
+    out = f(wave)
+    assert out.shape == (98, 80)
+    assert np.isfinite(np.asarray(out)).all()
