@@ -1,0 +1,275 @@
+"""ECAPA-TDNN x-vector (parity: pytorch/model/ecapa_tdnn_xvector.py).
+
+Emphasized Channel Attention, Propagation and Aggregation TDNN
+(https://arxiv.org/abs/2005.07143), as in the reference: no pooled-stats
+concat at the MFA layer (≈ paper's A.2 config), full pooling switchboard.
+
+TPU-first: channels-last [B, T, C]; Res2Net's sequential scale-chunk chain
+stays a static python loop over `scale` slices (8 small convs — XLA fuses
+them); everything masked for length-bucketed batches.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.norm import BatchNorm
+from ..nn.pooling import POOLINGS, pooling_output_dim
+from ..nn.tdnn import ReluBatchNormTdnnLayer, TdnnAffine
+
+
+class Res2NetBlock(nn.Module):
+    """Res2Net multi-scale conv block (reference ecapa_tdnn_xvector.py:17-75).
+
+    Splits channels into `scale` groups; group i is convolved after adding
+    the previous group's output (hierarchical receptive field growth).
+    """
+
+    out_channels: int
+    scale: int = 8
+    kernel_size: int = 3
+    dilation: int = 1
+    momentum: float = 0.5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        in_c = x.shape[-1]
+        if in_c % self.scale or self.out_channels % self.scale:
+            raise ValueError("channels must divide scale")
+        hidden = self.out_channels // self.scale
+        half_k = self.kernel_size // 2
+        context = tuple(
+            range(-half_k * self.dilation, half_k * self.dilation + 1, self.dilation)
+        )
+        parts = jnp.split(x, self.scale, axis=-1)
+        outs = [parts[0]]
+        sp = None
+        for i in range(self.scale - 1):
+            sp = parts[i + 1] if i == 0 else sp + parts[i + 1]
+            sp = ReluBatchNormTdnnLayer(
+                hidden,
+                context=context,
+                momentum=self.momentum,
+                axis_name=self.axis_name,
+                name=f"block_{i}",
+            )(sp, train=train, mask=mask)
+            outs.append(sp)
+        return jnp.concatenate(outs, axis=-1)
+
+
+class SEConnect(nn.Module):
+    """Bottlenecked SE gate over the global time mean.
+
+    Parity: SE_Connect (reference ecapa_tdnn_xvector.py:96-110).
+    """
+
+    bottleneck: int = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        c = x.shape[-1]
+        if mask is not None:
+            m = mask.astype(x.dtype)[..., None]
+            s = jnp.sum(x * m, axis=-2) / jnp.maximum(jnp.sum(m, axis=-2), 1.0)
+        else:
+            s = jnp.mean(x, axis=-2)
+        s = jax.nn.relu(nn.Dense(self.bottleneck, name="fc1")(s))
+        s = jax.nn.sigmoid(nn.Dense(c, name="fc2")(s))
+        return x * s[..., None, :]
+
+
+class SERes2Block(nn.Module):
+    """1x1 conv -> Res2Net -> 1x1 conv -> SE, with residual.
+
+    Parity: SE_Res2Block (reference ecapa_tdnn_xvector.py:118-152).
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    scale: int = 8
+    momentum: float = 0.5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        in_c = x.shape[-1]
+        if in_c % self.scale:
+            raise ValueError(
+                f"SERes2Block input channels {in_c} must be divisible by "
+                f"scale {self.scale}"
+            )
+        width = int(math.floor(in_c / self.scale))
+        residual = x
+        if in_c != self.out_channels:
+            residual = nn.Conv(self.out_channels, (1,), name="shortcut")(x)
+        y = ReluBatchNormTdnnLayer(
+            width * self.scale,
+            momentum=self.momentum,
+            axis_name=self.axis_name,
+            name="conv1",
+        )(x, train=train, mask=mask)
+        y = Res2NetBlock(
+            width * self.scale,
+            scale=self.scale,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            momentum=self.momentum,
+            axis_name=self.axis_name,
+            name="res2net",
+        )(y, train=train, mask=mask)
+        y = ReluBatchNormTdnnLayer(
+            width * self.scale,
+            momentum=self.momentum,
+            axis_name=self.axis_name,
+            name="conv2",
+        )(y, train=train, mask=mask)
+        y = SEConnect(name="se")(y, mask=mask)
+        return y + residual
+
+
+class EcapaAttentiveStatsPool(nn.Module):
+    """ECAPA channel-wise attentive stats pooling with global-context input.
+
+    Parity: AttentiveStatsPool (reference ecapa_tdnn_xvector.py:159-190):
+    attention input is [x; mean; std] when time_attention, logits are
+    per-channel, softmax over time.
+    """
+
+    bottleneck: int = 128
+    time_attention: bool = True
+    momentum: float = 0.5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        d = x.shape[-1]
+        if self.time_attention:
+            if mask is not None:
+                m = mask.astype(x.dtype)[..., None]
+                count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+                mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
+                var = jnp.sum((x - mean) ** 2 * m, axis=-2, keepdims=True) / count
+            else:
+                mean = jnp.mean(x, axis=-2, keepdims=True)
+                var = jnp.var(x, axis=-2, keepdims=True)
+            std = jnp.sqrt(var + 1e-5)
+            x_in = jnp.concatenate(
+                [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
+                axis=-1,
+            )
+        else:
+            x_in = x
+        a = nn.Conv(self.bottleneck, (1,), name="att1")(x_in)
+        a = jax.nn.relu(a)
+        a = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="att_bn")(
+            a, train=train, mask=mask
+        )
+        a = jnp.tanh(a)
+        a = nn.Conv(d, (1,), name="att2")(a)
+        if mask is not None:
+            a = jnp.where(mask[..., None], a, -jnp.inf)
+        alpha = jax.nn.softmax(a, axis=-2)
+        mean = jnp.sum(alpha * x, axis=-2)
+        var = jnp.sum(alpha * x * x, axis=-2) - mean**2
+        std = jnp.sqrt(jnp.maximum(var, 1e-5))
+        return jnp.concatenate([mean, std], axis=-1)
+
+
+class EcapaTdnn(nn.Module):
+    """ECAPA-TDNN backbone -> speaker embedding.
+
+    Parity: ECAPA_TDNN (reference ecapa_tdnn_xvector.py:200-430). C1024 is
+    `channels=1024`; the voxceleb recipe default. Returns the embedding at
+    `position`: "near" = fc2 full layer output (default), "near_affine" =
+    fc2 affine only, "far" = fc1 affine (requires fc1=True).
+    """
+
+    channels: int = 1024
+    embd_dim: int = 192
+    mfa_conv: int = 1536
+    pooling: str = "ecpa-attentive"
+    pooling_params: Any = None
+    fc1: bool = False
+    momentum: float = 0.5
+    axis_name: Optional[str] = None
+    aug_dropout: float = 0.0
+    tail_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+        position: str = "near",
+    ) -> jax.Array:
+        c = self.channels
+        common = dict(momentum=self.momentum, axis_name=self.axis_name)
+        if self.aug_dropout > 0 and train:
+            x = nn.Dropout(self.aug_dropout, deterministic=False)(x)
+        x = ReluBatchNormTdnnLayer(
+            c, context=(-2, -1, 0, 1, 2), name="layer1", **common
+        )(x, train=train, mask=mask)
+        x1 = SERes2Block(c, dilation=2, name="layer2", **common)(
+            x, train=train, mask=mask
+        )
+        x2 = SERes2Block(c, dilation=3, name="layer3", **common)(
+            x + x1, train=train, mask=mask
+        )
+        x3 = SERes2Block(c, dilation=4, name="layer4", **common)(
+            x + x1 + x2, train=train, mask=mask
+        )
+        y = jnp.concatenate([x1, x2, x3], axis=-1)
+        y = ReluBatchNormTdnnLayer(self.mfa_conv, name="mfa", **common)(
+            y, train=train, mask=mask
+        )
+
+        pp = dict(self.pooling_params or {})
+        if self.pooling == "ecpa-attentive":
+            stats = EcapaAttentiveStatsPool(
+                bottleneck=pp.get("hidden_size", 128),
+                time_attention=pp.get("time_attention", True),
+                name="stats",
+                **common,
+            )(y, train=train, mask=mask)
+        else:
+            pool_cls = POOLINGS[self.pooling]
+            pool = pool_cls(**pp, name="stats")
+            if self.pooling in ("mqmha", "mqmha-linear"):
+                stats = pool(y, mask=mask, train=train)
+            else:
+                stats = pool(y, mask=mask)
+        stats = BatchNorm(name="bn_stats", **common)(stats, train=train)
+
+        h = stats
+        if self.fc1:
+            fc1_affine = nn.Dense(self.embd_dim, name="fc1_affine")
+            z1 = fc1_affine(h)
+            if position == "far":
+                return z1
+            z1 = jax.nn.relu(z1)
+            h = BatchNorm(name="fc1_bn", **common)(z1, train=train)
+        elif position == "far":
+            raise ValueError("position='far' requires fc1=True")
+        fc2_affine = nn.Dense(self.embd_dim, name="fc2_affine")
+        z = fc2_affine(h)
+        if position == "near_affine":
+            return z
+        z = jax.nn.relu(z)
+        z = BatchNorm(name="fc2_bn", **common)(z, train=train)
+        if self.tail_dropout > 0 and train:
+            z = nn.Dropout(self.tail_dropout, deterministic=False)(z)
+        return z

@@ -1,0 +1,235 @@
+"""The TDNN x-vector family (parity: pytorch/model/{xvector.py,
+snowdar_xvector.py, extended_xvector.py, factored_xvector.py}).
+
+All backbones map [B, T, D] (+ optional mask) -> [B, embd_dim] and accept
+``position`` in {"far", "near", "near_affine"} mirroring the reference's
+extracted_embedding switch (snowdar_xvector.py:318-334): "far" = the affine
+output of the first embedding layer (tdnn6), "near" = the full second
+embedding layer (tdnn7) output.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.pooling import POOLINGS
+from ..nn.tdnn import FTdnnBlock, ReluBatchNormTdnnLayer, SEBlock, TdnnAffine
+
+
+def _pool(name, params, y, mask, train):
+    pp = dict(params or {})
+    pool_cls = POOLINGS[name]
+    pool = pool_cls(**pp, name="stats")
+    if name in ("mqmha", "mqmha-linear", "xi"):
+        return pool(y, mask=mask, train=train)
+    return pool(y, mask=mask)
+
+
+class Xvector(nn.Module):
+    """Minimal 5-layer TDNN x-vector (reference pytorch/model/xvector.py:15).
+
+    frame1..frame5 contexts: [-2..2], [-2,0,2], [-3,0,3], [0], [0]x1500,
+    stats pooling, two embedding layers.
+    """
+
+    num_frame_channels: int = 512
+    embd_dim: int = 512
+    pooling: str = "statistics"
+    pooling_params: Any = None
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+        position: str = "far",
+    ) -> jax.Array:
+        c = self.num_frame_channels
+        common = dict(momentum=self.momentum, axis_name=self.axis_name)
+        contexts = [(-2, -1, 0, 1, 2), (-2, 0, 2), (-3, 0, 3), (0,), (0,)]
+        dims = [c, c, c, c, 1500]
+        for i, (ctx, dim) in enumerate(zip(contexts, dims)):
+            x = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}", **common)(
+                x, train=train, mask=mask
+            )
+        stats = _pool(self.pooling, self.pooling_params, x, mask, train)
+
+        tdnn6_affine = nn.Dense(self.embd_dim, name="tdnn6_affine")
+        z = tdnn6_affine(stats)
+        if position == "far":
+            return z
+        z = jax.nn.relu(z)
+        from ..nn.norm import BatchNorm
+
+        z = BatchNorm(name="tdnn6_bn", **common)(z, train=train)
+        z2 = nn.Dense(self.embd_dim, name="tdnn7_affine")(z)
+        if position == "near_affine":
+            return z2
+        z2 = jax.nn.relu(z2)
+        z2 = BatchNorm(name="tdnn7_bn", **common)(z2, train=train)
+        return z2
+
+
+class SnowdarXvector(nn.Module):
+    """Standard/extended x-vector with the full switchboard.
+
+    Parity: pytorch/model/snowdar_xvector.py:12-403 — `extend` inserts the
+    E-TDNN interleaved 1x1 layers; optional skip connections, SE blocks,
+    full pooling zoo; embeddings at far/near.
+    """
+
+    num_frame_channels: int = 512
+    embd_dim: int = 512
+    extend: bool = False
+    skip_connection: bool = False
+    se_block: bool = False
+    se_ratio: int = 4
+    pooling: str = "statistics"
+    pooling_params: Any = None
+    aug_dropout: float = 0.0
+    tail_dropout: float = 0.0
+    training_stage: bool = True
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+        position: str = "near",
+    ) -> jax.Array:
+        c = self.num_frame_channels
+        common = dict(momentum=self.momentum, axis_name=self.axis_name)
+        if self.aug_dropout > 0 and train:
+            x = nn.Dropout(self.aug_dropout, deterministic=False)(x)
+
+        # context plan: standard = 5 TDNN layers; extend interleaves 1x1s
+        if self.extend:
+            plan = [
+                ((-2, -1, 0, 1, 2), c),
+                ((0,), c),
+                ((-2, 0, 2), c),
+                ((0,), c),
+                ((-3, 0, 3), c),
+                ((0,), c),
+                ((-4, 0, 4), c),
+                ((0,), c),
+                ((0,), 1500),
+            ]
+        else:
+            plan = [
+                ((-2, -1, 0, 1, 2), c),
+                ((-2, 0, 2), c),
+                ((-3, 0, 3), c),
+                ((0,), c),
+                ((0,), 1500),
+            ]
+
+        h = x
+        prev = None
+        for i, (ctx, dim) in enumerate(plan):
+            y = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}", **common)(
+                h, train=train, mask=mask
+            )
+            if self.se_block and i < len(plan) - 1:
+                y = SEBlock(ratio=self.se_ratio, name=f"se{i + 1}")(y, mask=mask)
+            if self.skip_connection and prev is not None and prev.shape == y.shape:
+                y = y + prev
+            prev = h
+            h = y
+
+        stats = _pool(self.pooling, self.pooling_params, h, mask, train)
+
+        from ..nn.norm import BatchNorm
+
+        fc1_affine = nn.Dense(self.embd_dim, name="tdnn6_affine")
+        z = fc1_affine(stats)
+        if position == "far":
+            return z
+        z = jax.nn.relu(z)
+        z = BatchNorm(name="tdnn6_bn", **common)(z, train=train)
+        z2 = nn.Dense(self.embd_dim, name="tdnn7_affine")(z)
+        if position == "near_affine":
+            return z2
+        z2 = jax.nn.relu(z2)
+        z2 = BatchNorm(name="tdnn7_bn", **common)(z2, train=train)
+        if self.tail_dropout > 0 and train:
+            z2 = nn.Dropout(self.tail_dropout, deterministic=False)(z2)
+        return z2
+
+
+class ExtendedXvector(SnowdarXvector):
+    """E-TDNN x-vector (reference pytorch/model/extended_xvector.py:13)."""
+
+    extend: bool = True
+
+
+class FactoredXvector(nn.Module):
+    """Factored TDNN (F-TDNN) x-vector with semi-orthogonal constraint.
+
+    Parity: pytorch/model/factored_xvector.py:14-210: stacked FTdnnBlocks
+    with skip connections; the semi-orth step is applied out-of-band via
+    nn.tdnn.apply_semi_orth_constraint on the param pytree every 4 steps
+    (reference components.py:218-226).
+    """
+
+    num_frame_channels: int = 725
+    bottleneck_dim: int = 180
+    embd_dim: int = 512
+    pooling: str = "statistics"
+    pooling_params: Any = None
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+        position: str = "far",
+    ) -> jax.Array:
+        c, b = self.num_frame_channels, self.bottleneck_dim
+        common = dict(momentum=self.momentum, axis_name=self.axis_name)
+        x = ReluBatchNormTdnnLayer(
+            c, context=(-2, -1, 0, 1, 2), name="frame1", **common
+        )(x, train=train, mask=mask)
+
+        # (context_size, skip_from) per block — the kaldi F-TDNN recipe shape
+        plan = [(1, None), (1, None), (2, 0), (1, None), (2, 1), (1, 3), (2, 2), (2, 4)]
+        outs = []
+        h = x
+        for i, (ctx_size, skip) in enumerate(plan):
+            inp = h if skip is None else h + outs[skip]
+            h = FTdnnBlock(
+                c, b, context_size=ctx_size, name=f"ftdnn{i + 2}", **common
+            )(inp, train=train, mask=mask)
+            outs.append(h)
+
+        h = ReluBatchNormTdnnLayer(1500, name="frame10", **common)(
+            h, train=train, mask=mask
+        )
+        stats = _pool(self.pooling, self.pooling_params, h, mask, train)
+
+        from ..nn.norm import BatchNorm
+
+        z = nn.Dense(self.embd_dim, name="embed1_affine")(stats)
+        if position == "far":
+            return z
+        z = jax.nn.relu(z)
+        z = BatchNorm(name="embed1_bn", **common)(z, train=train)
+        z2 = nn.Dense(self.embd_dim, name="embed2_affine")(z)
+        if position == "near_affine":
+            return z2
+        z2 = jax.nn.relu(z2)
+        z2 = BatchNorm(name="embed2_bn", **common)(z2, train=train)
+        return z2
