@@ -1,0 +1,33 @@
+"""Model zoo: x-vector family backbones + SpeakerNet training head.
+
+Parity map (reference pytorch/model/):
+  xvector.py            -> Xvector
+  snowdar_xvector.py    -> SnowdarXvector (extend/skip/SE switchboard)
+  extended_xvector.py   -> ExtendedXvector
+  factored_xvector.py   -> FactoredXvector (F-TDNN, semi-orth)
+  ecapa_tdnn_xvector.py -> EcapaTdnn
+  resnet_xvector.py     -> ResNetXvector
+  repvgg_xvector.py     -> RepVggXvector
+  transformer_xvector.py-> ConformerXvector (models/conformer.py)
+"""
+
+from .ecapa import EcapaTdnn
+from .framework import (
+    SpeakerNet,
+    chunk_utterance,
+    count_params,
+    extract_embedding_chunked,
+    l2_norm,
+)
+from .resnet_xvector import RepVggXvector, ResNetXvector
+from .xvector import ExtendedXvector, FactoredXvector, SnowdarXvector, Xvector
+
+MODELS = {
+    "xvector": Xvector,
+    "snowdar_xvector": SnowdarXvector,
+    "extended_xvector": ExtendedXvector,
+    "factored_xvector": FactoredXvector,
+    "ecapa_tdnn": EcapaTdnn,
+    "resnet_xvector": ResNetXvector,
+    "repvgg_xvector": RepVggXvector,
+}

@@ -1,0 +1,82 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's DDP/NCCL layer (pytorch/libs/support/utils.py:401-495).
+
+Design: one global `Mesh` with axes ("data", "model"). Data parallelism
+shards the batch axis over "data"; the gradient all-reduce is NOT an
+explicit collective — writing the loss globally under jit makes XLA insert
+psum on ICI, and BatchNorm batch statistics become cross-replica
+(SyncBN) for free because the masked mean is computed over the global
+batch. "model" (default size 1) is reserved for sharding very wide
+classifier weights (e.g. LID heads) and backend cohort matmuls.
+
+Multi-host: `jax.distributed.initialize()` before calling `make_mesh`;
+`host_local_slice` reproduces the reference's rank/worker modulo data split
+(egs_online.py:101-117).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_data: Optional[int] = None,
+    num_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over all devices (default: model=1)."""
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    if num_data is None:
+        if n % num_model:
+            raise ValueError(f"{n} devices not divisible by model={num_model}")
+        num_data = n // num_model
+    if num_data * num_model != n:
+        raise ValueError(
+            f"mesh {num_data}x{num_model} != {n} devices"
+        )
+    arr = np.asarray(devs).reshape(num_data, num_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Place a host batch on the mesh, sharded over the data axis (dim 0)."""
+
+    def put(x):
+        spec = P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params/opt state) across the whole mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def host_local_slice(num_items: int, *, epoch: int = 0, shuffle_seed: int = 1024):
+    """Deterministic per-host partition of a global index set.
+
+    Reproduces the reference DistributedSampler rank split with per-epoch
+    reshuffle (egs_online.py:67-128): shuffle indices with seed+epoch, then
+    take every process_count-th item starting at process_index.
+    """
+    rng = np.random.default_rng(shuffle_seed + epoch)
+    idx = rng.permutation(num_items)
+    return idx[jax.process_index() :: jax.process_count()]

@@ -1,0 +1,22 @@
+"""Training engine: optimizers, LR schedules, SPMD train step, checkpoints."""
+
+from .checkpoint import load_checkpoint, load_transfer, save_checkpoint
+from .lr_scheduler import (
+    ReduceOnPlateau,
+    constant,
+    cyclic,
+    get_lr_schedule,
+    noam,
+    one_cycle,
+    warm_restarts,
+)
+from .optim import get_optimizer, gradient_centralization, ralamb, scale_by_adamod
+from .reporter import Reporter
+from .trainer import (
+    Trainer,
+    TrainState,
+    TrainStepConfig,
+    init_train_state,
+    make_eval_step,
+    make_train_step,
+)

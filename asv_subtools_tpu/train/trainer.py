@@ -1,0 +1,343 @@
+"""Training engine: one jitted SPMD train step + the epoch loop.
+
+Parity: pytorch/libs/training/trainer_online.py (SimpleTrainer), re-designed
+TPU-first:
+
+* The whole optimization step — forward, loss, backward, grad clip
+  (max_change), optimizer, BN stat update — is ONE jitted function over the
+  device mesh. Gradient sync is XLA-inserted psum (no DDP wrapper), and
+  BatchNorm batch stats are global (SyncBN for free; reference needed
+  convert_synchronized_batchnorm, utils.py:414-421).
+* Gradient accumulation uses lax.scan over microbatches inside the step
+  (reference used DDP no_sync over python iterations,
+  trainer_online.py:253-259).
+* bf16 compute: inputs are cast to bf16; margin-loss cos/acos stays fp32
+  (loss.py mirrors the reference's AMP-float32 region loss.py:300).
+* Non-finite grads skip the update on-device (reference skip_nan_batch +
+  grad-norm check trainer_online.py:294-327) — no host sync in the loop.
+* Margin-warm (lambda_m, margin_offset) and LR plateau scale enter as
+  traced scalars, so schedule changes never retrigger compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..nn.loss import accuracy as compute_accuracy
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class TrainStepConfig:
+    max_change: float = 10.0  # grad clip by global norm (reference trainer_online.py:320)
+    accum_grad: int = 1
+    compute_dtype: Any = jnp.bfloat16
+    use_semi_orth: bool = False  # F-TDNN constraint every 4 steps
+    skip_nonfinite: bool = True
+
+
+def make_train_step(
+    net,
+    tx: optax.GradientTransformation,
+    lr_schedule: Optional[Callable] = None,
+    config: TrainStepConfig = TrainStepConfig(),
+):
+    """Build the jitted train step.
+
+    step(state, batch, rng, lambda_m, margin_offset, lr_scale)
+      -> (new_state, metrics dict)
+
+    batch = {"x": [B, T, D], "y": [B], optional "mask": [B, T]}. With
+    accum_grad>1, B must divide it; microbatches run under lax.scan.
+    """
+
+    def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
+        xc = x.astype(config.compute_dtype)
+        (loss, logits, _emb), mut = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xc,
+            y,
+            mask=mask,
+            train=True,
+            lambda_m=lambda_m,
+            margin_offset=margin_offset,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        acc = compute_accuracy(logits, y)
+        return loss.astype(jnp.float32), (mut["batch_stats"], acc)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state, batch, rng, lambda_m=1.0, margin_offset=0.0, lr_scale=1.0):
+        x, y = batch["x"], batch["y"]
+        mask = batch.get("mask")
+        a = config.accum_grad
+        if a > 1:
+            b = x.shape[0]
+            if b % a:
+                raise ValueError(f"batch {b} not divisible by accum_grad {a}")
+            mb = b // a
+            xs = x.reshape(a, mb, *x.shape[1:])
+            ys = y.reshape(a, mb)
+            ms = mask.reshape(a, mb, -1) if mask is not None else None
+            rngs = jax.random.split(rng, a)
+
+            def micro(carry, inp):
+                grads_acc, bs, loss_acc, acc_acc = carry
+                xi, yi, ri, mi = inp
+                (loss, (bs2, acc)), grads = grad_fn(
+                    state.params, bs, xi, yi, mi, ri, lambda_m, margin_offset
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                return (grads_acc, bs2, loss_acc + loss, acc_acc + acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            inputs = (xs, ys, rngs, ms) if ms is not None else (
+                xs, ys, rngs, jnp.zeros((a,), jnp.float32)  # dummy
+            )
+            if ms is None:
+
+                def micro_nomask(carry, inp):
+                    grads_acc, bs, loss_acc, acc_acc = carry
+                    xi, yi, ri, _ = inp
+                    (loss, (bs2, acc)), grads = grad_fn(
+                        state.params, bs, xi, yi, None, ri, lambda_m, margin_offset
+                    )
+                    grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+                    return (grads_acc, bs2, loss_acc + loss, acc_acc + acc), None
+
+                micro_fn = micro_nomask
+            else:
+                micro_fn = micro
+            (grads, new_bs, loss_sum, acc_sum), _ = jax.lax.scan(
+                micro_fn,
+                (zero_grads, state.batch_stats, jnp.zeros(()), jnp.zeros(())),
+                inputs,
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / a, grads)
+            loss = loss_sum / a
+            acc = acc_sum / a
+        else:
+            (loss, (new_bs, acc)), grads = grad_fn(
+                state.params, state.batch_stats, x, y, mask, rng,
+                lambda_m, margin_offset,
+            )
+
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        # clip by global norm = the reference's max_change semantics
+        scale = jnp.minimum(1.0, config.max_change / jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree_util.tree_map(lambda g: g * scale * lr_scale, grads)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if config.use_semi_orth:
+            from ..nn.tdnn import apply_semi_orth_constraint
+
+            new_params = jax.lax.cond(
+                (state.step % 4) == 0,
+                apply_semi_orth_constraint,
+                lambda p: p,
+                new_params,
+            )
+
+        if config.skip_nonfinite:
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new, old
+            )
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            new_bs = keep(new_bs, state.batch_stats)
+
+        metrics = {
+            "loss": loss,
+            "accuracy": acc,
+            "grad_norm": gnorm,
+            "skipped": 1.0 - finite.astype(jnp.float32),
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step) * lr_scale
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    return step
+
+
+def make_eval_step(net):
+    """Jittable validation step: (state, batch) -> metrics."""
+
+    def step(state, batch):
+        loss, logits, _ = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["x"],
+            batch["y"],
+            mask=batch.get("mask"),
+            train=False,
+        )
+        return {"loss": loss, "accuracy": compute_accuracy(logits, batch["y"])}
+
+    return step
+
+
+def init_train_state(
+    net, rng, example_batch: Dict, tx: optax.GradientTransformation
+) -> TrainState:
+    variables = net.init(
+        {"params": rng, "dropout": rng},
+        example_batch["x"],
+        example_batch["y"],
+        mask=example_batch.get("mask"),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+class Trainer:
+    """Epoch loop: data -> sharded jitted steps -> report/validate/checkpoint.
+
+    Parity: SimpleTrainer.run (reference trainer_online.py:429-514), minus
+    process-level DDP plumbing (the mesh replaces it).
+    """
+
+    def __init__(
+        self,
+        net,
+        tx,
+        lr_schedule=None,
+        config: TrainStepConfig = TrainStepConfig(),
+        mesh=None,
+        margin_warm=None,
+        plateau=None,
+        report_interval: int = 100,
+        checkpoint_dir: Optional[str] = None,
+        reporter=None,
+    ):
+        self.net = net
+        self.tx = tx
+        self.lr_schedule = lr_schedule
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.margin_warm = margin_warm
+        self.plateau = plateau
+        self.report_interval = report_interval
+        self.checkpoint_dir = checkpoint_dir
+        self.reporter = reporter
+
+        step_fn = make_train_step(net, tx, lr_schedule, config)
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(
+                rep,
+                {"x": data, "y": data, "mask": data},
+                rep, rep, rep, rep,
+            ),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._train_step_nomask = jax.jit(
+            step_fn,
+            in_shardings=(rep, {"x": data, "y": data}, rep, rep, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(net))
+
+    def init_state(self, rng, example_batch) -> TrainState:
+        state = init_train_state(self.net, rng, example_batch, self.tx)
+        return replicate(self.mesh, state)
+
+    def run_epoch(
+        self,
+        state: TrainState,
+        data_iter: Iterable[Dict],
+        rng,
+        epoch: int = 0,
+        valid_iter: Optional[Callable] = None,
+    ) -> Tuple[TrainState, Dict]:
+        """One epoch over `data_iter` of host batches; returns final state."""
+        agg = {"loss": 0.0, "accuracy": 0.0, "n": 0}
+        t0 = time.time()
+        for i, batch in enumerate(data_iter):
+            step_idx = int(jax.device_get(state.step))
+            if self.margin_warm is not None:
+                moff, lam = self.margin_warm.step(step_idx)
+            else:
+                moff, lam = 0.0, 1.0
+            lr_scale = self.plateau.scale if self.plateau is not None else 1.0
+            rng, sub = jax.random.split(rng)
+            batch = shard_batch(self.mesh, batch)
+            fn = self._train_step if "mask" in batch else self._train_step_nomask
+            state, metrics = fn(
+                state, batch, sub,
+                jnp.asarray(lam, jnp.float32),
+                jnp.asarray(moff, jnp.float32),
+                jnp.asarray(lr_scale, jnp.float32),
+            )
+            agg["n"] += 1
+            if (i + 1) % self.report_interval == 0:
+                m = jax.device_get(metrics)
+                rate = self.report_interval / (time.time() - t0)
+                t0 = time.time()
+                if self.reporter is not None:
+                    self.reporter.update(
+                        epoch=epoch, iteration=i + 1, steps_per_sec=rate,
+                        **{k: float(v) for k, v in m.items()},
+                    )
+                if valid_iter is not None and self.plateau is not None:
+                    vloss = self.validate(state, valid_iter())
+                    self.plateau.update(vloss["loss"])
+        final_metrics = jax.device_get(metrics) if agg["n"] else {}
+        return state, {k: float(v) for k, v in final_metrics.items()}
+
+    def validate(self, state: TrainState, valid_iter: Iterable[Dict]) -> Dict:
+        tot = {"loss": 0.0, "accuracy": 0.0}
+        n = 0
+        for batch in valid_iter:
+            batch = shard_batch(self.mesh, batch)
+            m = jax.device_get(self._eval_step(state, batch))
+            tot["loss"] += float(m["loss"])
+            tot["accuracy"] += float(m["accuracy"])
+            n += 1
+        return {k: v / max(n, 1) for k, v in tot.items()}

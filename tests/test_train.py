@@ -1,0 +1,209 @@
+"""Training engine tests on a virtual 8-device CPU mesh.
+
+Covers: optimizer factory, LR schedules, jitted SPMD train step over the
+mesh (loss decreases, SyncBN-by-construction), grad accumulation
+equivalence, non-finite skip, checkpoint round-trip, transfer load.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.models import SpeakerNet, Xvector
+from asv_subtools_tpu.parallel import make_mesh, replicate, shard_batch
+from asv_subtools_tpu.train import (
+    ReduceOnPlateau,
+    TrainState,
+    TrainStepConfig,
+    Trainer,
+    get_lr_schedule,
+    get_optimizer,
+    init_train_state,
+    load_checkpoint,
+    load_transfer,
+    make_train_step,
+    save_checkpoint,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_net(num_targets=8):
+    return SpeakerNet(
+        backbone=Xvector(num_frame_channels=16, embd_dim=16),
+        loss_name="margin_softmax",
+        loss_params={"method": "am", "m": 0.2},
+        num_targets=num_targets,
+    )
+
+
+def batch_of(b=8, t=24, d=8, c=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32),
+        "y": jnp.asarray(rng.integers(0, c, size=b)),
+    }
+
+
+class TestOptim:
+    @pytest.mark.parametrize(
+        "name", ["sgd", "sgdw", "adam", "adamW", "ralamb", "adamod", "novograd"]
+    )
+    def test_optimizers_step(self, name):
+        tx = get_optimizer(name, learning_rate=1e-2)
+        params = {"w": jnp.ones((4, 4)), "b": jnp.zeros(4)}
+        state = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).sum()) > 0
+
+    def test_lookahead_and_gc(self):
+        tx = get_optimizer("adamW", learning_rate=1e-2, lookahead=True, gc=True)
+        params = {"w": jnp.ones((4, 4))}
+        state = tx.init(params)
+        g = {"w": jnp.full((4, 4), 0.5)}
+        for _ in range(6):
+            updates, state = tx.update(g, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+class TestSchedules:
+    def test_warm_restarts_restarts(self):
+        s = get_lr_schedule("warmR", base_lr=1.0, t_0=10, eta_min=0.0)
+        assert float(s(0)) == pytest.approx(1.0)
+        assert float(s(5)) == pytest.approx(0.5, abs=1e-6)
+        assert float(s(10)) == pytest.approx(1.0)  # restart
+
+    def test_cyclic_triangular(self):
+        s = get_lr_schedule("cyclic", base_lr=0.0, max_lr=1.0, step_size_up=10, mode="triangular2")
+        assert float(s(0)) == pytest.approx(0.0)
+        assert float(s(10)) == pytest.approx(1.0)
+        assert float(s(30)) == pytest.approx(0.5)  # second cycle halved
+
+    def test_noam_peak(self):
+        s = get_lr_schedule("noam", base_lr=1.0, model_dim=256, warmup_steps=100)
+        lrs = [float(s(i)) for i in [1, 50, 100, 200]]
+        assert lrs[2] == max(lrs)
+
+    def test_plateau(self):
+        p = ReduceOnPlateau(factor=0.5, patience=1)
+        assert not p.update(1.0)
+        assert not p.update(1.0)  # bad 1
+        assert p.update(1.0)  # bad 2 -> reduce
+        assert p.scale == 0.5
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_mesh(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-2)
+        step = make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.float32))
+        batch = batch_of()
+        state = init_train_state(net, KEY, batch, tx)
+        state = replicate(mesh, state)
+        jstep = jax.jit(step)
+        sbatch = shard_batch(mesh, batch)
+        losses = []
+        rng = KEY
+        for i in range(30):
+            rng, sub = jax.random.split(rng)
+            state, m = jstep(state, sbatch, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] - 0.5, losses[::10]
+        assert int(jax.device_get(state.step)) == 30
+
+    def test_accum_grad_matches_full_batch(self):
+        net = tiny_net()
+        tx = get_optimizer("sgd", learning_rate=1e-2, weight_decay=0.0)
+        cfg_full = TrainStepConfig(compute_dtype=jnp.float32, accum_grad=1)
+        cfg_acc = TrainStepConfig(compute_dtype=jnp.float32, accum_grad=4)
+        batch = batch_of(b=8)
+        s0 = init_train_state(net, KEY, batch, tx)
+        st_full, m1 = jax.jit(make_train_step(net, tx, config=cfg_full))(
+            s0, batch, KEY
+        )
+        st_acc, m2 = jax.jit(make_train_step(net, tx, config=cfg_acc))(
+            s0, batch, KEY
+        )
+        # BatchNorm sees microbatches in the accum path, so only check the
+        # optimizer-visible result loosely: finite + close loss
+        assert np.isfinite(m2["loss"])
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), st_full.params, st_acc.params
+        )
+        assert max(jax.tree_util.tree_leaves(d)) < 0.05
+
+    def test_nonfinite_grads_skipped(self):
+        net = tiny_net()
+        tx = get_optimizer("sgd", learning_rate=1e-2)
+        step = jax.jit(make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.float32)))
+        batch = batch_of()
+        state = init_train_state(net, KEY, batch, tx)
+        bad = dict(batch)
+        bad["x"] = batch["x"].at[0, 0, 0].set(jnp.nan)
+        new_state, m = step(state, bad, KEY)
+        assert float(m["skipped"]) == 1.0
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, new_state.params
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) == 0.0
+
+    def test_trainer_epoch_runs(self, tmp_path):
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-3)
+        trainer = Trainer(
+            net, tx,
+            config=TrainStepConfig(compute_dtype=jnp.float32),
+            report_interval=2,
+        )
+        batch = batch_of()
+        state = trainer.init_state(KEY, batch)
+        data = [batch_of(seed=i) for i in range(4)]
+        state, metrics = trainer.run_epoch(state, iter(data), KEY, epoch=0)
+        assert np.isfinite(metrics["loss"])
+        v = trainer.validate(state, [batch_of(seed=99)])
+        assert np.isfinite(v["loss"])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-3)
+        batch = batch_of()
+        state = init_train_state(net, KEY, batch, tx)
+        step = jax.jit(make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.float32)))
+        state, _ = step(state, batch, KEY)
+        path = save_checkpoint(str(tmp_path), state, 1, info={"lr": 1e-3})
+        assert os.path.exists(path)
+        assert os.path.islink(os.path.join(tmp_path, "final.params"))
+
+        fresh = init_train_state(net, jax.random.PRNGKey(1), batch, tx)
+        restored = load_checkpoint(path, fresh, restore_optimizer=True)
+        same = jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            restored.params, state.params,
+        )
+        assert all(jax.tree_util.tree_leaves(same))
+        assert int(jax.device_get(restored.step)) == 1
+
+    def test_transfer_excludes_loss(self, tmp_path):
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-3)
+        batch = batch_of()
+        state = init_train_state(net, KEY, batch, tx)
+        path = save_checkpoint(str(tmp_path), state, "x")
+        net2 = tiny_net(num_targets=20)  # new classifier size
+        s2 = init_train_state(net2, jax.random.PRNGKey(5), batch_of(c=20), tx)
+        merged = load_transfer(s2.params, path, exclude=["loss"])
+        np.testing.assert_allclose(
+            np.asarray(merged["backbone"]["tdnn1"]["affine"]["conv"]["kernel"]),
+            np.asarray(state.params["backbone"]["tdnn1"]["affine"]["conv"]["kernel"]),
+        )
+        assert merged["loss"]["weight"].shape[0] == 20
