@@ -1,0 +1,33 @@
+"""Statistical back-end: transforms, PLDA, score normalization, metrics.
+
+The TPU-native replacement for the reference's score/ + Kaldi ivector-*
+binaries (SURVEY.md §2.4): everything is a batched array program.
+"""
+
+from .adaptation import (
+    TwoCovPlda,
+    adapt_plda_cip,
+    adapt_plda_coral,
+    adapt_plda_coral_plus,
+    adapt_plda_lip,
+    adapt_plda_unsupervised,
+)
+from .metrics import (
+    compute_cavg,
+    compute_eer,
+    compute_min_dcf,
+    compute_min_tdcf,
+    roc_curve,
+)
+from .plda import Plda, PldaStats, estimate_plda, plda_score_trials
+from .score_norm import asnorm, cosine_score_matrix, snorm
+from .transforms import (
+    TransformChain,
+    ZCAWhitening,
+    apply_lda,
+    global_mean,
+    length_norm,
+    speaker_means,
+    train_lda,
+)
+from .trials import Trials, read_scores, write_scores
