@@ -11,6 +11,7 @@ Parity map (reference pytorch/model/):
   transformer_xvector.py-> ConformerXvector (models/conformer.py)
 """
 
+from .conformer import ConformerXvector
 from .ecapa import EcapaTdnn
 from .framework import (
     SpeakerNet,
@@ -30,4 +31,5 @@ MODELS = {
     "ecapa_tdnn": EcapaTdnn,
     "resnet_xvector": ResNetXvector,
     "repvgg_xvector": RepVggXvector,
+    "conformer_xvector": ConformerXvector,
 }

@@ -1,0 +1,240 @@
+"""Attention variants (parity: pytorch/libs/nnet/transformer/attention.py).
+
+MultiHeadedAttention (:16), RelPositionMultiHeadedAttention (:157,
+Transformer-XL with u/v biases), RoPESelfAttention (:255),
+T5RelPositionBias (:310, bucketed learned bias), GAU (:394, gated
+attention unit).
+
+TPU-first: one fused qkv projection; [B, H, T, Dh] einsum attention on the
+MXU; masks enter as additive -inf; everything static-shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .embedding import apply_rope, rel_position_encoding, rope_freqs
+
+NEG_INF = -1.0e9
+
+
+def _attend(q, k, v, mask, dropout_rate, deterministic, module, extra_score=None):
+    """Scaled dot-product attention. q/k/v [B, H, T, Dh]; mask [B, 1, T, T]
+    or [B, 1, 1, T] additive-compatible boolean (True = keep)."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
+    if extra_score is not None:
+        scores = scores + extra_score
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if mask is not None:
+        attn = jnp.where(mask, attn, 0.0)
+    if dropout_rate > 0.0 and not deterministic:
+        attn = nn.Dropout(rate=dropout_rate, deterministic=False)(attn)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
+
+class MultiHeadedAttention(nn.Module):
+    """Standard MHA (attention.py:16-155)."""
+
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pos_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name="out")(out)
+
+
+class RelPositionMultiHeadedAttention(nn.Module):
+    """Transformer-XL relative-position MHA with u/v biases
+    (attention.py:157-253; Dai et al. 2019)."""
+
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+
+    @staticmethod
+    def _rel_shift(x):
+        """[B, H, T, 2T-1] -> [B, H, T, T]: out[q, k] = x[q, (T-1)-(q-k)]
+        (Transformer-XL relative-index alignment, espnet formulation)."""
+        b, h, t, _ = x.shape
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B, H, T, 2T]
+        x = x.reshape(b, h, 2 * t, t)[:, :, 1:, :]  # drop first row
+        return x.reshape(b, h, t, 2 * t - 1)[..., :t]
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pos_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+
+        if pos_emb is None:
+            pos_emb = rel_position_encoding(t, d)
+        p = nn.Dense(d, use_bias=False, name="pos")(pos_emb)  # [2T-1, D]
+        p = p.reshape(-1, h, dh).transpose(1, 0, 2)  # [H, 2T-1, Dh]
+
+        u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dh))
+        vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dh))
+
+        q_u = (q + u).transpose(0, 2, 1, 3)  # [B, H, T, Dh]
+        q_v = (q + vb).transpose(0, 2, 1, 3)
+        ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
+        bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)  # [B, H, T, 2T-1]
+        bd = self._rel_shift(bd)
+        scores = (ac + bd) / math.sqrt(dh)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(mask, attn, 0.0)
+        if self.dropout_rate > 0.0 and not deterministic:
+            attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name="out")(out)
+
+
+class RoPESelfAttention(nn.Module):
+    """Rotary-position self-attention (attention.py:255-308)."""
+
+    num_heads: int = 4
+    dropout_rate: float = 0.0
+    rotary_value: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pos_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, d = x.shape
+        h = self.num_heads
+        dh = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        cos, sin = rope_freqs(t, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if self.rotary_value:
+            v = apply_rope(v, cos, sin)
+        out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(d, name="out")(out)
+
+
+class T5RelPositionBias(nn.Module):
+    """Bucketed learned relative-position bias (attention.py:310-392)."""
+
+    num_buckets: int = 32
+    max_distance: int = 128
+    scale: float = 1.0
+
+    @staticmethod
+    def _bucket(rel, num_buckets, max_distance):
+        n = num_buckets // 2
+        ret = jnp.where(rel < 0, 0, n)
+        rel = jnp.abs(rel)
+        max_exact = n // 2
+        val_if_large = max_exact + (
+            jnp.log(rel.astype(jnp.float32) / max_exact + 1e-6)
+            / math.log(max_distance / max_exact)
+            * (n - max_exact)
+        ).astype(jnp.int32)
+        val_if_large = jnp.minimum(val_if_large, n - 1)
+        return ret + jnp.where(rel < max_exact, rel, val_if_large)
+
+    @nn.compact
+    def __call__(self, t: int) -> jax.Array:
+        """Returns additive bias [1, 1, T, T]."""
+        emb = self.param(
+            "rel_bias", nn.initializers.normal(0.02), (self.num_buckets, 1)
+        )
+        qpos = jnp.arange(t)[:, None]
+        kpos = jnp.arange(t)[None, :]
+        buckets = self._bucket(kpos - qpos, self.num_buckets, self.max_distance)
+        bias = emb[buckets, 0]  # [T, T]
+        return (bias * self.scale)[None, None, :, :]
+
+
+class GAU(nn.Module):
+    """Gated attention unit (attention.py:394-520; FLASH paper) —
+    single-head shared-key attention with per-dim query/key scaling,
+    gated output. Replaces both attention and FFN in gau-mode encoders."""
+
+    expansion_units: int = 512
+    key_dim: int = 64
+    dropout_rate: float = 0.0
+    use_rope: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        pos_emb: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        b, t, d = x.shape
+        e = self.expansion_units
+        s = self.key_dim
+        uv = nn.Dense(2 * e + s, name="uv")(x)
+        uv = jax.nn.silu(uv)
+        u, v, base = jnp.split(uv, [e, 2 * e], axis=-1)
+        # per-dim scale/offset query & key from the shared base
+        gamma = self.param("gamma", nn.initializers.normal(0.02), (2, s))
+        beta = self.param("beta", nn.initializers.zeros, (2, s))
+        q = base * gamma[0] + beta[0]
+        k = base * gamma[1] + beta[1]
+        if self.use_rope:
+            cos, sin = rope_freqs(t, s)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        scores = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(s)
+        if mask is not None:
+            m = mask[:, 0] if mask.ndim == 4 else mask
+            scores = jnp.where(m, scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
+        if mask is not None:
+            attn = jnp.where(m, attn, 0.0)
+        if self.dropout_rate > 0.0 and not deterministic:
+            attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
+        out = u * jnp.einsum("bqk,bke->bqe", attn, v)
+        return nn.Dense(d, name="out")(out)

@@ -1,0 +1,56 @@
+"""Conformer convolution module (parity:
+pytorch/libs/nnet/transformer/convolution.py).
+
+pointwise conv (2x, GLU) -> depthwise conv -> norm -> swish -> pointwise.
+Channels-last; the depthwise conv is a feature_group_count conv1d.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..norm import BatchNorm
+
+
+class ConvolutionModule(nn.Module):
+    kernel_size: int = 15
+    norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    causal: bool = False
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        d = x.shape[-1]
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        h = nn.Conv(2 * d, (1,), name="pointwise1")(x)
+        h = nn.glu(h, axis=-1)
+        if self.causal:
+            pad = [(self.kernel_size - 1, 0)]
+        else:
+            pad = "SAME"
+        h = nn.Conv(
+            d, (self.kernel_size,), padding=pad, feature_group_count=d,
+            name="depthwise",
+        )(h)
+        if self.norm_type == "batch_norm":
+            h = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="norm")(
+                h, train=train, mask=mask
+            )
+        else:
+            h = nn.LayerNorm(name="norm")(h)
+        h = h * jax.nn.sigmoid(h)  # swish
+        h = nn.Conv(d, (1,), name="pointwise2")(h)
+        if mask is not None:
+            h = h * mask[..., None].astype(h.dtype)
+        return h

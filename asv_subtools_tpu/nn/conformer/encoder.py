@@ -1,0 +1,316 @@
+"""Transformer / Conformer encoders (parity:
+pytorch/libs/nnet/transformer/{encoder.py, encoder_layer.py}).
+
+TransformerEncoder (encoder.py:423), ConformerEncoder (:536) with macaron
+feed-forward, conv module, rel/RoPE/abs/T5 positions, GAU mode, and the
+RandomCombine layer-drop combiner (:834). Chunk masks for streaming
+(mask.py) are provided in mask.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..activations import get_activation
+from .attention import (
+    GAU,
+    MultiHeadedAttention,
+    RelPositionMultiHeadedAttention,
+    RoPESelfAttention,
+    T5RelPositionBias,
+)
+from .convolution import ConvolutionModule
+from .embedding import abs_position_encoding, rel_position_encoding
+from .subsampling import SUBSAMPLINGS
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden_units: int = 2048
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        act = get_activation(self.activation)
+        h = act(nn.Dense(self.hidden_units, name="w1")(x))
+        if self.dropout_rate > 0 and not deterministic:
+            h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+        return nn.Dense(d, name="w2")(h)
+
+
+class MultiLayeredConv1d(nn.Module):
+    """Conv1d positionwise layer (multi_layer_conv.py)."""
+
+    hidden_units: int = 2048
+    kernel_size: int = 3
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        act = get_activation(self.activation)
+        h = act(nn.Conv(self.hidden_units, (self.kernel_size,), padding="SAME", name="w1")(x))
+        if self.dropout_rate > 0 and not deterministic:
+            h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+        return nn.Conv(d, (self.kernel_size,), padding="SAME", name="w2")(h)
+
+
+def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key, name):
+    if att_type == "gau":
+        return GAU(
+            expansion_units=gau_units, key_dim=gau_key, dropout_rate=dropout,
+            use_rope=(pos_enc_type == "rot_pos"), name=name,
+        )
+    if pos_enc_type == "rel_pos":
+        return RelPositionMultiHeadedAttention(
+            num_heads=heads, dropout_rate=dropout, name=name
+        )
+    if pos_enc_type == "rot_pos":
+        return RoPESelfAttention(num_heads=heads, dropout_rate=dropout, name=name)
+    return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout, name=name)
+
+
+class ConformerBlock(nn.Module):
+    """One conformer layer: 0.5*FF -> MHA -> Conv -> 0.5*FF -> norm.
+
+    Parity: ConformerEncoderLayer (encoder_layer.py:140-337). With
+    macaron=False and conv_module=False it degrades to a standard
+    pre-norm transformer layer (TransformerEncoderLayer :13-139).
+    """
+
+    attention_heads: int = 4
+    linear_units: int = 2048
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    pos_enc_type: str = "rel_pos"
+    att_type: str = "multi"
+    gau_units: int = 512
+    gau_key: int = 64
+    macaron: bool = True
+    use_cnn: bool = True
+    cnn_kernel: int = 15
+    normalize_before: bool = True
+    concat_after: bool = False
+    positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    activation_type: str = "swish"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        att_mask: Optional[jax.Array] = None,
+        pad_mask: Optional[jax.Array] = None,
+        pos_emb: Optional[jax.Array] = None,
+        extra_score: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> jax.Array:
+        det = not train
+
+        def drop(h):
+            if self.dropout_rate > 0 and train:
+                return nn.Dropout(self.dropout_rate, deterministic=False)(h)
+            return h
+
+        ff_scale = 0.5 if self.macaron else 1.0
+        pw_cls = (
+            PositionwiseFeedForward
+            if self.positionwise_layer_type == "linear"
+            else MultiLayeredConv1d
+        )
+
+        if self.macaron:
+            res = x
+            h = nn.LayerNorm(name="norm_ff_macaron")(x) if self.normalize_before else x
+            h = pw_cls(
+                hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
+                activation=self.activation_type, name="ff_macaron",
+            )(h, deterministic=det)
+            x = res + ff_scale * drop(h)
+            if not self.normalize_before:
+                x = nn.LayerNorm(name="norm_ff_macaron")(x)
+
+        # self-attention
+        res = x
+        h = nn.LayerNorm(name="norm_mha")(x) if self.normalize_before else x
+        att = _make_attention(
+            self.att_type, self.pos_enc_type, self.attention_heads,
+            self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
+        )
+        h_att = att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det) if not (
+            self.att_type != "gau" and extra_score is not None
+        ) else att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det)
+        if self.concat_after:
+            x = res + nn.Dense(x.shape[-1], name="concat_linear")(
+                jnp.concatenate([h, h_att], axis=-1)
+            )
+        else:
+            x = res + drop(h_att)
+        if not self.normalize_before:
+            x = nn.LayerNorm(name="norm_mha")(x)
+
+        if self.use_cnn:
+            res = x
+            h = nn.LayerNorm(name="norm_conv")(x) if self.normalize_before else x
+            h = ConvolutionModule(
+                kernel_size=self.cnn_kernel, axis_name=self.axis_name, name="conv_module"
+            )(h, mask=pad_mask, train=train)
+            x = res + drop(h)
+            if not self.normalize_before:
+                x = nn.LayerNorm(name="norm_conv")(x)
+
+        res = x
+        h = nn.LayerNorm(name="norm_ff")(x) if self.normalize_before else x
+        h = pw_cls(
+            hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
+            activation=self.activation_type, name="ff",
+        )(h, deterministic=det)
+        x = res + ff_scale * drop(h)
+        if not self.normalize_before:
+            x = nn.LayerNorm(name="norm_ff")(x)
+
+        if self.use_cnn and self.normalize_before:
+            x = nn.LayerNorm(name="norm_final")(x)
+        return x
+
+
+class RandomCombine(nn.Module):
+    """Stochastic layer combination (encoder.py:834-940; zipformer-style):
+    in training, randomly pick one of the aux-layer outputs (biased toward
+    the final); in eval, a fixed weighted average favoring the final."""
+
+    num_inputs: int
+    final_weight: float = 0.5
+
+    @nn.compact
+    def __call__(self, layer_outputs: Sequence[jax.Array], train: bool = False):
+        n = len(layer_outputs)
+        if n == 1:
+            return layer_outputs[0]
+        stacked = jnp.stack(layer_outputs, axis=0)  # [N, B, T, D]
+        if train:
+            rng = self.make_rng("dropout")
+            # choose final with prob final_weight, else uniform over others
+            probs = jnp.full((n,), (1.0 - self.final_weight) / (n - 1))
+            probs = probs.at[-1].set(self.final_weight)
+            idx = jax.random.choice(rng, n, p=probs)
+            return stacked[idx]
+        w = jnp.full((n,), (1.0 - self.final_weight) / (n - 1))
+        w = w.at[-1].set(self.final_weight)
+        return jnp.einsum("n,nbtd->btd", w, stacked)
+
+
+class ConformerEncoder(nn.Module):
+    """Conformer encoder stack (encoder.py:536-683).
+
+    Input [B, T, F] (+ mask) -> [B, T', attention_dim] (+ subsampled mask).
+    combiner_type: norm | mfa (concat aux layers) | random_layer.
+    """
+
+    attention_dim: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = "conv2d"
+    pos_enc_type: str = "rel_pos"
+    att_type: str = "multi"
+    gau_units: int = 512
+    gau_key: int = 64
+    add_t5rel_bias: bool = False
+    macaron: bool = True
+    use_cnn: bool = True
+    cnn_kernel: int = 15
+    normalize_before: bool = True
+    positionwise_layer_type: str = "linear"
+    activation_type: str = "swish"
+    combiner_type: str = "norm"
+    aux_layer_period: int = 3
+    aux_layer_start: int = 1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Tuple[jax.Array, Optional[jax.Array]]:
+        sub = SUBSAMPLINGS[self.input_layer](
+            odim=self.attention_dim, dropout_rate=self.dropout_rate, name="embed"
+        )
+        h, mask = sub(x, mask=mask, deterministic=not train)
+        t = h.shape[1]
+
+        pos_emb = None
+        if self.pos_enc_type == "abs_pos":
+            h = abs_position_encoding(h)
+        elif self.pos_enc_type == "rel_pos":
+            pos_emb = rel_position_encoding(t, self.attention_dim)
+
+        att_mask = None
+        pad_mask = mask
+        if mask is not None:
+            att_mask = (mask[:, None, None, :] & mask[:, None, :, None])
+
+        extra = None
+        if self.add_t5rel_bias:
+            extra = T5RelPositionBias(name="t5_bias")(t)
+
+        aux_outputs = []
+        aux_layers = list(
+            range(self.aux_layer_start, self.num_blocks, self.aux_layer_period)
+        )
+        for i in range(self.num_blocks):
+            h = ConformerBlock(
+                attention_heads=self.attention_heads,
+                linear_units=self.linear_units,
+                dropout_rate=self.dropout_rate,
+                attention_dropout_rate=self.attention_dropout_rate,
+                pos_enc_type=self.pos_enc_type,
+                att_type=self.att_type,
+                gau_units=self.gau_units,
+                gau_key=self.gau_key,
+                macaron=self.macaron,
+                use_cnn=self.use_cnn,
+                cnn_kernel=self.cnn_kernel,
+                normalize_before=self.normalize_before,
+                positionwise_layer_type=self.positionwise_layer_type,
+                activation_type=self.activation_type,
+                axis_name=self.axis_name,
+                name=f"block_{i}",
+            )(h, att_mask=att_mask, pad_mask=pad_mask, pos_emb=pos_emb,
+              extra_score=extra, train=train)
+            if i in aux_layers or i == self.num_blocks - 1:
+                aux_outputs.append(h)
+
+        if self.combiner_type == "mfa":
+            out = jnp.concatenate(aux_outputs, axis=-1)
+        elif self.combiner_type in ("random_layer", "random_frame"):
+            out = RandomCombine(num_inputs=len(aux_outputs), name="combiner")(
+                aux_outputs, train=train
+            )
+        else:  # norm
+            out = h
+        if self.normalize_before and self.combiner_type != "mfa":
+            out = nn.LayerNorm(name="after_norm")(out)
+        return out, mask
+
+
+class TransformerEncoder(ConformerEncoder):
+    """Plain transformer encoder (encoder.py:423-534): no macaron, no conv,
+    abs positions, relu FFN."""
+
+    pos_enc_type: str = "abs_pos"
+    macaron: bool = False
+    use_cnn: bool = False
+    activation_type: str = "relu"

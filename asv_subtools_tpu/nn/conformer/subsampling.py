@@ -1,0 +1,114 @@
+"""Input subsampling layers (parity:
+pytorch/libs/nnet/transformer/subsampling.py:39-530).
+
+linear (no subsampling), conv2d2 (SVConv2dSubsampling2), conv2d (4x),
+conv2d6, conv2d8. NHWC layout: [B, T, F] -> conv over (T, F) -> flatten
+freq into channels -> Dense to attention_dim. Masks are strided to the
+subsampled rate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _subsample_mask(mask: Optional[jax.Array], t_out: int, factor: int, offset: int = 0):
+    if mask is None:
+        return None
+    sub = mask[:, offset::factor]
+    return sub[:, :t_out]
+
+
+class LinearNoSubsampling(nn.Module):
+    """Dense + LayerNorm, 1x rate (subsampling.py LinearNoSubsampling)."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        x = nn.Dense(self.odim, name="proj")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        if self.dropout_rate > 0 and not deterministic:
+            x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
+        return x, mask
+
+
+class Conv2dSubsampling2(nn.Module):
+    """1/2 rate: one stride-2 conv over time (SVConv2dSubsampling2)."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        b, t, f = x.shape
+        h = x[..., None]
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv1")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(1, 1), padding="VALID", name="conv2")(h))
+        b2, t2, f2, c = h.shape
+        h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))
+        # time index map: t' = conv(3,s2) then conv(3,s1): t2 = ((t-1)//2 -2)
+        return h, _subsample_mask(mask, t2, 2, offset=2)
+
+
+class Conv2dSubsampling4(nn.Module):
+    """1/4 rate: two stride-2 convs (wenet Conv2dSubsampling4)."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h = x[..., None]
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv1")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv2")(h))
+        b2, t2, f2, c = h.shape
+        h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))
+        return h, _subsample_mask(mask, t2, 4, offset=6)
+
+
+class Conv2dSubsampling6(nn.Module):
+    """1/6 rate: stride-2 then stride-3 (Conv2dSubsampling6)."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h = x[..., None]
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv1")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (5, 5), strides=(3, 3), padding="VALID", name="conv2")(h))
+        b2, t2, f2, c = h.shape
+        h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))
+        return h, _subsample_mask(mask, t2, 6, offset=10)
+
+
+class Conv2dSubsampling8(nn.Module):
+    """1/8 rate: three stride-2 convs (Conv2dSubsampling8)."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        h = x[..., None]
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv1")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv2")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv3")(h))
+        b2, t2, f2, c = h.shape
+        h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))
+        return h, _subsample_mask(mask, t2, 8, offset=14)
+
+
+SUBSAMPLINGS = {
+    "linear": LinearNoSubsampling,
+    "conv2d2": Conv2dSubsampling2,
+    "conv2d": Conv2dSubsampling4,
+    "conv2d6": Conv2dSubsampling6,
+    "conv2d8": Conv2dSubsampling8,
+}

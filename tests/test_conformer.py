@@ -1,0 +1,169 @@
+"""Conformer encoder + model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.nn.conformer import (
+    GAU,
+    ConformerEncoder,
+    MultiHeadedAttention,
+    RelPositionMultiHeadedAttention,
+    RoPESelfAttention,
+    T5RelPositionBias,
+    TransformerEncoder,
+    make_pad_mask,
+    subsequent_chunk_mask,
+)
+from asv_subtools_tpu.models import ConformerXvector, MODELS
+
+KEY = jax.random.PRNGKey(0)
+RNGS = {"params": KEY, "dropout": jax.random.PRNGKey(1)}
+
+
+class TestAttention:
+    @pytest.mark.parametrize(
+        "cls,kw",
+        [
+            (MultiHeadedAttention, {}),
+            (RelPositionMultiHeadedAttention, {}),
+            (RoPESelfAttention, {}),
+            (GAU, {"expansion_units": 64, "key_dim": 32}),
+        ],
+    )
+    def test_shapes_and_mask(self, cls, kw):
+        x = jax.random.normal(KEY, (2, 12, 32))
+        mask = jnp.arange(12)[None, :] < jnp.array([12, 7])[:, None]
+        att_mask = mask[:, None, None, :] & mask[:, None, :, None]
+        mod = cls(**kw)
+        v = mod.init(RNGS, x, mask=att_mask)
+        y = mod.apply(v, x, mask=att_mask)
+        assert y.shape == x.shape
+        # padded-region inputs must not change valid outputs
+        x2 = jnp.where(mask[..., None], x, 500.0)
+        y2 = mod.apply(v, x2, mask=att_mask)
+        np.testing.assert_allclose(
+            np.asarray(y * mask[..., None]),
+            np.asarray(y2 * mask[..., None]),
+            atol=2e-4,
+        )
+
+    def test_rel_shift_alignment(self):
+        """_rel_shift must map position-diff indices correctly: the score
+        for (q=i, k=j) must come from rel index (i-j)."""
+        b, h, t = 1, 1, 5
+        # bd[q, p] = p  (identify the rel-emb index picked)
+        bd = jnp.broadcast_to(
+            jnp.arange(2 * t - 1, dtype=jnp.float32)[None, None, None, :],
+            (b, h, t, 2 * t - 1),
+        )
+        out = RelPositionMultiHeadedAttention._rel_shift(bd)
+        # rel emb ordered [t-1 ... -(t-1)]; index of diff d = (t-1) - d... for
+        # (q,k): d = q - k -> index = t-1 - (q-k)
+        for q in range(t):
+            for k in range(t):
+                assert out[0, 0, q, k] == (t - 1) - (q - k)
+
+    def test_t5_bias(self):
+        mod = T5RelPositionBias(num_buckets=8, max_distance=16)
+        v = mod.init({"params": KEY}, 10)
+        bias = mod.apply(v, 10)
+        assert bias.shape == (1, 1, 10, 10)
+
+
+class TestMasks:
+    def test_pad_mask(self):
+        m = make_pad_mask(jnp.array([3, 5]), 5)
+        np.testing.assert_array_equal(
+            np.asarray(m), [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]]
+        )
+
+    def test_chunk_mask(self):
+        m = np.asarray(subsequent_chunk_mask(6, 2, num_left_chunks=1))
+        assert m[0, 0] and m[1, 0]
+        assert not m[0, 2]  # future chunk
+        assert m[4, 2] and not m[4, 0]  # beyond left chunk limit
+
+
+class TestEncoders:
+    @pytest.mark.parametrize("input_layer,factor", [("linear", 1), ("conv2d2", 2), ("conv2d", 4), ("conv2d8", 8)])
+    def test_subsampling_rates(self, input_layer, factor):
+        x = jax.random.normal(KEY, (2, 64, 40))
+        enc = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+            input_layer=input_layer,
+        )
+        mask = jnp.ones((2, 64), bool)
+        v = enc.init(RNGS, x, mask=mask, train=False)
+        y, m = enc.apply(v, x, mask=mask, train=False)
+        assert y.shape[0] == 2 and y.shape[2] == 32
+        assert abs(y.shape[1] - 64 // factor) <= 3
+        if m is not None:
+            assert m.shape == y.shape[:2]
+
+    @pytest.mark.parametrize("pos", ["abs_pos", "rel_pos", "rot_pos", "no_pos"])
+    def test_positional_variants(self, pos):
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+            input_layer="linear", pos_enc_type=pos,
+        )
+        v = enc.init(RNGS, x, train=False)
+        y, _ = enc.apply(v, x, train=False)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_gau_encoder(self):
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = ConformerEncoder(
+            attention_dim=32, num_blocks=2, input_layer="linear",
+            att_type="gau", gau_units=48, gau_key=16, pos_enc_type="rot_pos",
+            linear_units=64,
+        )
+        v = enc.init(RNGS, x, train=False)
+        y, _ = enc.apply(v, x, train=False)
+        assert y.shape == (2, 32, 32)
+
+    def test_mfa_combiner(self):
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = ConformerEncoder(
+            attention_dim=32, num_blocks=4, input_layer="linear",
+            combiner_type="mfa", linear_units=64, attention_heads=2,
+        )
+        v = enc.init(RNGS, x, train=False)
+        y, _ = enc.apply(v, x, train=False)
+        assert y.shape[-1] % 32 == 0 and y.shape[-1] > 32
+
+    def test_transformer_encoder(self):
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = TransformerEncoder(
+            attention_dim=32, num_blocks=2, input_layer="linear", linear_units=64,
+            attention_heads=2,
+        )
+        v = enc.init(RNGS, x, train=False)
+        y, _ = enc.apply(v, x, train=False)
+        assert y.shape == (2, 32, 32)
+
+
+class TestConformerXvector:
+    def test_forward_and_embed(self):
+        x = jax.random.normal(KEY, (2, 64, 40))
+        model = ConformerXvector(
+            embd_dim=32, attention_dim=32, attention_heads=2, linear_units=64,
+            num_blocks=2, out_dim=64,
+        )
+        mask = jnp.arange(64)[None, :] < jnp.array([64, 40])[:, None]
+        v = model.init(RNGS, x, mask=mask, train=False)
+        emb = model.apply(v, x, mask=mask, train=False)
+        assert emb.shape == (2, 32)
+        emb2 = model.apply(v, x, mask=mask, train=False, position="near_affine")
+        assert emb2.shape == (2, 32)
+        # train mode with dropout rng
+        emb3, _ = model.apply(
+            v, x, mask=mask, train=True, rngs={"dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        assert np.all(np.isfinite(np.asarray(emb3)))
+
+    def test_in_registry(self):
+        assert "conformer_xvector" in MODELS
