@@ -1,0 +1,34 @@
+"""Data pipeline: wav/shard sources, augmentation, chunking, bucketed batching."""
+
+from . import processor
+from .augment import (
+    AddBabble,
+    AddNoise,
+    AddReverb,
+    DoClip,
+    DropChunk,
+    DropFreq,
+    NoiseManifest,
+    SpeechAug,
+    SpeedPerturb,
+    spec_augment,
+)
+from .dataset import (
+    DistributedShardList,
+    Prefetcher,
+    WavEgs,
+    WavEgsXvector,
+    build_spk2int,
+)
+from .signal import (
+    compute_amplitude,
+    convolve1d,
+    de_silence,
+    normalize_amplitude,
+    notch_filter,
+    overlap_and_add,
+    rescale_amplitude,
+    resample,
+    reverberate,
+    speed_perturb,
+)

@@ -1,0 +1,274 @@
+"""On-the-fly waveform augmentation (parity: pytorch/libs/egs/speech_augment.py).
+
+AddNoise (:171) / AddBabble (:533) / AddReverb (:417) from CSV manifests,
+DropFreq (:775), DropChunk (:872), DoClip (:1076), SpeedPerturb (:1168),
+and the chain/random composition SpeechAug (:1863). Host-side numpy in the
+input pipeline workers, stateless given an np.random.Generator.
+
+Manifest CSV format (prepare_speechaug_csv.py): ID, duration, wav, wav_format.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.wav import read_wav
+from .signal import (
+    compute_amplitude,
+    de_silence,
+    notch_filter,
+    reverberate,
+    speed_perturb,
+)
+from scipy import signal as sps
+
+
+@dataclasses.dataclass
+class NoiseManifest:
+    """A list of (path, duration) noise/rir sources from a CSV manifest."""
+
+    items: List[Tuple[str, float]]
+
+    @staticmethod
+    def from_csv(path: str) -> "NoiseManifest":
+        items = []
+        with open(path) as f:
+            reader = csv.reader(f)
+            header = next(reader, None)
+            cols = {name: i for i, name in enumerate(header or [])}
+            wav_i = cols.get("wav", 2)
+            dur_i = cols.get("duration", 1)
+            for row in reader:
+                if not row:
+                    continue
+                items.append((row[wav_i], float(row[dur_i])))
+        return NoiseManifest(items)
+
+    def sample(self, rng: np.random.Generator, min_len: int = 0) -> np.ndarray:
+        path, _ = self.items[int(rng.integers(len(self.items)))]
+        wav, _sr = read_wav(path)
+        if wav.ndim > 1:
+            wav = wav[0]
+        if min_len and len(wav) < min_len:
+            reps = -(-min_len // len(wav))
+            wav = np.tile(wav, reps)
+        return wav
+
+
+class AddNoise:
+    """Mix a random noise at a random SNR (speech_augment.py:171-415)."""
+
+    def __init__(
+        self,
+        manifest: NoiseManifest,
+        snr_low: float = 0.0,
+        snr_high: float = 15.0,
+        pad_noise: bool = True,
+    ):
+        self.manifest = manifest
+        self.snr_low = snr_low
+        self.snr_high = snr_high
+        self.pad_noise = pad_noise
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        snr = rng.uniform(self.snr_low, self.snr_high)
+        noise = self.manifest.sample(rng, min_len=len(wav) if self.pad_noise else 0)
+        if len(noise) > len(wav):
+            start = int(rng.integers(len(noise) - len(wav) + 1))
+            noise = noise[start : start + len(wav)]
+        else:
+            noise = np.pad(noise, (0, len(wav) - len(noise)))
+        clean_amp = compute_amplitude(wav)
+        noise_amp = compute_amplitude(noise)
+        factor = clean_amp / (10 ** (snr / 20.0)) / max(noise_amp, 1e-14)
+        return wav + noise * factor
+
+
+class AddBabble:
+    """Sum several noise sources ("babble", speech_augment.py:533-774)."""
+
+    def __init__(
+        self,
+        manifest: NoiseManifest,
+        speaker_count_low: int = 3,
+        speaker_count_high: int = 7,
+        snr_low: float = 13.0,
+        snr_high: float = 20.0,
+    ):
+        self.manifest = manifest
+        self.low = speaker_count_low
+        self.high = speaker_count_high
+        self.snr_low = snr_low
+        self.snr_high = snr_high
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        k = int(rng.integers(self.low, self.high + 1))
+        babble = np.zeros(len(wav), np.float32)
+        for _ in range(k):
+            n = self.manifest.sample(rng, min_len=len(wav))
+            if len(n) > len(wav):
+                start = int(rng.integers(len(n) - len(wav) + 1))
+                n = n[start : start + len(wav)]
+            babble += n
+        snr = rng.uniform(self.snr_low, self.snr_high)
+        clean_amp = compute_amplitude(wav)
+        bab_amp = compute_amplitude(babble)
+        factor = clean_amp / (10 ** (snr / 20.0)) / max(bab_amp, 1e-14)
+        return wav + babble * factor
+
+
+class AddReverb:
+    """Convolve with a random RIR (speech_augment.py:417-531)."""
+
+    def __init__(self, manifest: NoiseManifest):
+        self.manifest = manifest
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        rir = self.manifest.sample(rng)
+        return reverberate(wav, rir).astype(np.float32)
+
+
+class DropFreq:
+    """Notch-filter random frequencies (speech_augment.py:775-870)."""
+
+    def __init__(
+        self,
+        drop_count_low: int = 1,
+        drop_count_high: int = 2,
+        drop_freq_low: float = 1e-14,
+        drop_freq_high: float = 1.0,
+        drop_width: float = 0.05,
+    ):
+        self.count_low = drop_count_low
+        self.count_high = drop_count_high
+        self.freq_low = drop_freq_low
+        self.freq_high = drop_freq_high
+        self.width = drop_width
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        k = int(rng.integers(self.count_low, self.count_high + 1))
+        out = wav
+        for _ in range(k):
+            f = rng.uniform(self.freq_low, self.freq_high)
+            kernel = notch_filter(f, 101, self.width)
+            out = sps.fftconvolve(out, kernel, mode="same")
+        return out.astype(np.float32)
+
+
+class DropChunk:
+    """Zero random time chunks (speech_augment.py:872-1074)."""
+
+    def __init__(
+        self,
+        drop_count_low: int = 1,
+        drop_count_high: int = 3,
+        drop_length_low: int = 1000,
+        drop_length_high: int = 2000,
+    ):
+        self.count_low = drop_count_low
+        self.count_high = drop_count_high
+        self.len_low = drop_length_low
+        self.len_high = drop_length_high
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        out = wav.copy()
+        k = int(rng.integers(self.count_low, self.count_high + 1))
+        for _ in range(k):
+            ln = int(rng.integers(self.len_low, self.len_high + 1))
+            if ln >= len(out):
+                continue
+            start = int(rng.integers(len(out) - ln))
+            out[start : start + ln] = 0.0
+        return out
+
+
+class DoClip:
+    """Amplitude clipping (speech_augment.py:1076-1166)."""
+
+    def __init__(self, clip_low: float = 0.5, clip_high: float = 1.0):
+        self.low = clip_low
+        self.high = clip_high
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        frac = rng.uniform(self.low, self.high)
+        peak = np.max(np.abs(wav)) or 1.0
+        limit = peak * frac
+        return np.clip(wav, -limit, limit)
+
+
+class SpeedPerturb:
+    """Random speed change from a discrete set; can expand speaker labels
+    (the 3-way sp-aug trick, processor.py:177-218)."""
+
+    def __init__(self, speeds: Sequence[float] = (0.9, 1.0, 1.1), sample_rate: int = 16000):
+        self.speeds = list(speeds)
+        self.sample_rate = sample_rate
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> Tuple[np.ndarray, int]:
+        idx = int(rng.integers(len(self.speeds)))
+        return speed_perturb(wav, self.speeds[idx], self.sample_rate), idx
+
+
+class SpeechAug:
+    """Composable augmentation policy (speech_augment.py:1863-2018).
+
+    mode "chain": apply every stage; "random": pick one (with optional
+    probability of clean pass-through).
+    """
+
+    def __init__(self, stages: Sequence, mode: str = "random", clean_prob: float = 0.0):
+        self.stages = list(stages)
+        self.mode = mode
+        self.clean_prob = clean_prob
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        if not self.stages or (
+            self.clean_prob > 0 and rng.uniform() < self.clean_prob
+        ):
+            return wav
+        if self.mode == "chain":
+            out = wav
+            for s in self.stages:
+                out = s(out, rng)
+                if isinstance(out, tuple):
+                    out = out[0]
+            return out
+        stage = self.stages[int(rng.integers(len(self.stages)))]
+        out = stage(wav, rng)
+        return out[0] if isinstance(out, tuple) else out
+
+
+# -- feature-level SpecAugment (host-side twin of nn.SpecAugmentDropout) ----
+
+
+def spec_augment(
+    feats: np.ndarray,
+    rng: np.random.Generator,
+    num_t_mask: int = 1,
+    num_f_mask: int = 1,
+    max_t: int = 50,
+    max_f: int = 10,
+) -> np.ndarray:
+    """Zero random time/freq bands on a [T, D] feature matrix.
+
+    Parity: pytorch/libs/egs/augmentation.py:21-113 (and processor.py:469).
+    """
+    out = feats.copy()
+    t, d = out.shape
+    for _ in range(num_t_mask):
+        width = int(rng.integers(1, max_t + 1))
+        if width < t:
+            start = int(rng.integers(t - width))
+            out[start : start + width, :] = 0.0
+    for _ in range(num_f_mask):
+        width = int(rng.integers(1, max_f + 1))
+        if width < d:
+            start = int(rng.integers(d - width))
+            out[:, start : start + width] = 0.0
+    return out

@@ -1,0 +1,276 @@
+"""Data pipeline + Kaldi I/O tests using synthetic wavs written to tmp."""
+
+import os
+import tarfile
+
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.data import (
+    AddNoise,
+    DropChunk,
+    DropFreq,
+    NoiseManifest,
+    Prefetcher,
+    SpeechAug,
+    SpeedPerturb,
+    WavEgs,
+    WavEgsXvector,
+    build_spk2int,
+    de_silence,
+    reverberate,
+    spec_augment,
+)
+from asv_subtools_tpu.data import processor as P
+from asv_subtools_tpu.io import (
+    ArkScpWriter,
+    read_mat,
+    read_mat_ark,
+    read_mat_scp,
+    read_vec_flt_ark,
+    read_wav,
+    write_mat,
+    write_vec_flt,
+    write_wav,
+)
+
+SR = 16000
+
+
+@pytest.fixture
+def wav_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    utts = []
+    for spk in range(3):
+        for i in range(4):
+            key = f"spk{spk}-utt{i}"
+            dur = rng.uniform(1.0, 3.0)
+            wav = rng.normal(size=int(SR * dur)).astype(np.float32) * 1000
+            path = tmp_path / f"{key}.wav"
+            write_wav(str(path), wav, SR)
+            utts.append((key, str(path), f"spk{spk}"))
+    wav_scp = tmp_path / "wav.scp"
+    utt2spk = tmp_path / "utt2spk"
+    with open(wav_scp, "w") as f:
+        for k, p, _ in utts:
+            f.write(f"{k} {p}\n")
+    with open(utt2spk, "w") as f:
+        for k, _, s in utts:
+            f.write(f"{k} {s}\n")
+    return tmp_path
+
+
+class TestWavIO:
+    def test_roundtrip(self, tmp_path):
+        wav = (np.sin(np.arange(16000) * 0.01) * 10000).astype(np.float32)
+        p = str(tmp_path / "a.wav")
+        write_wav(p, wav, SR)
+        back, sr = read_wav(p)
+        assert sr == SR
+        np.testing.assert_allclose(back, np.round(wav), atol=1.0)
+
+
+class TestKaldiIO:
+    def test_mat_ark_scp_roundtrip(self, tmp_path):
+        mats = {f"utt{i}": np.random.default_rng(i).normal(size=(20 + i, 8)).astype(np.float32) for i in range(3)}
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        with ArkScpWriter(ark, scp) as w:
+            for k, m in mats.items():
+                w.write(k, m)
+        back = dict(read_mat_ark(ark))
+        assert set(back) == set(mats)
+        for k in mats:
+            np.testing.assert_array_equal(back[k], mats[k])
+        back_scp = dict(read_mat_scp(scp))
+        for k in mats:
+            np.testing.assert_array_equal(back_scp[k], mats[k])
+
+    def test_mat_range_read(self, tmp_path):
+        m = np.arange(200, dtype=np.float32).reshape(20, 10)
+        ark = str(tmp_path / "m.ark")
+        scp = str(tmp_path / "m.scp")
+        with ArkScpWriter(ark, scp) as w:
+            w.write("u", m)
+        rx = open(scp).read().split()[1]
+        sliced = read_mat(rx, row_range=(5, 9))
+        np.testing.assert_array_equal(sliced, m[5:9])
+
+    def test_vec_roundtrip(self, tmp_path):
+        ark = str(tmp_path / "v.ark")
+        v1 = np.random.default_rng(0).normal(size=192).astype(np.float32)
+        write_vec_flt(ark, v1, "e1")
+        write_vec_flt(ark, v1 * 2, "e2")
+        back = dict(read_vec_flt_ark(ark))
+        np.testing.assert_array_equal(back["e1"], v1)
+        np.testing.assert_array_equal(back["e2"], v1 * 2)
+
+
+class TestSignal:
+    def test_de_silence_removes_quiet(self):
+        loud = np.ones(SR, np.float32) * 1000
+        quiet = np.ones(SR, np.float32) * 1.0
+        wav = np.concatenate([loud, quiet, loud])
+        out = de_silence(wav, SR, min_eng=50)
+        assert len(out) < len(wav)
+        assert len(out) >= 2 * SR
+
+    def test_reverberate_preserves_amplitude(self):
+        rng = np.random.default_rng(1)
+        wav = rng.normal(size=SR).astype(np.float32) * 1000
+        rir = np.zeros(4000, np.float32)
+        rir[100] = 1.0
+        rir[2000] = 0.5
+        out = reverberate(wav, rir)
+        assert out.shape == wav.shape
+        amp_ratio = np.abs(out).mean() / np.abs(wav).mean()
+        assert 0.9 < amp_ratio < 1.1
+
+
+class TestAugment:
+    def _manifest(self, tmp_path):
+        rng = np.random.default_rng(2)
+        rows = ["ID,duration,wav,wav_format"]
+        for i in range(3):
+            p = tmp_path / f"noise{i}.wav"
+            write_wav(str(p), rng.normal(size=SR).astype(np.float32) * 500, SR)
+            rows.append(f"n{i},1.0,{p},wav")
+        csv_path = tmp_path / "noise.csv"
+        csv_path.write_text("\n".join(rows))
+        return NoiseManifest.from_csv(str(csv_path))
+
+    def test_add_noise_snr(self, tmp_path):
+        man = self._manifest(tmp_path)
+        rng = np.random.default_rng(3)
+        wav = rng.normal(size=2 * SR).astype(np.float32) * 1000
+        noisy = AddNoise(man, snr_low=10, snr_high=10)(wav, rng)
+        assert noisy.shape == wav.shape
+        noise = noisy - wav
+        snr = 20 * np.log10(np.abs(wav).mean() / np.abs(noise).mean())
+        assert 8 < snr < 12
+
+    def test_speech_aug_random(self, tmp_path):
+        man = self._manifest(tmp_path)
+        aug = SpeechAug(
+            [AddNoise(man), DropFreq(), DropChunk(), SpeedPerturb()],
+            mode="random",
+        )
+        rng = np.random.default_rng(4)
+        wav = rng.normal(size=SR).astype(np.float32) * 1000
+        out = aug(wav, rng)
+        assert np.all(np.isfinite(out))
+
+    def test_spec_augment_zeroes(self):
+        rng = np.random.default_rng(5)
+        f = np.ones((100, 40), np.float32)
+        out = spec_augment(f, rng, max_t=20, max_f=8)
+        assert (out == 0).any()
+        assert f.sum() > out.sum()
+
+
+class TestPipeline:
+    def test_wav_egs_batches(self, wav_dir):
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        assert len(spk2int) == 3
+        egs = WavEgs(
+            str(wav_dir / "wav.scp"),
+            str(wav_dir / "utt2spk"),
+            spk2int,
+            chunk_seconds=1.0,
+            batch_size=4,
+            shuffle_buffer=10,
+        )
+        batches = list(egs)
+        assert len(batches) == 3  # 12 utts / 4
+        b = batches[0]
+        assert b["x"].shape == (4, SR)
+        assert b["y"].shape == (4,)
+        assert b["mask"].all()  # fixed chunks: no padding
+        assert set(b["y"].tolist()) <= {0, 1, 2}
+
+    def test_epoch_reshuffle_changes_order(self, wav_dir):
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        egs = WavEgs(
+            str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"), spk2int,
+            chunk_seconds=0.5, batch_size=12, shuffle_buffer=1,
+        )
+        egs.set_epoch(0)
+        keys0 = list(egs)[0]["keys"]
+        egs.set_epoch(1)
+        keys1 = list(egs)[0]["keys"]
+        assert keys0 != keys1
+        assert sorted(keys0) == sorted(keys1)
+
+    def test_rank_sharding_partitions(self, wav_dir):
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        seen = []
+        for rank in range(2):
+            egs = WavEgs(
+                str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"), spk2int,
+                chunk_seconds=0.5, batch_size=12, shuffle_buffer=1,
+                rank=rank, world_size=2,
+            )
+            for b in egs:
+                seen += b["keys"]
+        assert len(seen) == 12 and len(set(seen)) == 12
+
+    def test_extraction_pipeline(self, wav_dir):
+        egs = WavEgsXvector(str(wav_dir / "wav.scp"))
+        items = list(egs)
+        assert len(items) == 12
+        key, feat = items[0]
+        from asv_subtools_tpu.features import FbankOptions
+
+        assert feat.ndim == 2
+        assert feat.shape[1] == FbankOptions().mel_opts.num_bins
+
+    def test_bucketed_padding(self):
+        samples = [
+            {"key": f"u{i}", "feat": np.ones((l, 8), np.float32), "label": 0}
+            for i, l in enumerate([50, 90, 130])
+        ]
+        batches = list(
+            P.pad_batch(bucket_lengths=[64, 128, 256])(iter([samples]))
+        )
+        assert batches[0]["x"].shape == (3, 256, 8)
+        assert batches[0]["mask"].sum() == 50 + 90 + 130
+
+    def test_dynamic_batch_respects_budget(self):
+        samples = [
+            {"key": f"u{i}", "feat": np.ones((l, 4), np.float32), "label": 0}
+            for i, l in enumerate([100, 100, 200, 400, 100])
+        ]
+        batches = list(P.dynamic_batch(max_frames_in_batch=400)(iter(samples)))
+        for b in batches:
+            longest = max(len(s["feat"]) for s in b)
+            assert longest * len(b) <= 400
+
+    def test_prefetcher_equivalent(self):
+        data = list(range(100))
+        assert list(Prefetcher(data, max_prefetch=8)) == data
+
+    def test_prefetcher_propagates_errors(self):
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            list(Prefetcher(gen()))
+
+    def test_tar_shard_source(self, tmp_path):
+        import io as _io
+
+        from asv_subtools_tpu.io import write_wav as _ww
+
+        wavp = tmp_path / "x.wav"
+        _ww(str(wavp), np.ones(SR, np.float32) * 100, SR)
+        shard = tmp_path / "shard0.tar"
+        with tarfile.open(shard, "w") as tf:
+            tf.add(str(wavp), arcname="utt1.wav")
+            lbl = tmp_path / "utt1.spk"
+            lbl.write_text("spk7")
+            tf.add(str(lbl), arcname="utt1.spk")
+        samples = list(P.Pipeline(P.tar_shard_source([str(shard)]), [P.parse_raw]))
+        assert len(samples) == 1
+        assert samples[0]["label"] == "spk7"
+        assert len(samples[0]["wav"]) == SR
