@@ -121,6 +121,27 @@ class MfccOptions:
 
 
 @dataclasses.dataclass(frozen=True)
+class PlpOptions:
+    """PLP options (kaldifeat PlpOptions parity, feature-plp.h:29-80)."""
+
+    frame_opts: FrameOptions = FrameOptions()
+    mel_opts: MelOptions = MelOptions()
+    lpc_order: int = 12
+    num_ceps: int = 13
+    use_energy: bool = True
+    energy_floor: float = 0.0
+    raw_energy: bool = True
+    compress_factor: float = 0.33333
+    cepstral_lifter: float = 22.0
+    cepstral_scale: float = 1.0
+    htk_compat: bool = False
+
+    @property
+    def dim(self) -> int:
+        return self.num_ceps
+
+
+@dataclasses.dataclass(frozen=True)
 class SpectrogramOptions:
     frame_opts: FrameOptions = FrameOptions()
     energy_floor: float = 0.0

@@ -35,6 +35,7 @@ from .config import (
     FrameOptions,
     MelOptions,
     MfccOptions,
+    PlpOptions,
     SpectrogramOptions,
     VadOptions,
     inverse_mel_scale,
@@ -381,6 +382,157 @@ def compute_spectrogram(
     if opts.energy_floor > 0.0:
         raw_log_energy = jnp.maximum(raw_log_energy, math.log(opts.energy_floor))
     return spectrum.at[..., 0].set(raw_log_energy)
+
+
+@functools.lru_cache(maxsize=None)
+def mel_center_freqs(
+    mel_opts: MelOptions, frame_opts: FrameOptions, vtln_warp: float = 1.0
+) -> np.ndarray:
+    """Center frequency (Hz) of each mel bin (for equal-loudness weights)."""
+    num_bins = mel_opts.num_bins
+    nyquist = 0.5 * frame_opts.samp_freq
+    low_freq = mel_opts.low_freq
+    high_freq = mel_opts.high_freq if mel_opts.high_freq > 0 else nyquist + mel_opts.high_freq
+    mel_low = mel_scale(low_freq)
+    mel_high = mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    vtln_low = mel_opts.vtln_low
+    vtln_high = mel_opts.vtln_high
+    if vtln_high < 0:
+        vtln_high += nyquist
+    centers = []
+    for b in range(num_bins):
+        center = mel_low + (b + 1) * mel_delta
+        if vtln_warp != 1.0:
+            center = _vtln_warp_mel(
+                vtln_low, vtln_high, low_freq, high_freq, vtln_warp, center
+            )
+        centers.append(inverse_mel_scale(center))
+    return np.asarray(centers, np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def equal_loudness_coeffs(
+    mel_opts: MelOptions, frame_opts: FrameOptions, vtln_warp: float = 1.0
+) -> np.ndarray:
+    """Equal-loudness weighting per mel bin.
+
+    Parity: GetEqualLoudnessVector (reference
+    runtime/kaldifeat/csrc/mel-computations.cc:214-227).
+    """
+    f0 = mel_center_freqs(mel_opts, frame_opts, vtln_warp).astype(np.float64)
+    fsq = f0 * f0
+    fsub = fsq / (fsq + 1.6e5)
+    return (fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def idft_bases(n_bases: int, dimension: int) -> np.ndarray:
+    """IDFT basis matrix [dimension, n_bases] (ready for `mel @ idft`).
+
+    Parity: InitIdftBases (reference
+    runtime/kaldifeat/csrc/feature-functions.cc:13-30).
+    """
+    angle = math.pi / (dimension - 1)
+    scale = 1.0 / (2 * (dimension - 1))
+    out = np.zeros((n_bases, dimension), np.float64)
+    for i in range(n_bases):
+        out[i, 0] = scale
+        for j in range(1, dimension):
+            out[i, j] = 2 * scale * math.cos(angle * i * j)
+        out[i, dimension - 1] = scale * math.cos(angle * i * (dimension - 1))
+    return out.T.astype(np.float32)
+
+
+def _durbin(autocorr: jax.Array, order: int) -> tuple[jax.Array, jax.Array]:
+    """Levinson-Durbin, vectorized over leading dims.
+
+    autocorr [..., order+1] -> (lpc [..., order], residual energy E [...]).
+    Parity: Durbin (reference mel-computations.cc:235-277). The recursion
+    over `order` (static, ~12) unrolls; each step is a vectorized update.
+    """
+    e = autocorr[..., 0]
+    lp = [jnp.zeros_like(e) for _ in range(order)]
+    for i in range(order):
+        ki = autocorr[..., i + 1]
+        for j in range(i):
+            ki = ki + lp[j] * autocorr[..., i - j]
+        ki = ki / e
+        c = jnp.maximum(1.0 - ki * ki, 1.0e-5)
+        e = e * c
+        new_lp = [lp[j] - ki * lp[i - j - 1] for j in range(i)]
+        new_lp.append(-ki)
+        for j in range(i + 1):
+            lp[j] = new_lp[j]
+    return jnp.stack(lp, axis=-1), e
+
+
+def _lpc_to_cepstrum(lpc: jax.Array) -> jax.Array:
+    """LPC -> cepstrum (parity: Lpc2CepstrumInternal mel-computations.cc:313)."""
+    order = lpc.shape[-1]
+    ceps = []
+    for i in range(order):
+        s = jnp.zeros_like(lpc[..., 0])
+        for j in range(i):
+            s = s + (i - j) * lpc[..., j] * ceps[i - j - 1]
+        ceps.append(-lpc[..., i] - s / (i + 1))
+    return jnp.stack(ceps, axis=-1)
+
+
+def compute_plp(
+    wave: jax.Array,
+    opts: PlpOptions = PlpOptions(),
+    *,
+    rng: Optional[jax.Array] = None,
+    fft_mode: str = "rfft",
+    vtln_warp: float = 1.0,
+) -> jax.Array:
+    """PLP features. wave [num_samples] -> [num_frames, num_ceps].
+
+    Parity: reference runtime/kaldifeat/csrc/feature-plp.cc:80-175:
+    mel energies -> equal loudness -> power compression -> IDFT to
+    autocorrelation -> Durbin LPC -> cepstrum -> lifter/scale.
+    """
+    fo = opts.frame_opts
+    frames = frame_signal(wave, fo)
+    need_raw = opts.use_energy and opts.raw_energy
+    padded, raw_log_energy = _process_window(frames, fo, rng=rng, need_raw_energy=need_raw)
+    if opts.use_energy and not opts.raw_energy:
+        raw_log_energy = jnp.log(jnp.maximum(jnp.sum(padded * padded, axis=-1), EPSILON))
+
+    keep = fo.padded_window_size // 2
+    spectrum = power_spectrum(padded, fo, keep_bins=keep, fft_mode=fft_mode)
+    mel = jnp.matmul(
+        spectrum,
+        jnp.asarray(mel_banks(opts.mel_opts, fo, vtln_warp)),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    mel = mel * jnp.asarray(equal_loudness_coeffs(opts.mel_opts, fo, vtln_warp))
+    mel = jnp.maximum(mel, EPSILON) ** opts.compress_factor
+    dup = jnp.concatenate([mel[..., :1], mel, mel[..., -1:]], axis=-1)
+    autocorr = jnp.matmul(
+        dup,
+        jnp.asarray(idft_bases(opts.lpc_order + 1, opts.mel_opts.num_bins + 2)),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    lpc, resid = _durbin(autocorr, opts.lpc_order)
+    c0 = jnp.log(jnp.maximum(resid, EPSILON))
+    ceps = _lpc_to_cepstrum(lpc)
+    feats = jnp.concatenate([c0[..., None], ceps[..., : opts.num_ceps - 1]], axis=-1)
+    if opts.cepstral_lifter != 0.0:
+        feats = feats * jnp.asarray(lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
+    if opts.cepstral_scale != 1.0:
+        feats = feats * opts.cepstral_scale
+    if opts.use_energy:
+        if opts.energy_floor > 0.0:
+            raw_log_energy = jnp.maximum(raw_log_energy, math.log(opts.energy_floor))
+        feats = feats.at[..., 0].set(raw_log_energy)
+    if opts.htk_compat:
+        energy = feats[..., :1]
+        feats = jnp.concatenate([feats[..., 1:], energy], axis=-1)
+    return feats
 
 
 # ---------------------------------------------------------------------------

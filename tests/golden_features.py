@@ -170,3 +170,78 @@ def golden_vad(log_energy, threshold=5.5, mean_scale=0.5, context=0, proportion=
                     num += 1
         out[t] = 1.0 if num >= den * proportion else 0.0
     return out
+
+
+def golden_plp(wave, num_bins=23, lpc_order=12, num_ceps=13, compress=0.33333,
+               cepstral_lifter=22.0, cepstral_scale=1.0, use_energy=True,
+               samp_freq=16000, low_freq=20.0, high_freq=0.0):
+    """Loop-based PLP transcription of kaldifeat feature-plp.cc:80-175."""
+    linmel = golden_fbank(wave, num_bins=num_bins, samp_freq=samp_freq,
+                          low_freq=low_freq, high_freq=high_freq,
+                          use_energy=False, use_log_fbank=False, use_power=True)
+    # equal loudness from mel center freqs
+    nyq = samp_freq / 2
+    hi = high_freq if high_freq > 0 else nyq + high_freq
+    mel = lambda f: 1127.0 * math.log(1 + f / 700.0)
+    imel = lambda m: 700.0 * (math.exp(m / 1127.0) - 1.0)
+    mlo, mhi = mel(low_freq), mel(hi)
+    mdelta = (mhi - mlo) / (num_bins + 1)
+    eql = np.zeros(num_bins)
+    for b in range(num_bins):
+        f0 = imel(mlo + (b + 1) * mdelta)
+        fsq = f0 * f0
+        fsub = fsq / (fsq + 1.6e5)
+        eql[b] = fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6))
+    # idft bases [lpc_order+1, num_bins+2]
+    dim = num_bins + 2
+    angle = math.pi / (dim - 1)
+    scale = 1.0 / (2 * (dim - 1))
+    idft = np.zeros((lpc_order + 1, dim))
+    for i in range(lpc_order + 1):
+        idft[i, 0] = scale
+        for j in range(1, dim - 1):
+            idft[i, j] = 2 * scale * math.cos(angle * i * j)
+        idft[i, dim - 1] = scale * math.cos(angle * i * (dim - 1))
+    lift = np.array(
+        [1.0 + 0.5 * cepstral_lifter * math.sin(math.pi * i / cepstral_lifter)
+         for i in range(num_ceps)]
+    )
+    frames = golden_frames(wave, samp_freq=samp_freq)
+    out = []
+    for t in range(linmel.shape[0]):
+        me = np.maximum(linmel[t], EPS) ** 0  # placeholder keeps flow clear
+        me = linmel[t] * eql
+        me = np.maximum(me, EPS) ** compress
+        dup = np.concatenate([[me[0]], me, [me[-1]]])
+        ac = idft @ dup
+        # Durbin
+        lp = np.zeros(lpc_order)
+        e = ac[0]
+        for i in range(lpc_order):
+            ki = ac[i + 1]
+            for j in range(i):
+                ki += lp[j] * ac[i - j]
+            ki /= e
+            c = max(1 - ki * ki, 1e-5)
+            e *= c
+            tmp = np.zeros(lpc_order)
+            tmp[i] = -ki
+            for j in range(i):
+                tmp[j] = lp[j] - ki * lp[i - j - 1]
+            lp[: i + 1] = tmp[: i + 1]
+        c0 = math.log(max(e, EPS))
+        cep = np.zeros(lpc_order)
+        for i in range(lpc_order):
+            s = 0.0
+            for j in range(i):
+                s += (i - j) * lp[j] * cep[i - j - 1]
+            cep[i] = -lp[i] - s / (i + 1)
+        feat = np.concatenate([[c0], cep[: num_ceps - 1]])
+        feat = feat * lift * cepstral_scale
+        out.append(feat)
+    out = np.stack(out)
+    if use_energy:
+        for t, fr in enumerate(frames):
+            x = fr - fr.mean()
+            out[t, 0] = math.log(max(np.dot(x, x), EPS))
+    return out

@@ -169,3 +169,45 @@ def test_fbank_jit_compiles(rng):
     out = f(wave)
     assert out.shape == (98, 80)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plp_matches_golden(rng):
+    from asv_subtools_tpu.features import PlpOptions, compute_plp
+    from golden_features import golden_plp
+
+    wave = rng.normal(size=4000).astype(np.float32) * 1000
+    opts = PlpOptions()
+    ours = np.asarray(compute_plp(jnp.asarray(wave), opts))
+    gold = golden_plp(wave)
+    assert ours.shape == gold.shape
+    np.testing.assert_allclose(ours, gold, rtol=2e-3, atol=2e-3)
+
+
+def test_plp_durbin_solves_yule_walker(rng):
+    """Durbin output must satisfy the Yule-Walker normal equations."""
+    from asv_subtools_tpu.features.functional import _durbin
+    from scipy.linalg import toeplitz
+
+    # synthetic AR(4) autocorrelation
+    sig = rng.normal(size=8000)
+    for i in range(4, len(sig)):
+        sig[i] += 0.6 * sig[i - 1] - 0.3 * sig[i - 2] + 0.1 * sig[i - 3]
+    order = 6
+    ac = np.array([np.dot(sig[: len(sig) - k], sig[k:]) for k in range(order + 1)])
+    lpc, e = _durbin(jnp.asarray(ac, jnp.float32)[None, :], order)
+    lpc = np.asarray(lpc)[0]
+    # Yule-Walker: R @ a = r with prediction s[n] ~= sum a_k s[n-k];
+    # Kaldi's Durbin stores the NEGATED prediction coefficients.
+    a_ref = np.linalg.solve(toeplitz(ac[:order]), ac[1 : order + 1])
+    np.testing.assert_allclose(lpc, -a_ref, rtol=2e-2, atol=2e-2)
+    assert float(e[0]) > 0
+
+
+def test_plp_energy_column(rng):
+    from asv_subtools_tpu.features import PlpOptions, compute_plp
+
+    wave = rng.normal(size=4000).astype(np.float32) * 1000
+    with_e = np.asarray(compute_plp(jnp.asarray(wave), PlpOptions(use_energy=True)))
+    no_e = np.asarray(compute_plp(jnp.asarray(wave), PlpOptions(use_energy=False)))
+    assert not np.allclose(with_e[:, 0], no_e[:, 0])
+    np.testing.assert_allclose(with_e[:, 1:], no_e[:, 1:], rtol=1e-5)
