@@ -1,0 +1,300 @@
+#include "frontend/feature.h"
+
+#include <algorithm>
+#include <cassert>
+#include <stdexcept>
+
+namespace asvtpu {
+
+namespace {
+constexpr float kEps = 1.1920928955078125e-07f;  // float32 epsilon
+constexpr double kPi = 3.14159265358979323846;
+
+inline double MelScale(double freq) { return 1127.0 * std::log(1.0 + freq / 700.0); }
+}  // namespace
+
+int FrameOptions::PaddedWindowSize() const {
+  int n = WindowSize();
+  if (!round_to_power_of_two) return n;
+  int p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+int FrameOptions::NumFrames(int64_t num_samples) const {
+  int shift = WindowShift(), length = WindowSize();
+  if (snip_edges) {
+    if (num_samples < length) return 0;
+    return 1 + int((num_samples - length) / shift);
+  }
+  return int((num_samples + shift / 2) / shift);
+}
+
+// --------------------------------------------------------------------------
+// FFT: iterative radix-2, real input via complex transform.
+// --------------------------------------------------------------------------
+
+void Rfft(const std::vector<float>& in, std::vector<float>* power_out) {
+  const size_t n = in.size();
+  assert((n & (n - 1)) == 0 && "FFT size must be a power of two");
+  std::vector<std::complex<double>> a(n);
+  for (size_t i = 0; i < n; ++i) a[i] = in[i];
+  // bit reversal
+  for (size_t i = 1, j = 0; i < n; ++i) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    double ang = -2.0 * kPi / double(len);
+    std::complex<double> wlen(std::cos(ang), std::sin(ang));
+    for (size_t i = 0; i < n; i += len) {
+      std::complex<double> w(1.0);
+      for (size_t j = 0; j < len / 2; ++j) {
+        auto u = a[i + j];
+        auto v = a[i + j + len / 2] * w;
+        a[i + j] = u + v;
+        a[i + j + len / 2] = u - v;
+        w *= wlen;
+      }
+    }
+  }
+  power_out->resize(n / 2 + 1);
+  for (size_t k = 0; k <= n / 2; ++k) {
+    double re = a[k].real(), im = a[k].imag();
+    (*power_out)[k] = float(re * re + im * im);
+  }
+}
+
+// --------------------------------------------------------------------------
+// FeatureWindow
+// --------------------------------------------------------------------------
+
+FeatureWindow::FeatureWindow(const FrameOptions& opts) : opts_(opts) {
+  int n = opts.WindowSize();
+  window_.resize(n);
+  double a = 2.0 * kPi / (n - 1);
+  for (int i = 0; i < n; ++i) {
+    double w;
+    if (opts.window_type == "hanning") {
+      w = 0.5 - 0.5 * std::cos(a * i);
+    } else if (opts.window_type == "sine") {
+      w = std::sin(0.5 * a * i);
+    } else if (opts.window_type == "hamming") {
+      w = 0.54 - 0.46 * std::cos(a * i);
+    } else if (opts.window_type == "povey") {
+      w = std::pow(0.5 - 0.5 * std::cos(a * i), 0.85);
+    } else if (opts.window_type == "rectangular") {
+      w = 1.0;
+    } else if (opts.window_type == "blackman") {
+      w = opts.blackman_coeff - 0.5 * std::cos(a * i) +
+          (0.5 - opts.blackman_coeff) * std::cos(2 * a * i);
+    } else {
+      throw std::runtime_error("unknown window type " + opts.window_type);
+    }
+    window_[i] = float(w);
+  }
+}
+
+float FeatureWindow::Extract(const std::vector<float>& wave, int t,
+                             std::vector<float>* out, std::mt19937* rng) const {
+  int length = opts_.WindowSize(), shift = opts_.WindowShift();
+  int padded = opts_.PaddedWindowSize();
+  out->assign(padded, 0.0f);
+  int64_t start;
+  if (opts_.snip_edges) {
+    start = int64_t(t) * shift;
+    for (int i = 0; i < length; ++i) (*out)[i] = wave[start + i];
+  } else {
+    start = int64_t(shift) * t + shift / 2 - length / 2;
+    int64_t n = int64_t(wave.size());
+    for (int i = 0; i < length; ++i) {
+      int64_t s = start + i;
+      if (s < 0) s = -s - 1;                      // reflect
+      if (s >= n) s = 2 * n - 1 - s;              // reflect
+      (*out)[i] = wave[s];
+    }
+  }
+  if (opts_.dither != 0.0f && rng != nullptr) {
+    std::normal_distribution<float> d(0.0f, 1.0f);
+    for (int i = 0; i < length; ++i) (*out)[i] += opts_.dither * d(*rng);
+  }
+  if (opts_.remove_dc_offset) {
+    double mean = 0;
+    for (int i = 0; i < length; ++i) mean += (*out)[i];
+    mean /= length;
+    for (int i = 0; i < length; ++i) (*out)[i] -= float(mean);
+  }
+  double energy = 0;
+  for (int i = 0; i < length; ++i) energy += double((*out)[i]) * (*out)[i];
+  float raw_log_energy = std::log(std::max(float(energy), kEps));
+  if (opts_.preemph_coeff != 0.0f) {
+    for (int i = length - 1; i > 0; --i)
+      (*out)[i] -= opts_.preemph_coeff * (*out)[i - 1];
+    (*out)[0] *= (1.0f - opts_.preemph_coeff);
+  }
+  for (int i = 0; i < length; ++i) (*out)[i] *= window_[i];
+  return raw_log_energy;
+}
+
+// --------------------------------------------------------------------------
+// MelBanks
+// --------------------------------------------------------------------------
+
+MelBanks::MelBanks(const MelOptions& mel, const FrameOptions& frame) {
+  int padded = frame.PaddedWindowSize();
+  int num_fft_bins = padded / 2;
+  double nyquist = 0.5 * frame.samp_freq;
+  double high = mel.high_freq > 0 ? mel.high_freq : nyquist + mel.high_freq;
+  double mel_low = MelScale(mel.low_freq), mel_high = MelScale(high);
+  double mel_delta = (mel_high - mel_low) / (mel.num_bins + 1);
+  double fft_bin_width = frame.samp_freq / padded;
+  bins_.resize(mel.num_bins);
+  for (int b = 0; b < mel.num_bins; ++b) {
+    double left = mel_low + b * mel_delta;
+    double center = left + mel_delta;
+    double right = center + mel_delta;
+    int first = -1;
+    std::vector<float> w;
+    for (int i = 0; i < num_fft_bins; ++i) {
+      double m = MelScale(fft_bin_width * i);
+      if (m > left && m < right) {
+        double v = m <= center ? (m - left) / (center - left)
+                               : (right - m) / (right - center);
+        if (first < 0) first = i;
+        w.push_back(float(v));
+      } else if (first >= 0) {
+        break;
+      }
+    }
+    bins_[b] = {first < 0 ? 0 : first, std::move(w)};
+  }
+}
+
+void MelBanks::Compute(const std::vector<float>& power,
+                       std::vector<float>* mel) const {
+  mel->resize(bins_.size());
+  for (size_t b = 0; b < bins_.size(); ++b) {
+    double sum = 0;
+    int first = bins_[b].first;
+    const auto& w = bins_[b].second;
+    for (size_t i = 0; i < w.size(); ++i) sum += double(w[i]) * power[first + i];
+    (*mel)[b] = float(sum);
+  }
+}
+
+// --------------------------------------------------------------------------
+// Fbank / Mfcc
+// --------------------------------------------------------------------------
+
+FbankComputer::FbankComputer(const FbankOptions& opts)
+    : opts_(opts), window_(opts.frame_opts), mel_(opts.mel_opts, opts.frame_opts) {}
+
+std::vector<float> FbankComputer::Compute(const std::vector<float>& wave) const {
+  const auto& fo = opts_.frame_opts;
+  int nf = fo.NumFrames(wave.size());
+  int dim = Dim(), nb = opts_.mel_opts.num_bins;
+  std::vector<float> out(size_t(nf) * dim);
+  std::vector<float> frame, power, mel;
+  std::mt19937 rng(0);
+  for (int t = 0; t < nf; ++t) {
+    float log_e = window_.Extract(wave, t, &frame, fo.dither != 0 ? &rng : nullptr);
+    Rfft(frame, &power);
+    power.resize(fo.PaddedWindowSize() / 2);  // drop highest bin
+    if (!opts_.use_power)
+      for (auto& p : power) p = std::sqrt(p);
+    mel.clear();
+    mel_.Compute(power, &mel);
+    float* row = &out[size_t(t) * dim];
+    int off = (opts_.use_energy && !opts_.htk_compat) ? 1 : 0;
+    for (int b = 0; b < nb; ++b) {
+      float v = mel[b];
+      if (opts_.use_log_fbank) v = std::log(std::max(v, kEps));
+      row[off + b] = v;
+    }
+    if (opts_.use_energy) {
+      if (opts_.energy_floor > 0)
+        log_e = std::max(log_e, std::log(opts_.energy_floor));
+      row[opts_.htk_compat ? nb : 0] = log_e;
+    }
+  }
+  return out;
+}
+
+MfccComputer::MfccComputer(const MfccOptions& opts)
+    : opts_(opts), window_(opts.frame_opts), mel_(opts.mel_opts, opts.frame_opts) {
+  int n = opts.mel_opts.num_bins, k = opts.num_ceps;
+  dct_.resize(size_t(k) * n);
+  for (int j = 0; j < n; ++j) dct_[j] = float(std::sqrt(1.0 / n));
+  for (int i = 1; i < k; ++i)
+    for (int j = 0; j < n; ++j)
+      dct_[size_t(i) * n + j] =
+          float(std::sqrt(2.0 / n) * std::cos(kPi / n * i * (j + 0.5)));
+  lifter_.resize(k);
+  for (int i = 0; i < k; ++i)
+    lifter_[i] = opts.cepstral_lifter != 0
+                     ? float(1.0 + 0.5 * opts.cepstral_lifter *
+                                       std::sin(kPi * i / opts.cepstral_lifter))
+                     : 1.0f;
+}
+
+std::vector<float> MfccComputer::Compute(const std::vector<float>& wave) const {
+  const auto& fo = opts_.frame_opts;
+  int nf = fo.NumFrames(wave.size());
+  int k = opts_.num_ceps, nb = opts_.mel_opts.num_bins;
+  std::vector<float> out(size_t(nf) * k);
+  std::vector<float> frame, power, mel(nb);
+  for (int t = 0; t < nf; ++t) {
+    float log_e = window_.Extract(wave, t, &frame);
+    Rfft(frame, &power);
+    power.resize(fo.PaddedWindowSize() / 2);
+    mel.clear();
+    mel_.Compute(power, &mel);
+    for (auto& m : mel) m = std::log(std::max(m, kEps));
+    float* row = &out[size_t(t) * k];
+    for (int i = 0; i < k; ++i) {
+      double s = 0;
+      for (int j = 0; j < nb; ++j) s += double(dct_[size_t(i) * nb + j]) * mel[j];
+      row[i] = float(s) * lifter_[i];
+    }
+    if (opts_.use_energy) {
+      if (opts_.energy_floor > 0)
+        log_e = std::max(log_e, std::log(opts_.energy_floor));
+      row[0] = log_e;
+    }
+  }
+  return out;
+}
+
+// --------------------------------------------------------------------------
+// VAD
+// --------------------------------------------------------------------------
+
+std::vector<uint8_t> ComputeVadEnergy(const VadOptions& opts,
+                                      const std::vector<float>& log_energy) {
+  size_t t = log_energy.size();
+  std::vector<uint8_t> out(t, 0);
+  if (t == 0) return out;
+  double threshold = opts.energy_threshold;
+  if (opts.energy_mean_scale != 0.0f) {
+    double mean = 0;
+    for (float e : log_energy) mean += e;
+    mean /= double(t);
+    threshold += opts.energy_mean_scale * mean;
+  }
+  int ctx = opts.frames_context;
+  for (size_t i = 0; i < t; ++i) {
+    int num = 0, den = 0;
+    for (int j = -ctx; j <= ctx; ++j) {
+      int64_t k = int64_t(i) + j;
+      if (k < 0 || k >= int64_t(t)) continue;
+      ++den;
+      if (log_energy[k] > threshold) ++num;
+    }
+    out[i] = (den > 0 && num >= den * opts.proportion_threshold) ? 1 : 0;
+  }
+  return out;
+}
+
+}  // namespace asvtpu

@@ -1,0 +1,133 @@
+// Kaldi-compatible feature computation, dependency-free C++17.
+// Parity target: reference runtime/kaldifeat/csrc/{feature-window,
+// mel-computations, feature-fbank, feature-mfcc}.{h,cc} — re-implemented
+// from the on-disk semantics, golden-checked against the JAX front-end.
+#ifndef ASV_TPU_RUNTIME_FRONTEND_FEATURE_H_
+#define ASV_TPU_RUNTIME_FRONTEND_FEATURE_H_
+
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace asvtpu {
+
+struct FrameOptions {
+  float samp_freq = 16000.0f;
+  float frame_shift_ms = 10.0f;
+  float frame_length_ms = 25.0f;
+  float dither = 0.0f;
+  float preemph_coeff = 0.97f;
+  bool remove_dc_offset = true;
+  std::string window_type = "povey";
+  bool round_to_power_of_two = true;
+  float blackman_coeff = 0.42f;
+  bool snip_edges = true;
+
+  int WindowShift() const { return int(samp_freq * 0.001f * frame_shift_ms); }
+  int WindowSize() const { return int(samp_freq * 0.001f * frame_length_ms); }
+  int PaddedWindowSize() const;
+  int NumFrames(int64_t num_samples) const;
+};
+
+struct MelOptions {
+  int num_bins = 23;
+  float low_freq = 20.0f;
+  float high_freq = 0.0f;
+};
+
+struct FbankOptions {
+  FrameOptions frame_opts;
+  MelOptions mel_opts;
+  bool use_energy = false;
+  float energy_floor = 0.0f;
+  bool raw_energy = true;
+  bool htk_compat = false;
+  bool use_log_fbank = true;
+  bool use_power = true;
+  int Dim() const { return mel_opts.num_bins + (use_energy ? 1 : 0); }
+};
+
+struct MfccOptions {
+  FrameOptions frame_opts;
+  MelOptions mel_opts;
+  int num_ceps = 13;
+  bool use_energy = true;
+  float energy_floor = 0.0f;
+  bool raw_energy = true;
+  float cepstral_lifter = 22.0f;
+  int Dim() const { return num_ceps; }
+};
+
+// In-place iterative radix-2 FFT (padded window sizes are powers of two).
+void Rfft(const std::vector<float>& in, std::vector<float>* power_out);
+
+class FeatureWindow {
+ public:
+  explicit FeatureWindow(const FrameOptions& opts);
+  // Extract + process frame t of wave into out[PaddedWindowSize()];
+  // returns raw log energy (pre-window) of the frame.
+  float Extract(const std::vector<float>& wave, int t, std::vector<float>* out,
+                std::mt19937* rng = nullptr) const;
+
+ private:
+  FrameOptions opts_;
+  std::vector<float> window_;
+};
+
+class MelBanks {
+ public:
+  MelBanks(const MelOptions& mel, const FrameOptions& frame);
+  // power spectrum [num_fft_bins] -> mel energies [num_bins]
+  void Compute(const std::vector<float>& power, std::vector<float>* mel) const;
+  int NumBins() const { return static_cast<int>(bins_.size()); }
+
+ private:
+  // per-bin (first_index, weights)
+  std::vector<std::pair<int, std::vector<float>>> bins_;
+};
+
+class FbankComputer {
+ public:
+  explicit FbankComputer(const FbankOptions& opts);
+  int Dim() const { return opts_.Dim(); }
+  // wave -> [num_frames * Dim()] row-major features
+  std::vector<float> Compute(const std::vector<float>& wave) const;
+  const FbankOptions& opts() const { return opts_; }
+
+ private:
+  FbankOptions opts_;
+  FeatureWindow window_;
+  MelBanks mel_;
+};
+
+class MfccComputer {
+ public:
+  explicit MfccComputer(const MfccOptions& opts);
+  int Dim() const { return opts_.Dim(); }
+  std::vector<float> Compute(const std::vector<float>& wave) const;
+
+ private:
+  MfccOptions opts_;
+  FeatureWindow window_;
+  MelBanks mel_;
+  std::vector<float> dct_;     // [num_ceps, num_bins] row-major
+  std::vector<float> lifter_;  // [num_ceps]
+};
+
+// Frame-level energy VAD (parity: runtime/extractor/torch_asv_extractor.cc:14-62).
+struct VadOptions {
+  float energy_threshold = 5.5f;
+  float energy_mean_scale = 0.5f;
+  int frames_context = 0;
+  float proportion_threshold = 0.6f;
+};
+
+std::vector<uint8_t> ComputeVadEnergy(const VadOptions& opts,
+                                      const std::vector<float>& log_energy);
+
+}  // namespace asvtpu
+
+#endif  // ASV_TPU_RUNTIME_FRONTEND_FEATURE_H_

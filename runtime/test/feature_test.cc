@@ -1,0 +1,130 @@
+// C++ unit tests (assert-based, no gtest dependency): frame math, FFT
+// correctness vs a naive DFT, windowing invariants, VAD, blocking queue,
+// streaming pipeline == batch computation.
+#include <cassert>
+#include <cmath>
+#include <complex>
+#include <cstdio>
+#include <random>
+#include <thread>
+#include <vector>
+
+#include "frontend/feature.h"
+#include "frontend/feature_pipeline.h"
+#include "utils/blocking_queue.h"
+
+using namespace asvtpu;
+
+static void TestNumFrames() {
+  FrameOptions fo;
+  // 16k, 25ms window (400), 10ms shift (160), snip_edges
+  assert(fo.NumFrames(400) == 1);
+  assert(fo.NumFrames(399) == 0);
+  assert(fo.NumFrames(560) == 2);
+  assert(fo.NumFrames(16000) == 1 + (16000 - 400) / 160);
+  fo.snip_edges = false;
+  assert(fo.NumFrames(16000) == (16000 + 80) / 160);
+  std::printf("TestNumFrames OK\n");
+}
+
+static void TestFftMatchesNaiveDft() {
+  std::mt19937 rng(1);
+  std::normal_distribution<float> d(0, 1);
+  std::vector<float> x(512);
+  for (auto& v : x) v = d(rng);
+  std::vector<float> power;
+  Rfft(x, &power);
+  for (int k = 0; k <= 256; k += 37) {
+    std::complex<double> s(0, 0);
+    for (int t = 0; t < 512; ++t)
+      s += std::complex<double>(x[t], 0) *
+           std::exp(std::complex<double>(0, -2.0 * M_PI * k * t / 512));
+    double ref = std::norm(s);
+    assert(std::abs(power[k] - ref) <= 1e-3 * std::max(1.0, ref));
+  }
+  std::printf("TestFftMatchesNaiveDft OK\n");
+}
+
+static void TestFbankShapesAndFiniteness() {
+  FbankOptions opts;
+  opts.mel_opts.num_bins = 40;
+  FbankComputer c(opts);
+  std::mt19937 rng(2);
+  std::normal_distribution<float> d(0, 1000);
+  std::vector<float> wav(16000);
+  for (auto& v : wav) v = d(rng);
+  auto feats = c.Compute(wav);
+  int nf = opts.frame_opts.NumFrames(wav.size());
+  assert(int(feats.size()) == nf * 40);
+  for (float f : feats) assert(std::isfinite(f));
+  std::printf("TestFbankShapesAndFiniteness OK\n");
+}
+
+static void TestVad() {
+  VadOptions opts;  // threshold 5.5 + 0.5*mean
+  std::vector<float> e = {10, 10, 0, 0, 10, 10};
+  auto v = ComputeVadEnergy(opts, e);
+  // mean = 6.67 -> threshold = 8.83: frames with e=10 voiced
+  assert(v[0] == 1 && v[1] == 1 && v[2] == 0 && v[3] == 0 && v[4] == 1);
+  std::printf("TestVad OK\n");
+}
+
+static void TestBlockingQueue() {
+  BlockingQueue<int> q(4);
+  std::thread producer([&] {
+    for (int i = 0; i < 100; ++i) q.Push(i);
+    q.Finish();
+  });
+  int expect = 0;
+  while (auto v = q.Pop()) {
+    assert(*v == expect);
+    ++expect;
+  }
+  assert(expect == 100);
+  producer.join();
+  std::printf("TestBlockingQueue OK\n");
+}
+
+static void TestStreamingMatchesBatch() {
+  FbankOptions opts;
+  opts.mel_opts.num_bins = 23;
+  FbankComputer batch(opts);
+  std::mt19937 rng(3);
+  std::normal_distribution<float> d(0, 1000);
+  std::vector<float> wav(8000);
+  for (auto& v : wav) v = d(rng);
+
+  auto ref = batch.Compute(wav);
+
+  FeaturePipeline pipe(opts);
+  // feed in uneven blocks
+  size_t pos = 0;
+  for (size_t block : {1000ul, 333ul, 4000ul, 2667ul}) {
+    std::vector<float> chunk(wav.begin() + pos, wav.begin() + pos + block);
+    pipe.AcceptWaveform(chunk);
+    pos += block;
+  }
+  pipe.InputFinished();
+  std::vector<float> frame;
+  size_t t = 0;
+  while (pipe.ReadOne(&frame)) {
+    for (int dd = 0; dd < pipe.Dim(); ++dd) {
+      float a = frame[dd], b = ref[t * pipe.Dim() + dd];
+      assert(std::abs(a - b) <= 1e-4f * std::max(1.0f, std::abs(b)));
+    }
+    ++t;
+  }
+  assert(int(t) == opts.frame_opts.NumFrames(wav.size()));
+  std::printf("TestStreamingMatchesBatch OK (%zu frames)\n", t);
+}
+
+int main() {
+  TestNumFrames();
+  TestFftMatchesNaiveDft();
+  TestFbankShapesAndFiniteness();
+  TestVad();
+  TestBlockingQueue();
+  TestStreamingMatchesBatch();
+  std::printf("ALL C++ TESTS PASSED\n");
+  return 0;
+}
