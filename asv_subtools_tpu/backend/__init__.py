@@ -4,6 +4,15 @@ The TPU-native replacement for the reference's score/ + Kaldi ivector-*
 binaries (SURVEY.md §2.4): everything is a batched array program.
 """
 
+from .classifiers import (
+    DiagGmm,
+    LinearClassifier,
+    gmm_lid_scores,
+    train_diag_gmm,
+    train_logistic_regression,
+    train_svm,
+)
+from .fusion import greedy_fusion, lda_fusion, logistic_fusion, weight_fusion
 from .adaptation import (
     TwoCovPlda,
     adapt_plda_cip,

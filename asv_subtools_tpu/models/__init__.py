@@ -20,6 +20,12 @@ from .framework import (
     extract_embedding_chunked,
     l2_norm,
 )
+from .multitask import (
+    FDXvector,
+    MultiTaskXvector,
+    fd_adversarial_loss,
+    phone_frame_loss,
+)
 from .resnet_xvector import RepVggXvector, ResNetXvector
 from .xvector import ExtendedXvector, FactoredXvector, SnowdarXvector, Xvector
 
@@ -32,4 +38,6 @@ MODELS = {
     "resnet_xvector": ResNetXvector,
     "repvgg_xvector": RepVggXvector,
     "conformer_xvector": ConformerXvector,
+    "multi_task_xvector": MultiTaskXvector,
+    "fd_xvector": FDXvector,
 }

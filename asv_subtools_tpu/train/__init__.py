@@ -10,6 +10,7 @@ from .lr_scheduler import (
     one_cycle,
     warm_restarts,
 )
+from .lr_finder import run_lr_finder
 from .optim import get_optimizer, gradient_centralization, ralamb, scale_by_adamod
 from .reporter import Reporter
 from .trainer import (

@@ -1,0 +1,228 @@
+"""Tests: datadir utilities, classifiers (SVM/LR/GMM), fusion, multi-task
+models, LR finder."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asv_subtools_tpu.backend import (
+    DiagGmm,
+    compute_eer,
+    gmm_lid_scores,
+    greedy_fusion,
+    lda_fusion,
+    logistic_fusion,
+    train_diag_gmm,
+    train_logistic_regression,
+    train_svm,
+    weight_fusion,
+)
+from asv_subtools_tpu.datadir import DataDir, generate_trials
+from asv_subtools_tpu.models import (
+    FDXvector,
+    MultiTaskXvector,
+    fd_adversarial_loss,
+    phone_frame_loss,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def datadir():
+    tables = {
+        "wav.scp": {f"s{s}-u{i}": f"/x/{s}_{i}.wav" for s in range(4) for i in range(5)},
+        "utt2spk": {f"s{s}-u{i}": f"spk{s}" for s in range(4) for i in range(5)},
+        "utt2num_frames": {
+            f"s{s}-u{i}": str(100 + 100 * i) for s in range(4) for i in range(5)
+        },
+    }
+    return DataDir(tables)
+
+
+class TestDataDir:
+    def test_roundtrip(self, datadir, tmp_path):
+        datadir.write(str(tmp_path / "data"))
+        back = DataDir.read(str(tmp_path / "data"))
+        assert back.utts == datadir.utts
+        assert back.speakers == ["spk0", "spk1", "spk2", "spk3"]
+        assert (tmp_path / "data" / "spk2utt").exists()
+
+    def test_filter_and_remove(self, datadir):
+        kept = datadir.filter_speakers(["spk0", "spk1"])
+        assert len(kept) == 10 and kept.speakers == ["spk0", "spk1"]
+        removed = datadir.remove_utts(["s0-u0"])
+        assert len(removed) == 19
+
+    def test_prefix(self, datadir):
+        p = datadir.add_prefix("noise-")
+        assert all(u.startswith("noise-") for u in p.utts)
+        assert all(s.startswith("noise-") for s in p.speakers)
+
+    def test_subset(self, datadir):
+        assert len(datadir.subset(num_utts=7)) == 7
+        assert len(datadir.subset(num_spks=2).speakers) == 2
+        per = datadir.subset(num_utts=2, per_spk=True)
+        assert len(per) == 8
+
+    def test_split_by_length(self, datadir):
+        short, long_ = datadir.split_by_length(300)
+        assert len(short) + len(long_) == 20
+        assert all(int(datadir.tables["utt2num_frames"][u]) < 300 for u in short.utts)
+
+    def test_split_and_combine(self, datadir):
+        parts = datadir.split(3)
+        assert sum(len(p) for p in parts) == 20
+        combined = parts[0].combine(parts[1]).combine(parts[2])
+        assert sorted(combined.utts) == sorted(datadir.utts)
+
+    def test_valid_split(self, datadir):
+        train, valid = datadir.valid_split(num_utts=4, min_per_spk=2)
+        assert len(valid) == 4 and len(train) == 16
+        for s, us in train.spk2utt().items():
+            assert len(us) >= 2
+
+    def test_generate_trials(self, datadir):
+        trials = generate_trials(datadir, num_targets_per_spk=3, num_nontargets_per_utt=2)
+        u2s = datadir.utt2spk()
+        for a, b, t in trials:
+            assert (u2s[a] == u2s[b]) == bool(t)
+
+
+class TestClassifiers:
+    def _blobs(self, seed=0, n=100, c=3, d=8):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(c, d)) * 4
+        y = np.repeat(np.arange(c), n)
+        x = centers[y] + rng.normal(size=(c * n, d))
+        return x, y
+
+    def test_svm_and_lr(self):
+        x, y = self._blobs()
+        for train in (train_svm, train_logistic_regression):
+            clf = train(x, y)
+            acc = (clf.predict(x) == y).mean()
+            assert acc > 0.95
+            assert clf.scores(x).shape == (len(x), 3)
+
+    def test_gmm_em_recovers_components(self):
+        rng = np.random.default_rng(1)
+        x = np.concatenate(
+            [rng.normal(-3, 0.5, (200, 2)), rng.normal(3, 0.5, (200, 2))]
+        )
+        gmm = train_diag_gmm(x, num_components=2, num_iters=30)
+        means = np.sort(gmm.means[:, 0])
+        np.testing.assert_allclose(means, [-3, 3], atol=0.3)
+        ll = gmm.log_likelihood(x)
+        assert np.all(np.isfinite(ll))
+
+    def test_gmm_lid(self):
+        rng = np.random.default_rng(2)
+        gmms = {}
+        evals, labels = [], []
+        for i, lang in enumerate(["en", "zh"]):
+            data = rng.normal(4 * i, 1.0, (150, 4))
+            gmms[lang] = train_diag_gmm(data, num_components=4)
+            evals.append(rng.normal(4 * i, 1.0, (50, 4)))
+            labels += [i] * 50
+        scores, langs = gmm_lid_scores(gmms, np.concatenate(evals))
+        pred = np.argmax(scores, axis=1)
+        assert (pred == np.asarray(labels)).mean() > 0.95
+
+
+class TestFusion:
+    def _systems(self, seed=3):
+        rng = np.random.default_rng(seed)
+        n = 2000
+        labels = (rng.uniform(size=n) < 0.3).astype(int)
+        # two noisy views of the truth + one junk system
+        s1 = labels * 2.0 + rng.normal(size=n)
+        s2 = labels * 1.5 + rng.normal(size=n) * 1.2
+        junk = rng.normal(size=n)
+        return [s1, s2, junk], labels
+
+    def test_weight_fusion(self):
+        (s1, s2, junk), labels = self._systems()
+        fused = weight_fusion([s1, s2], [0.5, 0.5])
+        e_f, _ = compute_eer(fused, labels)
+        e_1, _ = compute_eer(s1, labels)
+        assert e_f < e_1
+
+    @pytest.mark.parametrize("fn", [lda_fusion, logistic_fusion, greedy_fusion])
+    def test_trained_fusions_beat_best_single(self, fn):
+        systems, labels = self._systems()
+        w, fused = fn(systems, labels)
+        e_f, _ = compute_eer(fused, labels)
+        best_single = min(compute_eer(s, labels)[0] for s in systems)
+        assert e_f <= best_single + 0.005
+        # junk system gets (near-)zero weight
+        assert abs(np.asarray(w, float)[2]) < 0.5 * max(abs(np.asarray(w, float)[0]), 1e-9)
+
+
+class TestMultiTask:
+    def test_multitask_forward_and_losses(self):
+        model = MultiTaskXvector(
+            num_phones=10, num_frame_channels=16, embd_dim=8, phone_hidden=8
+        )
+        x = jax.random.normal(KEY, (2, 30, 12))
+        mask = jnp.arange(30)[None, :] < jnp.array([30, 20])[:, None]
+        v = model.init({"params": KEY}, x, mask=mask, train=False)
+        emb, phone_logits = model.apply(v, x, mask=mask, train=False)
+        assert emb.shape == (2, 8)
+        assert phone_logits.shape == (2, 30, 10)
+        targets = jnp.zeros((2, 30), jnp.int32)
+        loss = phone_frame_loss(phone_logits, targets, mask)
+        assert np.isfinite(float(loss))
+
+    def test_fd_adversarial(self):
+        model = FDXvector(num_frame_channels=16, embd_dim=8)
+        x = jax.random.normal(KEY, (2, 30, 12))
+        v = model.init({"params": KEY}, x, train=False)
+        spk, content = model.apply(v, x, train=False)
+        assert spk.shape == content.shape == (2, 8)
+        adv = fd_adversarial_loss(spk, content)
+        assert 0.0 <= float(adv) <= 1.0
+
+
+class TestLrFinder:
+    def test_sweep_finds_reasonable_lr(self):
+        from asv_subtools_tpu.models import SpeakerNet, Xvector
+        from asv_subtools_tpu.train import (
+            TrainStepConfig,
+            get_optimizer,
+            init_train_state,
+            make_train_step,
+            run_lr_finder,
+        )
+
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=16, embd_dim=8),
+            loss_name="softmax",
+            loss_params={},
+            num_targets=4,
+        )
+        tx = get_optimizer("sgd", learning_rate=1.0)  # lr_scale IS the lr
+        step = jax.jit(
+            make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.float32)),
+            static_argnames=(),
+        )
+
+        def step_fn(state, batch, rng, lr):
+            return step(state, batch, rng, 1.0, 0.0, lr)
+
+        rng = np.random.default_rng(0)
+        batches = [
+            {
+                "x": jnp.asarray(rng.normal(size=(8, 20, 8)), jnp.float32),
+                "y": jnp.asarray(rng.integers(0, 4, 8)),
+            }
+            for _ in range(40)
+        ]
+        state = init_train_state(net, KEY, batches[0], tx)
+        out = run_lr_finder(
+            step_fn, state, iter(batches), KEY, start_lr=1e-6, end_lr=10.0,
+            num_steps=40,
+        )
+        assert len(out["lrs"]) > 10
+        assert out["suggested_lr"] is None or 1e-6 <= out["suggested_lr"] <= 10.0
