@@ -24,7 +24,8 @@ import numpy as np
 
 
 def main():
-    from asv_subtools_tpu.features import FbankOptions, cmvn_utterance, compute_fbank
+    from asv_subtools_tpu.features import FbankOptions, cmvn_utterance
+    from asv_subtools_tpu.features.pallas_fbank import fused_fbank
     from asv_subtools_tpu.models import EcapaTdnn
 
     sample_rate = 16000
@@ -39,12 +40,12 @@ def main():
     wave_np = np.random.default_rng(0).normal(size=(batch, samples)) * 1000.0
     wave = jnp.asarray(wave_np, jnp.float32)
 
-    feats0 = compute_fbank(wave[:1], opts, fft_mode="gemm")
+    feats0, _ = fused_fbank(wave[:1], opts)
     variables = model.init({"params": rng}, feats0, train=False)
 
     @jax.jit
     def extract(w):
-        f = compute_fbank(w, opts, fft_mode="gemm")
+        f, _energy = fused_fbank(w, opts)  # fused Pallas framing+DFT+mel
         f = cmvn_utterance(f)
         return model.apply(variables, f, train=False)
 

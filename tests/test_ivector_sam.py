@@ -1,0 +1,122 @@
+"""Tests: i-vector subsystem and SAM train step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from asv_subtools_tpu.backend import compute_eer, cosine_score_matrix
+from asv_subtools_tpu.backend.ivector import (
+    collect_stats,
+    train_ivector_extractor,
+    train_ubm,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestIvector:
+    def test_ivector_separates_speakers(self):
+        """Generate frames from a total-variability model; the trained
+        extractor's i-vectors must separate speakers by cosine."""
+        rng = np.random.default_rng(0)
+        d, r_true = 8, 4
+        # true speaker latent per speaker, frames = latent shift + noise
+        n_spk, utt_per_spk = 10, 6
+        proj = rng.normal(size=(r_true, d))
+        utts, spk_ids = [], []
+        for s in range(n_spk):
+            w = rng.normal(size=r_true)
+            for u in range(utt_per_spk):
+                t = rng.integers(80, 150)
+                frames = w @ proj + rng.normal(size=(t, d))
+                utts.append(frames)
+                spk_ids.append(s)
+        ubm = train_ubm(np.concatenate(utts), num_components=8, num_iters=10)
+        stats = collect_stats(ubm, utts)
+        extractor = train_ivector_extractor(ubm, stats, ivector_dim=8, num_iters=5)
+        ivecs = extractor.extract(stats)
+        assert ivecs.shape == (len(utts), 8)
+        scores = np.asarray(cosine_score_matrix(ivecs, ivecs))
+        iu = np.triu_indices(len(utts), 1)
+        same = (np.asarray(spk_ids)[:, None] == np.asarray(spk_ids)[None, :])[iu]
+        eer, _ = compute_eer(scores[iu], same.astype(int))
+        assert eer < 0.25, f"i-vector EER {eer}"
+
+    def test_extract_from_frames_matches_stats_path(self):
+        rng = np.random.default_rng(1)
+        utts = [rng.normal(size=(50, 6)) for _ in range(5)]
+        ubm = train_ubm(np.concatenate(utts), num_components=4, num_iters=5)
+        stats = collect_stats(ubm, utts)
+        ex = train_ivector_extractor(ubm, stats, ivector_dim=4, num_iters=3)
+        a = ex.extract(stats)
+        b = ex.extract_from_frames(utts)
+        np.testing.assert_allclose(a, b, rtol=1e-8)
+
+
+class TestSam:
+    def test_sam_step_trains(self):
+        from asv_subtools_tpu.models import SpeakerNet, Xvector
+        from asv_subtools_tpu.train import (
+            TrainStepConfig,
+            get_optimizer,
+            init_train_state,
+        )
+        from asv_subtools_tpu.train.sam import make_sam_train_step
+
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=16, embd_dim=8),
+            loss_name="margin_softmax",
+            loss_params={"method": "am", "m": 0.1},
+            num_targets=4,
+        )
+        tx = get_optimizer("sgd", learning_rate=1e-2)
+        step = jax.jit(
+            make_sam_train_step(
+                net, tx, rho=0.05,
+                config=TrainStepConfig(compute_dtype=jnp.float32),
+            )
+        )
+        rng = np.random.default_rng(2)
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(8, 20, 8)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 4, 8)),
+        }
+        state = init_train_state(net, KEY, batch, tx)
+        losses = []
+        k = KEY
+        for _ in range(25):
+            k, sub = jax.random.split(k)
+            state, m = step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] - 0.3
+        assert np.isfinite(float(m["sam_loss"]))
+
+    def test_sam_adaptive_variant(self):
+        from asv_subtools_tpu.models import SpeakerNet, Xvector
+        from asv_subtools_tpu.train import (
+            TrainStepConfig,
+            get_optimizer,
+            init_train_state,
+        )
+        from asv_subtools_tpu.train.sam import make_sam_train_step
+
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=16, embd_dim=8),
+            loss_name="softmax", loss_params={}, num_targets=4,
+        )
+        tx = get_optimizer("sgd", learning_rate=1e-2)
+        step = jax.jit(
+            make_sam_train_step(
+                net, tx, rho=0.05, adaptive=True,
+                config=TrainStepConfig(compute_dtype=jnp.float32),
+            )
+        )
+        rng = np.random.default_rng(3)
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(4, 20, 8)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 4, 4)),
+        }
+        state = init_train_state(net, KEY, batch, tx)
+        state, m = step(state, batch, KEY)
+        assert np.isfinite(float(m["loss"]))

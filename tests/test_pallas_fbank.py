@@ -1,0 +1,45 @@
+"""Fused Pallas fbank kernel vs the XLA path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.features import FbankOptions, FrameOptions, MelOptions, compute_fbank
+from asv_subtools_tpu.features.pallas_fbank import fused_fbank
+
+
+class TestFusedFbank:
+    @pytest.mark.parametrize("num_samples", [32000, 20480, 100000])
+    def test_matches_xla_path(self, num_samples):
+        rng = np.random.default_rng(0)
+        wave = jnp.asarray(rng.normal(size=(2, num_samples)) * 1000, jnp.float32)
+        opts = FbankOptions()
+        ref = compute_fbank(wave, opts, fft_mode="gemm")
+        out, energy = fused_fbank(wave, opts, interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_energy_matches_raw_energy(self):
+        """Column-0 log-energy must equal the use_energy fbank energy."""
+        rng = np.random.default_rng(1)
+        wave = jnp.asarray(rng.normal(size=(1, 32000)) * 1000, jnp.float32)
+        opts_e = FbankOptions(use_energy=True)
+        ref = compute_fbank(wave, opts_e, fft_mode="gemm")
+        _, energy = fused_fbank(wave, FbankOptions(), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(energy[0]), np.asarray(ref[0, :, 0]), atol=1e-4, rtol=1e-5
+        )
+
+    def test_num_bins_80(self):
+        rng = np.random.default_rng(2)
+        wave = jnp.asarray(rng.normal(size=(1, 48000)) * 1000, jnp.float32)
+        opts = FbankOptions(mel_opts=MelOptions(num_bins=80))
+        ref = compute_fbank(wave, opts, fft_mode="gemm")
+        out, _ = fused_fbank(wave, opts, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def test_rejects_dither(self):
+        opts = FbankOptions(frame_opts=FrameOptions(dither=1.0))
+        with pytest.raises(ValueError):
+            fused_fbank(jnp.zeros((1, 16000)), opts, interpret=True)
