@@ -28,6 +28,14 @@ from .metrics import (
     compute_min_tdcf,
     roc_curve,
 )
+from .pipeline import ScoreConfig, ScoreSets
+from .ivector import (
+    BaumWelchStats,
+    IvectorExtractor,
+    collect_stats,
+    train_ivector_extractor,
+    train_ubm,
+)
 from .plda import Plda, PldaStats, estimate_plda, plda_score_trials
 from .score_norm import asnorm, cosine_score_matrix, snorm
 from .transforms import (

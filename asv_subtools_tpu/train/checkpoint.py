@@ -54,9 +54,10 @@ def save_checkpoint(
             {"epoch": epoch, "step": payload["step"], **(info or {})}, f
         )
     final = os.path.join(directory, "final.params")
-    if os.path.islink(final) or os.path.exists(final):
-        os.remove(final)
-    os.symlink(os.path.basename(path), final)
+    if os.path.basename(path) != "final.params":
+        if os.path.islink(final) or os.path.exists(final):
+            os.remove(final)
+        os.symlink(os.path.basename(path), final)
     return path
 
 

@@ -326,3 +326,59 @@ class TestTrials:
         mat = np.arange(6).reshape(2, 3).astype(float)
         scores = tr2.select_scores(mat, {"e1": 0, "e2": 1}, {"t1": 0, "t2": 1})
         np.testing.assert_allclose(scores, [0.0, 1.0, 3.0])
+
+
+class TestScoreSetsPipeline:
+    def test_full_pipeline_chains(self):
+        """submean-lda-whiten-norm + plda + asnorm end-to-end on synthetic
+        generative-model data; EER must beat plain cosine on raw vectors."""
+        from asv_subtools_tpu.backend import ScoreConfig, ScoreSets, Trials
+
+        rng = np.random.default_rng(42)
+        train_x, train_ids = synth_data(rng, n_spk=80, n_utt=12, dim=24)
+        within = np.linspace(0.2, 2.0, 24)
+        em = rng.normal(size=(40, 24)) * 1.5
+        enroll = {f"e{i}": em[i] + rng.normal(size=24) * np.sqrt(within) for i in range(40)}
+        test = {}
+        labels, e_keys, t_keys = [], [], []
+        for i in range(40):
+            test[f"t{i}"] = em[i] + rng.normal(size=24) * np.sqrt(within)
+        for i in range(80):
+            test[f"n{i}"] = rng.normal(size=24) * 1.5 + rng.normal(size=24) * np.sqrt(within)
+        for i in range(40):
+            for key in list(test):
+                e_keys.append(f"e{i}")
+                t_keys.append(key)
+                labels.append(1 if key == f"t{i}" else 0)
+        trials = Trials(e_keys, t_keys, labels)
+        cohort = rng.normal(size=(200, 24)) * 1.5
+
+        cfg = ScoreConfig(
+            process="submean-lda-norm", classifier="plda", lda_dim=16,
+            score_norm="asnorm", top_n=100,
+        )
+        pipe = ScoreSets(cfg).fit(train_x, train_ids)
+        out = pipe.run(enroll, test, trials, cohort=cohort)
+        assert out["eer"] < 0.10, out
+
+        raw_cos = ScoreSets(ScoreConfig(process="", classifier="cosine")).fit(
+            train_x, train_ids
+        )
+        out_cos = raw_cos.run(enroll, test, trials)
+        assert out["eer"] <= out_cos["eer"] + 0.02
+
+    def test_aplda_runs(self):
+        from asv_subtools_tpu.backend import ScoreConfig, ScoreSets, Trials
+
+        rng = np.random.default_rng(43)
+        train_x, train_ids = synth_data(rng, n_spk=40, n_utt=8, dim=12)
+        adapt = rng.normal(size=(100, 12)) + 1.0
+        cfg = ScoreConfig(process="submean-norm", classifier="aplda")
+        pipe = ScoreSets(cfg).fit(train_x, train_ids, adapt_vectors=adapt)
+        e = {f"e{i}": rng.normal(size=12) for i in range(5)}
+        t = {f"t{i}": rng.normal(size=12) for i in range(5)}
+        trials = Trials(
+            [f"e{i}" for i in range(5)], [f"t{i}" for i in range(5)], [1, 0, 1, 0, 1]
+        )
+        out = pipe.run(e, t, trials)
+        assert "num_trials" in out
