@@ -13,6 +13,7 @@ from .augment import (
     SpeedPerturb,
     spec_augment,
 )
+from .egs_offline import Chunk, ChunkEgs, ChunkSamples, read_chunk_csv
 from .dataset import (
     DistributedShardList,
     Prefetcher,

@@ -1,0 +1,189 @@
+"""Offline chunk-egs path: fixed-length chunks over precomputed Kaldi
+feature arks (parity: pytorch/libs/egs/{kaldi_dataset,samples,egs}.py +
+pipeline/onestep/get_chunk_egs.py).
+
+The reference walks a KaldiDataset, emits a chunk CSV
+(utt ark-path start end label), and a map-style ChunkEgs seeks into arks
+per item. Same design here: `ChunkSamples` generates the chunk table with
+speaker-balanced or sequential sampling; `ChunkEgs` reads ark ranges
+(io.kaldi row-range reads) and yields fixed-shape batches.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.kaldi import read_mat
+from ..datadir import DataDir
+
+
+@dataclasses.dataclass
+class Chunk:
+    utt: str
+    rxfile: str
+    start: int
+    end: int  # exclusive
+    label: int
+
+
+class ChunkSamples:
+    """Chunk table generation (parity: ChunkSamples.__sample samples.py:23-170).
+
+    chunk_type "speaker_balance": every speaker contributes ~equal chunks
+    (short utts repeat-sampled); "sequential": tile every utterance with
+    `overlap` fraction.
+    """
+
+    def __init__(
+        self,
+        datadir: DataDir,
+        chunk_size: int = 200,
+        chunk_type: str = "speaker_balance",
+        chunk_num_selection: int = 0,  # 0 = mean chunks/spk, -1 = max, n>0 = n
+        overlap: float = 0.1,
+        scale: float = 1.5,
+        seed: int = 1024,
+        spk2int: Optional[Dict[str, int]] = None,
+    ):
+        self.datadir = datadir
+        self.chunk_size = chunk_size
+        self.chunk_type = chunk_type
+        self.chunk_num_selection = chunk_num_selection
+        self.overlap = overlap
+        self.scale = scale
+        self.seed = seed
+        u2s = datadir.utt2spk()
+        spks = sorted(set(u2s.values()))
+        self.spk2int = spk2int or {s: i for i, s in enumerate(spks)}
+
+    def sample(self) -> List[Chunk]:
+        rng = random.Random(self.seed)
+        feats = self.datadir.tables.get("feats.scp", {})
+        u2f = {
+            k: int(v) for k, v in self.datadir.tables.get("utt2num_frames", {}).items()
+        }
+        u2s = self.datadir.utt2spk()
+        cs = self.chunk_size
+        chunks: List[Chunk] = []
+
+        def utt_chunks_seq(utt: str) -> List[Tuple[int, int]]:
+            n = u2f.get(utt, 0)
+            if n < cs:
+                return []
+            step = max(1, int(cs * (1.0 - self.overlap)))
+            out = []
+            start = 0
+            while start + cs <= n:
+                out.append((start, start + cs))
+                start += step
+            return out
+
+        if self.chunk_type == "sequential":
+            for utt in self.datadir.utts:
+                if utt not in feats:
+                    continue
+                for s, e in utt_chunks_seq(utt):
+                    chunks.append(
+                        Chunk(utt, feats[utt], s, e, self.spk2int[u2s[utt]])
+                    )
+            return chunks
+
+        if self.chunk_type != "speaker_balance":
+            raise ValueError(f"unknown chunk_type {self.chunk_type!r}")
+
+        # speaker_balance: decide a per-speaker chunk budget, then sample
+        s2u = self.datadir.spk2utt()
+        per_spk_avail = {
+            s: sum(max(0, u2f.get(u, 0) // cs) for u in us) for s, us in s2u.items()
+        }
+        if self.chunk_num_selection > 0:
+            budget = self.chunk_num_selection
+        elif self.chunk_num_selection == -1:
+            budget = max(per_spk_avail.values() or [0])
+        else:
+            vals = [v for v in per_spk_avail.values() if v > 0]
+            budget = int(np.mean(vals) * self.scale) if vals else 0
+        for s, us in s2u.items():
+            usable = [u for u in us if u in feats and u2f.get(u, 0) >= cs]
+            if not usable:
+                continue
+            for _ in range(max(1, budget)):
+                utt = rng.choice(usable)
+                n = u2f[utt]
+                start = rng.randint(0, n - cs)
+                chunks.append(
+                    Chunk(utt, feats[utt], start, start + cs, self.spk2int[u2s[utt]])
+                )
+        rng.shuffle(chunks)
+        return chunks
+
+    def write_csv(self, path: str, chunks: Optional[List[Chunk]] = None) -> None:
+        chunks = chunks if chunks is not None else self.sample()
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["utt", "rxfile", "start", "end", "label"])
+            for c in chunks:
+                w.writerow([c.utt, c.rxfile, c.start, c.end, c.label])
+
+
+def read_chunk_csv(path: str) -> List[Chunk]:
+    out = []
+    with open(path) as f:
+        r = csv.reader(f)
+        next(r, None)
+        for row in r:
+            if len(row) == 5:
+                out.append(Chunk(row[0], row[1], int(row[2]), int(row[3]), int(row[4])))
+    return out
+
+
+class ChunkEgs:
+    """Map-style chunk dataset over Kaldi arks with epoch shuffling and
+    fixed-shape batches (parity: ChunkEgs egs.py:28-105 + BaseBunch)."""
+
+    def __init__(
+        self,
+        chunks: Sequence[Chunk],
+        batch_size: int = 64,
+        seed: int = 1024,
+        rank: int = 0,
+        world_size: int = 1,
+        drop_last: bool = True,
+    ):
+        self.chunks = list(chunks)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.chunks) // self.world_size
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(len(self.chunks))[self.rank :: self.world_size]
+        batch: List[Chunk] = []
+        for idx in order:
+            batch.append(self.chunks[int(idx)])
+            if len(batch) == self.batch_size:
+                yield self._collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield self._collate(batch)
+
+    def _collate(self, batch: List[Chunk]) -> Dict:
+        feats = [read_mat(c.rxfile, row_range=(c.start, c.end)) for c in batch]
+        x = np.stack(feats).astype(np.float32)
+        y = np.asarray([c.label for c in batch], np.int32)
+        return {"x": x, "y": y, "keys": [c.utt for c in batch]}

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""VoxCeleb speaker-verification recipe (parity: recipe/voxcelebSRC/
+runVoxcelebSRC.sh + pytorch/launcher/runEcapaXvector_online.py).
+
+Stages (pick with --stage/--stop-stage like the reference):
+  0  build egs from wav.scp/utt2spk (online pipeline, aug + chunks)
+  1  train (ECAPA-C1024 + AAM sub-center/inter-topK, cyclic adamW, bf16,
+     data-parallel over the mesh)
+  2  extract embeddings for train(cohort)/enroll/test -> xvector ark/scp
+  3  score: submean + length-norm cosine, AS-norm, EER/minDCF
+
+Point --data at a Kaldi-style directory tree:
+  <data>/train/{wav.scp,utt2spk}
+  <data>/eval/{wav.scp}  + trials file
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--exp", default="exp/ecapa_c1024")
+    ap.add_argument("--trials", required=False)
+    ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument("--stop-stage", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--channels", type=int, default=1024)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from asv_subtools_tpu.backend import ScoreConfig, ScoreSets, Trials
+    from asv_subtools_tpu.io import read_vec_flt_scp
+    from asv_subtools_tpu.launcher import Launcher
+
+    params = {
+        "exp_dir": args.exp,
+        "data": {
+            "train_wav_scp": os.path.join(args.data, "train", "wav.scp"),
+            "train_utt2spk": os.path.join(args.data, "train", "utt2spk"),
+            "chunk_seconds": 2.015,
+            "batch_size": args.batch_size,
+            "speed_perturb": True,
+            "spec_aug": True,
+        },
+        "model": {
+            "name": "ecapa_tdnn",
+            "params": {"channels": args.channels, "embd_dim": 192},
+        },
+        "loss": {
+            "name": "margin_softmax_v1",
+            "params": {
+                "method": "aam", "m": 0.2, "s": 30.0,
+                "sub_k": 2, "adapt_method": "topk", "topk": 5,
+            },
+        },
+        "train": {
+            "epochs": args.epochs,
+            "optimizer": {"name": "adamW", "learning_rate": 1e-3, "weight_decay": 5e-5},
+            "lr_schedule": {
+                "name": "cyclic", "base_lr": 1e-8, "max_lr": 1e-3,
+                "step_size_up": 15000, "mode": "triangular2",
+            },
+            "margin_warm": {
+                "start_epoch": 1, "end_epoch": 3,
+                "offset_margin": -0.2, "init_lambda": 0.0, "epoch_iter": 10000,
+            },
+        },
+    }
+
+    launcher = Launcher(params)
+    egs = launcher.build_egs()
+    launcher.build_model()
+
+    if args.stage <= 1 <= args.stop_stage:
+        launcher.train(egs)
+    if args.stage <= 2 <= args.stop_stage:
+        for subset in ("train", "eval"):
+            scp = os.path.join(args.data, subset, "wav.scp")
+            if os.path.exists(scp):
+                launcher.extract(scp, os.path.join(args.exp, f"xvector_{subset}"))
+    if args.stage <= 3 <= args.stop_stage and args.trials:
+        train_embs = dict(read_vec_flt_scp(os.path.join(args.exp, "xvector_train.scp")))
+        eval_embs = dict(read_vec_flt_scp(os.path.join(args.exp, "xvector_eval.scp")))
+        u2s = dict(
+            line.split()[:2]
+            for line in open(os.path.join(args.data, "train", "utt2spk"))
+        )
+        keys = sorted(train_embs)
+        spk_ids = np.asarray([hash(u2s.get(k, k)) % (10**9) for k in keys])
+        cfg = ScoreConfig(process="submean-norm", classifier="cosine",
+                          score_norm="asnorm", top_n=300)
+        pipe = ScoreSets(cfg).fit(np.stack([train_embs[k] for k in keys]), spk_ids)
+        trials = Trials.read(args.trials)
+        cohort = np.stack([train_embs[k] for k in keys[:3000]])
+        out = pipe.run(eval_embs, eval_embs, trials, cohort=cohort)
+        print({k: round(v, 4) for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main()

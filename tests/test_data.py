@@ -274,3 +274,65 @@ class TestPipeline:
         assert len(samples) == 1
         assert samples[0]["label"] == "spk7"
         assert len(samples[0]["wav"]) == SR
+
+
+class TestOfflineEgs:
+    @pytest.fixture
+    def feats_dir(self, tmp_path):
+        """Kaldi datadir with feature arks."""
+        from asv_subtools_tpu.datadir import DataDir
+
+        rng = np.random.default_rng(0)
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        tables = {"feats.scp": {}, "utt2spk": {}, "utt2num_frames": {}}
+        with ArkScpWriter(ark, scp) as w:
+            for s in range(3):
+                for i in range(3):
+                    key = f"s{s}u{i}"
+                    n = 250 + 50 * i
+                    w.write(key, rng.normal(size=(n, 8)).astype(np.float32))
+                    tables["utt2spk"][key] = f"spk{s}"
+                    tables["utt2num_frames"][key] = str(n)
+        for k, v in (dict(l.split(None, 1) for l in open(scp).read().splitlines())).items():
+            tables["feats.scp"][k] = v
+        return DataDir(tables)
+
+    def test_speaker_balance_sampling(self, feats_dir):
+        from asv_subtools_tpu.data import ChunkSamples
+
+        cs = ChunkSamples(feats_dir, chunk_size=200, chunk_type="speaker_balance")
+        chunks = cs.sample()
+        assert chunks
+        per_spk = {}
+        for c in chunks:
+            per_spk[c.label] = per_spk.get(c.label, 0) + 1
+        counts = list(per_spk.values())
+        assert max(counts) - min(counts) <= 1  # balanced
+        for c in chunks:
+            assert c.end - c.start == 200
+
+    def test_sequential_with_overlap(self, feats_dir):
+        from asv_subtools_tpu.data import ChunkSamples
+
+        cs = ChunkSamples(feats_dir, chunk_size=200, chunk_type="sequential", overlap=0.5)
+        chunks = cs.sample()
+        starts = [c.start for c in chunks if c.utt == "s0u2"]  # 350 frames
+        assert starts == [0, 100]  # step = 100 with 50% overlap
+
+    def test_chunk_egs_batches_and_csv(self, feats_dir, tmp_path):
+        from asv_subtools_tpu.data import ChunkEgs, ChunkSamples, read_chunk_csv
+
+        cs = ChunkSamples(feats_dir, chunk_size=128)
+        csv_path = str(tmp_path / "chunks.csv")
+        cs.write_csv(csv_path)
+        chunks = read_chunk_csv(csv_path)
+        assert chunks
+        egs = ChunkEgs(chunks, batch_size=4)
+        batch = next(iter(egs))
+        assert batch["x"].shape == (4, 128, 8)
+        assert batch["y"].shape == (4,)
+        # epoch reshuffle changes batch composition
+        egs.set_epoch(1)
+        batch2 = next(iter(egs))
+        assert batch["keys"] != batch2["keys"] or not np.allclose(batch["x"], batch2["x"])
