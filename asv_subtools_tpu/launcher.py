@@ -202,3 +202,45 @@ class Launcher:
         )
         self.logger.info("extraction: %s", stats)
         return stats
+
+    # -- stage 3 ------------------------------------------------------------
+    def score(
+        self,
+        train_scp: str,
+        train_utt2spk: str,
+        enroll_scp: str,
+        test_scp: str,
+        trials_path: str,
+        *,
+        process: str = "submean-norm",
+        classifier: str = "cosine",
+        score_norm: Optional[str] = None,
+        top_n: int = 300,
+        cohort_size: int = 3000,
+    ):
+        """scoreSets stage: transform chain + classifier + metrics."""
+        import numpy as np
+
+        from .backend import ScoreConfig, ScoreSets, Trials
+        from .io import read_vec_flt_scp
+
+        train = dict(read_vec_flt_scp(train_scp))
+        u2s = dict(
+            line.split()[:2] for line in open(train_utt2spk) if line.strip()
+        )
+        keys = sorted(k for k in train if k in u2s)
+        spks = sorted(set(u2s[k] for k in keys))
+        s2i = {s: i for i, s in enumerate(spks)}
+        x = np.stack([train[k] for k in keys])
+        ids = np.asarray([s2i[u2s[k]] for k in keys])
+        cfg = ScoreConfig(
+            process=process, classifier=classifier,
+            score_norm=score_norm, top_n=top_n,
+        )
+        pipe = ScoreSets(cfg).fit(x, ids)
+        enroll = dict(read_vec_flt_scp(enroll_scp))
+        test = dict(read_vec_flt_scp(test_scp))
+        cohort = x[:cohort_size] if score_norm else None
+        out = pipe.run(enroll, test, Trials.read(trials_path), cohort=cohort)
+        self.logger.info("scoring: %s", out)
+        return out

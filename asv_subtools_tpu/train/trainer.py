@@ -251,6 +251,7 @@ class Trainer:
         report_interval: int = 100,
         checkpoint_dir: Optional[str] = None,
         reporter=None,
+        nan_debug_dir: Optional[str] = None,
     ):
         self.net = net
         self.tx = tx
@@ -262,6 +263,7 @@ class Trainer:
         self.report_interval = report_interval
         self.checkpoint_dir = checkpoint_dir
         self.reporter = reporter
+        self.nan_debug_dir = nan_debug_dir
 
         step_fn = make_train_step(net, tx, lr_schedule, config)
         rep = replicated_sharding(self.mesh)
@@ -317,6 +319,14 @@ class Trainer:
                 jnp.asarray(lr_scale, jnp.float32),
             )
             agg["n"] += 1
+            if self.nan_debug_dir is not None and float(
+                jax.device_get(metrics["skipped"])
+            ) > 0:
+                # forensic dump + replay file (reference nan_debug,
+                # trainer_online.py:232-300)
+                from .debug import dump_nan_batch
+
+                dump_nan_batch(self.nan_debug_dir, state, batch, metrics)
             if (i + 1) % self.report_interval == 0:
                 m = jax.device_get(metrics)
                 rate = self.report_interval / (time.time() - t0)
