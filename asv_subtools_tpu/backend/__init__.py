@@ -12,6 +12,7 @@ from .classifiers import (
     train_logistic_regression,
     train_svm,
 )
+from .figure import det_curve_points, plot_det, plot_score_distribution
 from .fusion import greedy_fusion, lda_fusion, logistic_fusion, weight_fusion
 from .adaptation import (
     TwoCovPlda,

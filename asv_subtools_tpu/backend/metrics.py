@@ -79,10 +79,14 @@ def compute_cavg(
     bins: int = 20,
     min_score: Optional[float] = None,
     max_score: Optional[float] = None,
+    unknown_as_nontarget: bool = False,
 ) -> Tuple[list, float]:
     """LID Cavg over threshold bins (parity: computeCavg.py:83-117).
 
-    pairs: (claimed_lang_id, true_lang_id or -1, score).
+    pairs: (claimed_lang_id, true_lang_id or -1, score). With
+    unknown_as_nontarget (computeCavg_unknown.py), utterances whose true
+    language is unknown (-1) count as an extra nontarget class for every
+    claimed language.
     """
     arr = np.asarray([[a, b, c] for a, b, c in pairs], np.float64)
     claimed = arr[:, 0].astype(int)
@@ -103,7 +107,10 @@ def compute_cavg(
             n_tgt = is_tgt.sum()
             p_miss = (score[is_tgt] < threshold).mean() if n_tgt else 0.0
             p_fa_sum = 0.0
-            for other in range(lang_num):
+            others = list(range(lang_num))
+            if unknown_as_nontarget:
+                others.append(-1)
+            for other in others:
                 if other == lang:
                     continue
                 is_non = sel & (true == other)

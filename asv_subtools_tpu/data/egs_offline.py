@@ -187,3 +187,25 @@ class ChunkEgs:
         x = np.stack(feats).astype(np.float32)
         y = np.asarray([c.label for c in batch], np.int32)
         return {"x": x, "y": y, "keys": [c.utt for c in batch]}
+
+
+class ChunkEgsMultiTask(ChunkEgs):
+    """Dual-label chunk egs for multi-task (speaker, phone) training.
+
+    Parity: pytorch/libs/egs/egs_multi_task.py:28-123 — each chunk carries
+    the speaker label plus a frame-aligned phone-label matrix read from a
+    parallel alignment ark (same start/end range as the features).
+    """
+
+    def __init__(self, chunks, ali_rxfiles: Dict[str, str], **kwargs):
+        super().__init__(chunks, **kwargs)
+        self.ali_rxfiles = ali_rxfiles
+
+    def _collate(self, batch):
+        out = super()._collate(batch)
+        phones = []
+        for c in batch:
+            ali = read_mat(self.ali_rxfiles[c.utt], row_range=(c.start, c.end))
+            phones.append(ali[:, 0].astype(np.int32))
+        out["phone_y"] = np.stack(phones)
+        return out

@@ -44,6 +44,10 @@ from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101
 from .tdnn import (
     ActivationBatchNorm,
     AdaptivePCMN,
+    ChunkSeparationAffine,
+    GruAffine,
+    ImportantScale,
+    MultiAffine,
     FTdnnBlock,
     ReluBatchNormTdnnLayer,
     SEBlock,

@@ -236,6 +236,8 @@ class ConformerEncoder(nn.Module):
     combiner_type: str = "norm"
     aux_layer_period: int = 3
     aux_layer_start: int = 1
+    static_chunk_size: int = 0  # >0: chunk-causal attention (streaming)
+    left_chunk_size: int = -1
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -257,10 +259,12 @@ class ConformerEncoder(nn.Module):
         elif self.pos_enc_type == "rel_pos":
             pos_emb = rel_position_encoding(t, self.attention_dim)
 
-        att_mask = None
         pad_mask = mask
-        if mask is not None:
-            att_mask = (mask[:, None, None, :] & mask[:, None, :, None])
+        from .mask import add_optional_chunk_mask
+
+        att_mask = add_optional_chunk_mask(
+            mask, t, self.static_chunk_size, self.left_chunk_size
+        )
 
         extra = None
         if self.add_t5rel_bias:

@@ -378,6 +378,70 @@ class SoftmaxAffineLayer(nn.Module):
         return jax.nn.log_softmax(y, axis=-1) if self.log else jax.nn.softmax(y, axis=-1)
 
 
+class GruAffine(nn.Module):
+    """GRU over the time axis (reference GruAffine components.py:271-308).
+
+    Implemented with nn.GRUCell under nn.scan — XLA turns the scan into a
+    fused while-loop on device.
+    """
+
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cell = nn.GRUCell(features=self.output_dim, name="cell")
+        scan = nn.RNN(cell, name="rnn")
+        return scan(x)
+
+
+class ImportantScale(nn.Module):
+    """Per-feature learned scaling (reference ImportantScale components.py:479).
+
+    y = (w**2 / max(w**2)) * x — a soft feature-importance gate.
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (d,))
+        s = w * w
+        return x * (s / jnp.maximum(jnp.max(s), 1e-12))
+
+
+class MultiAffine(nn.Module):
+    """num_affine parallel affines averaged after a nonlinearity
+    (reference MultiAffine components.py:642-689)."""
+
+    output_dim: int
+    num_affine: int = 2
+    activation: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = get_activation(self.activation)
+        outs = []
+        for i in range(self.num_affine):
+            y = nn.Dense(self.output_dim, name=f"affine_{i}")(x)
+            outs.append(act(y) if act is not None else y)
+        return sum(outs) / self.num_affine
+
+
+class ChunkSeparationAffine(nn.Module):
+    """Split the time axis into two halves processed by separate affines,
+    then re-interleaved (reference ChunkSeparationAffine components.py:691).
+    """
+
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        t = x.shape[-2]
+        half = t // 2
+        a = nn.Dense(self.output_dim, name="first")(x[..., :half, :])
+        b = nn.Dense(self.output_dim, name="second")(x[..., half:, :])
+        return jnp.concatenate([a, b], axis=-2)
+
+
 def mixup(
     x: jax.Array, rng: jax.Array, alpha: float = 1.0
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -56,6 +56,7 @@ class TrainStepConfig:
     compute_dtype: Any = jnp.bfloat16
     use_semi_orth: bool = False  # F-TDNN constraint every 4 steps
     skip_nonfinite: bool = True
+    mixup_alpha: float = 0.0  # >0 enables batch mixup (components.py:717 + MixupLoss)
 
 
 def make_train_step(
@@ -75,6 +76,26 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
         xc = x.astype(config.compute_dtype)
+        if config.mixup_alpha > 0:
+            # batch mixup: mixed inputs, loss = lam*L(y) + (1-lam)*L(y[perm])
+            from ..nn.tdnn import mixup as _mixup
+
+            rng, mix_rng = jax.random.split(rng)
+            xc, lam, perm = _mixup(xc, mix_rng, config.mixup_alpha)
+
+            def apply_once(targets, r):
+                return net.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    xc, targets, mask=mask, train=True,
+                    lambda_m=lambda_m, margin_offset=margin_offset,
+                    mutable=["batch_stats"], rngs={"dropout": r},
+                )
+
+            (loss_a, logits, _), mut = apply_once(y, rng)
+            (loss_b, _, _), _ = apply_once(y[perm], rng)
+            loss = lam * loss_a + (1.0 - lam) * loss_b
+            acc = compute_accuracy(logits, y)
+            return loss.astype(jnp.float32), (mut["batch_stats"], acc)
         (loss, logits, _emb), mut = net.apply(
             {"params": params, "batch_stats": batch_stats},
             xc,
