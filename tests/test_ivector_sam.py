@@ -120,3 +120,58 @@ class TestSam:
         state = init_train_state(net, KEY, batch, tx)
         state, m = step(state, batch, KEY)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestFdTrainer:
+    def test_fd_alternating_step(self):
+        from asv_subtools_tpu.models.multitask import FDXvector
+        from asv_subtools_tpu.train import TrainStepConfig, get_optimizer
+        from asv_subtools_tpu.train.fd import (
+            FDSpeakerNet,
+            init_fd_state,
+            make_fd_train_step,
+        )
+
+        net = FDSpeakerNet(
+            backbone=FDXvector(num_frame_channels=16, embd_dim=8),
+            num_targets=4, num_aux_targets=3,
+            loss_name="softmax", loss_params={},
+        )
+        tx_main = get_optimizer("sgd", learning_rate=1e-2)
+        tx_adv = get_optimizer("sgd", learning_rate=1e-2)
+        step = jax.jit(make_fd_train_step(
+            net, tx_main, tx_adv, cycle=4, adv_steps=2,
+            config=TrainStepConfig(compute_dtype=jnp.float32),
+        ))
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": jnp.asarray(rng.normal(size=(8, 20, 8)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 4, 8)),
+            "aux_y": jnp.asarray(rng.integers(0, 3, 8)),
+        }
+        state = init_fd_state(net, KEY, batch, tx_main, tx_adv)
+        content_before = np.asarray(
+            state.params["backbone"]["content_fc"]["kernel"]
+        ).copy()
+        speaker_before = np.asarray(
+            state.params["backbone"]["speaker_fc"]["kernel"]
+        ).copy()
+        # steps 0,1 are the adversary phase (cycle=4, adv_steps=2)
+        k = KEY
+        for _ in range(2):
+            k, s = jax.random.split(k)
+            state, m = step(state, batch, s)
+            assert float(m["phase_adv"]) == 1.0
+        content_mid = np.asarray(state.params["backbone"]["content_fc"]["kernel"])
+        speaker_mid = np.asarray(state.params["backbone"]["speaker_fc"]["kernel"])
+        assert not np.allclose(content_mid, content_before)  # adversary moved
+        np.testing.assert_array_equal(speaker_mid, speaker_before)  # main frozen
+        # steps 2,3: main phase
+        for _ in range(2):
+            k, s = jax.random.split(k)
+            state, m = step(state, batch, s)
+            assert float(m["phase_adv"]) == 0.0
+        speaker_after = np.asarray(state.params["backbone"]["speaker_fc"]["kernel"])
+        content_after = np.asarray(state.params["backbone"]["content_fc"]["kernel"])
+        assert not np.allclose(speaker_after, speaker_mid)  # main moved
+        np.testing.assert_array_equal(content_after, content_mid)  # adversary frozen
