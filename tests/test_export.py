@@ -63,3 +63,39 @@ class TestExport:
             jnp.ones((2, 20, 8)), train=False,
         )
         assert emb.shape == (2, 8)
+
+
+class TestQuantization:
+    def test_int8_roundtrip_fidelity(self):
+        from asv_subtools_tpu.models import EcapaTdnn
+        from asv_subtools_tpu.quantize import (
+            dequantize_params,
+            quantization_error,
+            quantize_params,
+        )
+
+        model = EcapaTdnn(channels=32, embd_dim=16, mfa_conv=48)
+        x = jax.random.normal(KEY, (2, 80, 12))
+        v = model.init({"params": KEY}, x, train=False)
+        q = quantize_params(v["params"], min_size=64)
+        err = quantization_error(v["params"], q)
+        assert err < 0.01  # int8 per-channel: <1% max weight error
+        deq = dequantize_params(q)
+        emb_f32 = model.apply(v, x, train=False)
+        emb_q = model.apply(
+            {"params": deq, "batch_stats": v.get("batch_stats", {})}, x, train=False
+        )
+        a, b = np.asarray(emb_f32), np.asarray(emb_q)
+        cos = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        assert cos.min() > 0.999
+
+    def test_size_reduction(self):
+        from asv_subtools_tpu.quantize import quantize_params
+
+        w = {"k": np.random.default_rng(0).normal(size=(256, 256)).astype(np.float32)}
+        q = quantize_params(w)
+        orig = w["k"].nbytes
+        quant = q["k"]["int8_values"].nbytes + q["k"]["int8_scales"].nbytes
+        assert quant < orig / 3.5
