@@ -131,3 +131,52 @@ def gmm_lid_scores(
     langs = sorted(gmms)
     scores = np.stack([gmms[l].log_likelihood(vectors) for l in langs], axis=1)
     return scores, langs
+
+
+def train_diag_gmm_mmi(
+    class_gmms: Dict[str, DiagGmm],
+    vectors: np.ndarray,
+    labels: np.ndarray,
+    num_iters: int = 4,
+    learning_rate: float = 1.0,
+    i_smooth: float = 100.0,
+    var_floor: float = 1e-3,
+) -> Dict[str, DiagGmm]:
+    """Discriminative MMI refinement of per-class GMMs.
+
+    Parity: the reference's patched Kaldi `gmm-global-est-*-mmi` binaries
+    (README.md:330-345): numerator stats from a class's own data,
+    denominator stats from that class's posterior over ALL data, extended
+    Baum-Welch mean/variance update with I-smoothing toward the ML stats.
+    """
+    classes = sorted(class_gmms)
+    out = {c: DiagGmm(g.weights.copy(), g.means.copy(), g.vars.copy())
+           for c, g in class_gmms.items()}
+    y = np.asarray(labels)
+    for _ in range(num_iters):
+        # class posteriors over all data (the denominator model)
+        ll = np.stack([out[c].log_likelihood(vectors) for c in classes], axis=1)
+        ll = ll - ll.max(axis=1, keepdims=True)
+        post = np.exp(ll)
+        post = post / post.sum(axis=1, keepdims=True)  # [N, C]
+        for ci, c in enumerate(classes):
+            g = out[c]
+            own = vectors[y == ci]
+            r_num = g.responsibilities(own)  # [Nc, K]
+            n_num = r_num.sum(axis=0)
+            f_num = r_num.T @ own
+            s_num = r_num.T @ (own**2)
+            # denominator: all data weighted by this class's posterior
+            w_den = post[:, ci]
+            r_den = g.responsibilities(vectors) * w_den[:, None]
+            n_den = r_den.sum(axis=0)
+            f_den = r_den.T @ vectors
+            s_den = r_den.T @ (vectors**2)
+            # extended BW with I-smoothing (D-term from i_smooth)
+            d = n_den * learning_rate + i_smooth  # [K]
+            denom = np.maximum(n_num - n_den + d, 1e-6)[:, None]  # [K, 1]
+            new_means = (f_num - f_den + d[:, None] * g.means) / denom
+            new_s = (s_num - s_den + d[:, None] * (g.vars + g.means**2)) / denom
+            g.means = new_means
+            g.vars = np.maximum(new_s - new_means**2, var_floor)
+    return out

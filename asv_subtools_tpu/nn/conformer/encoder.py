@@ -101,6 +101,8 @@ class ConformerBlock(nn.Module):
     positionwise_layer_type: str = "linear"
     positionwise_conv_kernel_size: int = 1
     activation_type: str = "swish"
+    re_scale: bool = False  # learned residual-branch scales (ReConformer)
+    causal_conv: bool = False  # causal conv module (streaming chunks)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -120,6 +122,11 @@ class ConformerBlock(nn.Module):
                 return nn.Dropout(self.dropout_rate, deterministic=False)(h)
             return h
 
+        def res_scale(name):
+            if not self.re_scale:
+                return 1.0
+            return self.param(name, nn.initializers.ones, ())
+
         ff_scale = 0.5 if self.macaron else 1.0
         pw_cls = (
             PositionwiseFeedForward
@@ -134,7 +141,7 @@ class ConformerBlock(nn.Module):
                 hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
                 activation=self.activation_type, name="ff_macaron",
             )(h, deterministic=det)
-            x = res + ff_scale * drop(h)
+            x = res + res_scale("scale_ff_macaron") * ff_scale * drop(h)
             if not self.normalize_before:
                 x = nn.LayerNorm(name="norm_ff_macaron")(x)
 
@@ -153,7 +160,7 @@ class ConformerBlock(nn.Module):
                 jnp.concatenate([h, h_att], axis=-1)
             )
         else:
-            x = res + drop(h_att)
+            x = res + res_scale("scale_mha") * drop(h_att)
         if not self.normalize_before:
             x = nn.LayerNorm(name="norm_mha")(x)
 
@@ -161,9 +168,10 @@ class ConformerBlock(nn.Module):
             res = x
             h = nn.LayerNorm(name="norm_conv")(x) if self.normalize_before else x
             h = ConvolutionModule(
-                kernel_size=self.cnn_kernel, axis_name=self.axis_name, name="conv_module"
+                kernel_size=self.cnn_kernel, causal=self.causal_conv,
+                axis_name=self.axis_name, name="conv_module",
             )(h, mask=pad_mask, train=train)
-            x = res + drop(h)
+            x = res + res_scale("scale_conv") * drop(h)
             if not self.normalize_before:
                 x = nn.LayerNorm(name="norm_conv")(x)
 
@@ -173,7 +181,7 @@ class ConformerBlock(nn.Module):
             hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
             activation=self.activation_type, name="ff",
         )(h, deterministic=det)
-        x = res + ff_scale * drop(h)
+        x = res + res_scale("scale_ff") * ff_scale * drop(h)
         if not self.normalize_before:
             x = nn.LayerNorm(name="norm_ff")(x)
 
@@ -238,6 +246,7 @@ class ConformerEncoder(nn.Module):
     aux_layer_start: int = 1
     static_chunk_size: int = 0  # >0: chunk-causal attention (streaming)
     left_chunk_size: int = -1
+    re_scale: bool = False  # ReConformer variant (encoder.py:684)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -290,6 +299,8 @@ class ConformerEncoder(nn.Module):
                 normalize_before=self.normalize_before,
                 positionwise_layer_type=self.positionwise_layer_type,
                 activation_type=self.activation_type,
+                re_scale=self.re_scale,
+                causal_conv=self.static_chunk_size > 0,
                 axis_name=self.axis_name,
                 name=f"block_{i}",
             )(h, att_mask=att_mask, pad_mask=pad_mask, pos_emb=pos_emb,

@@ -167,3 +167,32 @@ class TestConformerXvector:
 
     def test_in_registry(self):
         assert "conformer_xvector" in MODELS
+
+
+class TestReConformer:
+    def test_re_scale_variant(self):
+        enc = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+            input_layer="linear", re_scale=True,
+        )
+        x = jax.random.normal(KEY, (2, 32, 24))
+        v = enc.init(RNGS, x, train=False)
+        # learned residual scales exist and start at 1
+        assert "scale_mha" in v["params"]["block_0"]
+        y, _ = enc.apply(v, x, train=False)
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_streaming_chunk_mask(self):
+        enc = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+            input_layer="linear", static_chunk_size=8,
+        )
+        x = jax.random.normal(KEY, (1, 32, 24))
+        v = enc.init(RNGS, x, train=False)
+        y_full, _ = enc.apply(v, x, train=False)
+        # causality: changing FUTURE chunks must not affect earlier chunks
+        x2 = x.at[:, 16:, :].set(0.0)
+        y_cut, _ = enc.apply(v, x2, train=False)
+        np.testing.assert_allclose(
+            np.asarray(y_full[:, :8]), np.asarray(y_cut[:, :8]), atol=1e-5
+        )

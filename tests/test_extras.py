@@ -310,3 +310,30 @@ class TestMixupTrainStep:
         # deterministic eval loss instead
         assert np.isfinite(float(m["loss"]))
         assert eval_loss(state) < before
+
+
+class TestMmiGmm:
+    def test_mmi_improves_discrimination(self):
+        from asv_subtools_tpu.backend.classifiers import (
+            gmm_lid_scores,
+            train_diag_gmm,
+            train_diag_gmm_mmi,
+        )
+
+        rng = np.random.default_rng(0)
+        # overlapping classes: ML GMMs confusable, MMI should sharpen
+        x0 = rng.normal(0.0, 1.0, (300, 4))
+        x1 = rng.normal(1.2, 1.0, (300, 4))
+        x = np.concatenate([x0, x1])
+        y = np.concatenate([np.zeros(300, int), np.ones(300, int)])
+        gmms = {
+            "a": train_diag_gmm(x0, num_components=2, num_iters=15),
+            "b": train_diag_gmm(x1, num_components=2, num_iters=15),
+        }
+        scores_ml, _ = gmm_lid_scores(gmms, x)
+        acc_ml = ((scores_ml.argmax(1) == y).mean())
+        mmi = train_diag_gmm_mmi(gmms, x, y, num_iters=4)
+        scores_mmi, _ = gmm_lid_scores({k: mmi[k] for k in mmi}, x)
+        acc_mmi = (scores_mmi.argmax(1) == y).mean()
+        assert np.all(np.isfinite(scores_mmi))
+        assert acc_mmi >= acc_ml - 0.01  # at worst equal, typically better
