@@ -1,0 +1,108 @@
+"""Serving path: python EmbeddingServer + C++ asv_extractor_main client.
+
+Full production split end-to-end: the C++ binary decodes wavs, computes
+fbank+VAD+submean natively, streams features over the socket, and the
+server answers with model embeddings — compared against a pure-python
+reference of the same pipeline.
+"""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from asv_subtools_tpu.io import write_wav
+from asv_subtools_tpu.models import EcapaTdnn
+from asv_subtools_tpu.serving import EmbeddingServer, embed_request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLIENT = os.path.join(REPO, "runtime", "build", "asv_extractor_main")
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def model_and_fn():
+    model = EcapaTdnn(channels=16, embd_dim=8, mfa_conv=24)
+    v = model.init({"params": KEY}, jnp.ones((1, 100, 80)), train=False)
+
+    def embed(x, mask):
+        return model.apply(v, x, mask=mask, train=False)
+
+    return model, v, embed
+
+
+class TestServer:
+    def test_python_roundtrip(self, model_and_fn):
+        _, _, embed = model_and_fn
+        server = EmbeddingServer(embed, buckets=(128, 256))
+        port = server.start()
+        try:
+            feats = np.random.default_rng(0).normal(size=(90, 80)).astype(np.float32)
+            emb = embed_request("127.0.0.1", port, feats)
+            assert emb.shape == (8,)
+            direct = server.embed(feats)
+            np.testing.assert_allclose(emb, direct, rtol=1e-6)
+        finally:
+            server.stop()
+
+    def test_cpp_client_end_to_end(self, model_and_fn, tmp_path):
+        if not os.path.exists(CLIENT):
+            pytest.skip("asv_extractor_main not built")
+        _, _, embed = model_and_fn
+        server = EmbeddingServer(embed, buckets=(256, 512, 1024))
+        port = server.start()
+        try:
+            rng = np.random.default_rng(1)
+            lines = []
+            for i in range(3):
+                wav = (rng.normal(size=16000 + 4000 * i) * 2000).astype(np.float32)
+                p = tmp_path / f"u{i}.wav"
+                write_wav(str(p), wav, 16000)
+                lines.append(f"u{i} {p}")
+            scp = tmp_path / "wav.scp"
+            scp.write_text("\n".join(lines) + "\n")
+            out = tmp_path / "emb.txt"
+            res = subprocess.run(
+                [CLIENT, "--wav_scp", str(scp), "--port", str(port),
+                 "--output", str(out), "--num_bins", "80"],
+                capture_output=True, text=True, timeout=300,
+            )
+            assert res.returncode == 0, res.stderr
+            assert "TOTAL utts=3 failures=0" in res.stdout
+            embs = {}
+            for line in out.read_text().splitlines():
+                parts = line.split()
+                embs[parts[0]] = np.asarray([float(v) for v in parts[1:]])
+            assert set(embs) == {"u0", "u1", "u2"}
+            for e in embs.values():
+                assert e.shape == (8,) and np.all(np.isfinite(e))
+
+            # cross-check u0 against the pure-python twin of the C++ pipeline
+            from asv_subtools_tpu.features import (
+                FbankOptions, MelOptions, VadOptions, compute_fbank,
+                compute_vad_energy,
+            )
+
+            wav0, _ = __import__(
+                "asv_subtools_tpu.io", fromlist=["read_wav"]
+            ).read_wav(str(tmp_path / "u0.wav"))
+            opts = FbankOptions(
+                mel_opts=MelOptions(num_bins=80), use_energy=True
+            )
+            feats = np.asarray(compute_fbank(jnp.asarray(wav0), opts))
+            voiced = np.asarray(
+                compute_vad_energy(jnp.asarray(feats[:, 0]), VadOptions())
+            )
+            sel = feats[voiced > 0.5, 1:]
+            sel = sel - sel.mean(axis=0, keepdims=True)
+            ref = server.embed(sel.astype(np.float32))
+            cos = float(
+                (embs["u0"] @ ref)
+                / (np.linalg.norm(embs["u0"]) * np.linalg.norm(ref))
+            )
+            assert cos > 0.999, f"C++ vs python pipeline cosine {cos}"
+        finally:
+            server.stop()
