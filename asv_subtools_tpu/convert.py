@@ -1,0 +1,156 @@
+"""Reference (PyTorch) checkpoint conversion -> flax params.
+
+The BASELINE north star requires embedding parity with the reference
+extractor: this module maps ASV-Subtools ECAPA state_dicts
+(pytorch/model/ecapa_tdnn_xvector.py) onto models.EcapaTdnn parameter
+pytrees, so reference-trained checkpoints load directly and users can
+switch frameworks without re-training.
+
+Layout rules:
+  torch conv1d weight [out, in, k]  -> flax Conv kernel [k, in, out]
+  torch TdnnAffine with dilated context [-d,0,d] stores a masked
+    full-width kernel [out, in, 2d+1]  -> take taps {0, d, 2d}
+  torch Linear/conv1x1 [out, in(,1)] -> flax Dense kernel [in, out]
+  BatchNorm weight/bias/running_*    -> scale/bias + batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv_kernel(w: np.ndarray, context_taps=None) -> np.ndarray:
+    """torch [out, in, k] -> flax [k', in, out] (optionally select taps)."""
+    w = np.asarray(w)
+    if context_taps is not None:
+        w = w[:, :, list(context_taps)]
+    return np.transpose(w, (2, 1, 0))
+
+
+def _dense_kernel(w: np.ndarray) -> np.ndarray:
+    """torch [out, in] or [out, in, 1] -> flax [in, out]."""
+    w = np.asarray(w)
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    return np.transpose(w, (1, 0))
+
+
+def _bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    params = {
+        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
+        "var": np.asarray(sd[f"{prefix}.running_var"], np.float32),
+    }
+    return params, stats
+
+
+def _tdnn_layer(sd: Dict, prefix: str, taps=None) -> Tuple[Dict, Dict]:
+    """ReluBatchNormTdnnLayer: {affine/conv, act_bn/bn}."""
+    p_bn, s_bn = _bn(sd, f"{prefix}.batchnorm")
+    params = {
+        "affine": {
+            "conv": {
+                "kernel": _conv_kernel(sd[f"{prefix}.affine.weight"], taps),
+                "bias": np.asarray(sd[f"{prefix}.affine.bias"], np.float32),
+            }
+        },
+        "act_bn": {"bn": p_bn},
+    }
+    stats = {"act_bn": {"bn": s_bn}}
+    return params, stats
+
+
+def convert_ecapa_state_dict(
+    sd: Dict, scale: int = 8
+) -> Tuple[Dict, Dict]:
+    """ASV-Subtools ECAPA_TDNN state_dict -> (params, batch_stats) for
+    models.EcapaTdnn (pooling='ecpa-attentive', fc1=False)."""
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["layer1"], stats["layer1"] = _tdnn_layer(sd, "layer1")
+
+    for li, dilation in ((2, 2), (3, 3), (4, 4)):
+        name = f"layer{li}"
+        p: Dict = {}
+        s: Dict = {}
+        p["conv1"], s["conv1"] = _tdnn_layer(sd, f"{name}.conv_relu_bn1")
+        res_p: Dict = {}
+        res_s: Dict = {}
+        for b in range(scale - 1):
+            taps = (0, dilation, 2 * dilation)
+            bp, bs = _tdnn_layer(
+                sd, f"{name}.res2net_block.blocks.{b}", taps=taps
+            )
+            res_p[f"block_{b}"] = bp
+            res_s[f"block_{b}"] = bs
+        p["res2net"] = res_p
+        s["res2net"] = res_s
+        p["conv2"], s["conv2"] = _tdnn_layer(sd, f"{name}.conv_relu_bn2")
+        p["se"] = {
+            "fc1": {
+                "kernel": _dense_kernel(sd[f"{name}.se.se.1.weight"]),
+                "bias": np.asarray(sd[f"{name}.se.se.1.bias"], np.float32),
+            },
+            "fc2": {
+                "kernel": _dense_kernel(sd[f"{name}.se.se.3.weight"]),
+                "bias": np.asarray(sd[f"{name}.se.se.3.bias"], np.float32),
+            },
+        }
+        if f"{name}.shortcut.weight" in sd:
+            p["shortcut"] = {
+                "kernel": _conv_kernel(sd[f"{name}.shortcut.weight"]),
+                "bias": np.asarray(sd[f"{name}.shortcut.bias"], np.float32),
+            }
+        params[name] = p
+        stats[name] = s
+
+    params["mfa"], stats["mfa"] = _tdnn_layer(sd, "mfa")
+
+    att_bn_p, att_bn_s = _bn(sd, "stats.attention.2")
+    params["stats"] = {
+        "att1": {
+            "kernel": _conv_kernel(sd["stats.attention.0.weight"]),
+            "bias": np.asarray(sd["stats.attention.0.bias"], np.float32),
+        },
+        "att_bn": att_bn_p,
+        "att2": {
+            "kernel": _conv_kernel(sd["stats.attention.4.weight"]),
+            "bias": np.asarray(sd["stats.attention.4.bias"], np.float32),
+        },
+    }
+    stats["stats"] = {"att_bn": att_bn_s}
+
+    params["bn_stats"], stats["bn_stats"] = _bn(sd, "bn_stats")
+
+    params["fc2_affine"] = {
+        "kernel": _dense_kernel(sd["fc2.affine.weight"]),
+        "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
+    }
+    params["fc2_bn"], stats["fc2_bn"] = _bn(sd, "fc2.batchnorm")
+
+    if "fc1.affine.weight" in sd:
+        params["fc1_affine"] = {
+            "kernel": _dense_kernel(sd["fc1.affine.weight"]),
+            "bias": np.asarray(sd["fc1.affine.bias"], np.float32),
+        }
+        params["fc1_bn"], stats["fc1_bn"] = _bn(sd, "fc1.batchnorm")
+
+    return params, stats
+
+
+def load_reference_ecapa(checkpoint_path: str, **kwargs) -> Tuple[Dict, Dict]:
+    """Load a reference {epoch}.params torch checkpoint into flax trees."""
+    import torch
+
+    sd = torch.load(checkpoint_path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_ecapa_state_dict(sd, **kwargs)

@@ -1,0 +1,96 @@
+"""Embedding-parity harness: reference torch ECAPA vs our flax ECAPA with
+CONVERTED weights — the BASELINE.json "embeddings match the reference
+extractor to allclose tolerance" gate, executed live by instantiating the
+reference model code (torch CPU) with random weights and converting them.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from asv_subtools_tpu.convert import convert_ecapa_state_dict
+from asv_subtools_tpu.models import EcapaTdnn
+
+
+@pytest.fixture(scope="module")
+def reference_ecapa():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "ecapa_ref", "/root/reference/pytorch/model/ecapa_tdnn_xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference model: {e}")
+    return mod
+
+
+CHANNELS, EMBD, MFA, FEAT = 64, 16, 96, 30
+
+
+def _models(reference_ecapa, seed=0):
+    torch.manual_seed(seed)
+    ref = reference_ecapa.ECAPA_TDNN(
+        FEAT, 100, training=False,
+        ecapa_params={"channels": CHANNELS, "embd_dim": EMBD, "mfa_conv": MFA},
+    )
+    ref.eval()
+    params, stats = convert_ecapa_state_dict(ref.state_dict())
+    ours = EcapaTdnn(channels=CHANNELS, embd_dim=EMBD, mfa_conv=MFA)
+    variables = {"params": params, "batch_stats": stats}
+    return ref, ours, variables
+
+
+class TestEcapaParity:
+    def test_converted_tree_matches_init_structure(self, reference_ecapa):
+        _, ours, variables = _models(reference_ecapa)
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 50, FEAT)), train=False
+        )
+
+        def shapes(tree):
+            return jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), tree)
+
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+        assert shapes(init_v["batch_stats"]) == shapes(variables["batch_stats"])
+
+    def test_embeddings_allclose(self, reference_ecapa):
+        ref, ours, variables = _models(reference_ecapa)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 80, FEAT)).astype(np.float32)
+
+        with torch.no_grad():
+            # reference layout [B, D, T]; position "near" = full fc2 output
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=1e-3, atol=1e-3)
+
+    def test_near_affine_position_allclose(self, reference_ecapa):
+        ref, ours, variables = _models(reference_ecapa, seed=1)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(1, 120, FEAT)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near_affine"
+            )
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near_affine")
+        )
+        np.testing.assert_allclose(our_emb, ref_np, rtol=1e-3, atol=1e-3)
