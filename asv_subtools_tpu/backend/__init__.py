@@ -37,8 +37,17 @@ from .ivector import (
     train_ivector_extractor,
     train_ubm,
 )
-from .plda import Plda, PldaStats, estimate_plda, plda_score_trials
-from .score_norm import asnorm, cosine_score_matrix, snorm
+from .plda import (
+    Plda,
+    PldaStats,
+    estimate_plda,
+    plda_score_trials,
+    read_kaldi_plda_text,
+    read_two_cov_ark,
+    write_kaldi_plda_text,
+    write_two_cov_ark,
+)
+from .score_norm import asnorm, asnorm_device, cosine_score_matrix, snorm
 from .transforms import (
     TransformChain,
     ZCAWhitening,

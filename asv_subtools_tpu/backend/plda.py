@@ -206,6 +206,67 @@ def estimate_plda(
     return Plda(mean=global_mean, transform=u.T @ c, psi=s)
 
 
+def write_kaldi_plda_text(plda: Plda, path: str) -> None:
+    """Reference text format (plda_base.py plda_trans_write :218-228):
+    <Plda> [ mean ] [ transform rows ] [ psi ] </Plda>."""
+    with open(path, "w") as f:
+        f.write("<Plda>  [ " + " ".join(map(str, plda.mean.ravel())) + " ]\n")
+        f.write(" [")
+        for row in plda.transform:
+            f.write("\n  " + " ".join(map(str, row)))
+        f.write(" ]")
+        f.write("\n [ " + " ".join(map(str, plda.psi.ravel())) + " ]\n")
+        f.write("</Plda> ")
+
+
+def read_kaldi_plda_text(path: str) -> Plda:
+    """Inverse of write_kaldi_plda_text."""
+    text = open(path).read()
+    inner = text.split("<Plda>")[1].split("</Plda>")[0]
+    blocks = []
+    depth = 0
+    cur: list = []
+    for tok in inner.replace("[", " [ ").replace("]", " ] ").split():
+        if tok == "[":
+            depth += 1
+            cur = []
+        elif tok == "]":
+            depth -= 1
+            blocks.append(cur)
+        else:
+            cur.append(float(tok))
+    mean = np.asarray(blocks[0])
+    dim = len(mean)
+    transform = np.asarray(blocks[1]).reshape(dim, dim)
+    psi = np.asarray(blocks[2])
+    return Plda(mean=mean, transform=transform, psi=psi)
+
+
+def write_two_cov_ark(mean, within_var, between_var, path: str) -> None:
+    """Two-covariance form as Kaldi float-vector ark entries keyed
+    mean/within_var/between_var (what pyplda plda_read consumes,
+    plda_base.py:167-178)."""
+    from ..io.kaldi import write_vec_flt
+
+    write_vec_flt(path, np.asarray(mean).ravel(), "mean")
+    write_vec_flt(path, np.asarray(within_var).ravel(), "within_var")
+    write_vec_flt(path, np.asarray(between_var).ravel(), "between_var")
+
+
+def read_two_cov_ark(path: str):
+    """Read the two-covariance ark back -> (mean, within, between)."""
+    from ..io.kaldi import read_vec_flt_ark
+
+    entries = dict(read_vec_flt_ark(path))
+    mean = entries["mean"]
+    dim = len(mean)
+    return (
+        mean,
+        entries["within_var"].reshape(dim, dim),
+        entries["between_var"].reshape(dim, dim),
+    )
+
+
 def plda_score_trials(
     plda: Plda,
     enroll_vectors: np.ndarray,

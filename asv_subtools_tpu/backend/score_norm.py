@@ -98,6 +98,35 @@ def asnorm(
     return 0.5 * ((raw - e_mean) / e_std + (raw - t_mean.T) / t_std.T)
 
 
+def asnorm_device(
+    raw: jnp.ndarray,
+    enroll_cohort: jnp.ndarray,
+    test_cohort: jnp.ndarray,
+    top_n: int = 300,
+) -> jnp.ndarray:
+    """Jittable AS-norm: top-k on device, shardable over trial rows.
+
+    For vox1-E/H-scale tasks the [E, C]/[T, C] cohort matrices and the
+    top-k reduce ride the mesh (shard E and T over the data axis with
+    jax.sharding; C stays replicated) — the scale the reference's pandas
+    implementation could not reach (gather_results_from_epochs.sh:31-33).
+    """
+
+    def stats(mat):
+        k = min(top_n, mat.shape[1])
+        top = jax.lax.top_k(mat, k)[0]
+        mean = jnp.mean(top, axis=1)
+        var = jnp.sum((top - mean[:, None]) ** 2, axis=1) / jnp.maximum(k - 1, 1)
+        return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
+
+    em, es = stats(jnp.asarray(enroll_cohort, jnp.float32))
+    tm, ts = stats(jnp.asarray(test_cohort, jnp.float32))
+    raw = jnp.asarray(raw, jnp.float32)
+    return 0.5 * (
+        (raw - em[:, None]) / es[:, None] + (raw - tm[None, :]) / ts[None, :]
+    )
+
+
 def cosine_score_matrix(
     enroll: jnp.ndarray, test: jnp.ndarray, normalize: bool = True
 ) -> jnp.ndarray:

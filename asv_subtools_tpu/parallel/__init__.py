@@ -4,6 +4,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     host_local_slice,
+    initialize_multihost,
     make_mesh,
     replicate,
     shard_batch,

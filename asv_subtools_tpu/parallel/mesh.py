@@ -80,3 +80,25 @@ def host_local_slice(num_items: int, *, epoch: int = 0, shuffle_seed: int = 1024
     rng = np.random.default_rng(shuffle_seed + epoch)
     idx = rng.permutation(num_items)
     return idx[jax.process_index() :: jax.process_count()]
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (the jax twin of the reference's DDP rendezvous,
+    utils.py:457-466): call once per host before make_mesh(); afterwards
+    jax.devices() spans the slice and the same jitted step runs SPMD over
+    ICI+DCN. On TPU pods with default env vars, call with no arguments.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

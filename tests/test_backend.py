@@ -382,3 +382,53 @@ class TestScoreSetsPipeline:
         )
         out = pipe.run(e, t, trials)
         assert "num_trials" in out
+
+
+class TestPldaSerialization:
+    def test_kaldi_text_roundtrip(self, tmp_path):
+        from asv_subtools_tpu.backend import (
+            read_kaldi_plda_text,
+            write_kaldi_plda_text,
+        )
+
+        rng = np.random.default_rng(0)
+        plda = Plda(
+            mean=rng.normal(size=6),
+            transform=rng.normal(size=(6, 6)),
+            psi=np.abs(rng.normal(size=6)) + 0.1,
+        )
+        p = str(tmp_path / "plda.txt")
+        write_kaldi_plda_text(plda, p)
+        back = read_kaldi_plda_text(p)
+        np.testing.assert_allclose(back.mean, plda.mean, rtol=1e-6)
+        np.testing.assert_allclose(back.transform, plda.transform, rtol=1e-6)
+        np.testing.assert_allclose(back.psi, plda.psi, rtol=1e-6)
+
+    def test_two_cov_ark_roundtrip(self, tmp_path):
+        from asv_subtools_tpu.backend import read_two_cov_ark, write_two_cov_ark
+
+        rng = np.random.default_rng(1)
+        mean = rng.normal(size=5)
+        a = rng.normal(size=(5, 5))
+        within = a @ a.T + np.eye(5)
+        b = rng.normal(size=(5, 5))
+        between = b @ b.T
+        p = str(tmp_path / "plda.ark")
+        write_two_cov_ark(mean, within, between, p)
+        m2, w2, b2 = read_two_cov_ark(p)
+        np.testing.assert_allclose(m2, mean, rtol=1e-6)
+        np.testing.assert_allclose(w2, within, rtol=1e-6)
+        np.testing.assert_allclose(b2, between, rtol=1e-6)
+
+
+class TestAsnormDevice:
+    def test_matches_host_asnorm(self):
+        from asv_subtools_tpu.backend import asnorm, asnorm_device
+
+        rng = np.random.default_rng(2)
+        raw = rng.normal(size=(6, 9))
+        ec = rng.normal(size=(6, 64))
+        tc = rng.normal(size=(9, 64))
+        host = asnorm(raw, ec, tc, top_n=16)
+        dev = np.asarray(asnorm_device(raw, ec, tc, top_n=16))
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
