@@ -127,6 +127,44 @@ class WavEgsXvector:
             yield s["key"], s["feat"]
 
 
+class ParallelMapper:
+    """Ordered parallel map over an iterable using a thread pool.
+
+    For the host-side hot stages (wav decode, resample, feature compute —
+    all numpy/scipy, which release the GIL): a 39k audio-s/s chip needs
+    tens of decode cores to stay fed; this keeps utterance order while
+    keeping `workers` items in flight.
+    """
+
+    def __init__(self, fn: Callable, iterable: Iterable, workers: int = 8,
+                 prefetch: int = 32):
+        self.fn = fn
+        self.iterable = iterable
+        self.workers = workers
+        self.prefetch = prefetch
+
+    def __iter__(self):
+        import concurrent.futures as cf
+        from collections import deque
+
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending: deque = deque()
+            it = iter(self.iterable)
+            try:
+                for _ in range(self.prefetch):
+                    pending.append(pool.submit(self.fn, next(it)))
+            except StopIteration:
+                pass
+            while pending:
+                result = pending.popleft().result()
+                try:
+                    pending.append(pool.submit(self.fn, next(it)))
+                except StopIteration:
+                    pass
+                if result is not None:
+                    yield result
+
+
 class Prefetcher:
     """Background-thread prefetch (parity: prefetch_generator.py:42,
     DataLoaderFast egs.py:218-227): overlaps host pipeline work with

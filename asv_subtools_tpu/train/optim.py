@@ -179,6 +179,13 @@ def eve(
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)
 
 
+def no_weight_decay_mask(params: Any) -> Any:
+    """Mask for add_decayed_weights: decay only >=2D kernels (biases and
+    norm scales exempt — the reference's per-param weight_decay override
+    dict, optim.py:26-120, most commonly zeroes those)."""
+    return jax.tree_util.tree_map(lambda p: p.ndim >= 2, params)
+
+
 def get_optimizer(
     name: str = "adamW",
     learning_rate: Any = 3e-4,
@@ -196,36 +203,45 @@ def get_optimizer(
     sam_rho: float = 0.05,
     sam_adaptive: bool = False,
     eps: float = 1e-8,
+    decay_kernels_only: bool = False,
 ) -> optax.GradientTransformation:
     """Build an optimizer by reference name (reference get_optimizer optim.py:26-120).
 
     Names: sgd | sgdw | adam | adamW | ralamb | adamod | novograd | eve.
     `lookahead`, `gc` (gradient centralization), and `sam` wrap any base.
+    `decay_kernels_only` exempts biases/norm params from weight decay (the
+    reference's per-param weight-decay override idiom).
     """
+    wd_mask = no_weight_decay_mask if decay_kernels_only else None
     key = name.lower()
     if key == "sgd":
         base = optax.sgd(learning_rate, momentum=momentum, nesterov=nesterov)
         if weight_decay:
-            base = optax.chain(optax.add_decayed_weights(weight_decay), base)
+            base = optax.chain(
+                optax.add_decayed_weights(weight_decay, mask=wd_mask), base
+            )
     elif key == "sgdw":
         # decoupled weight decay (reference SGDW optim.py:223-328)
         base = optax.chain(
             optax.trace(decay=momentum, nesterov=nesterov),
-            optax.add_decayed_weights(weight_decay),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(learning_rate),
         )
     elif key == "adam":
         base = optax.adam(learning_rate, b1=beta1, b2=beta2, eps=eps)
     elif key in ("adamw", "adam_w"):
         base = optax.adamw(
-            learning_rate, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay
+            learning_rate, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, mask=wd_mask,
         )
     elif key == "ralamb":
         base = ralamb(learning_rate, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
     elif key == "adamod":
         base = optax.chain(
             scale_by_adamod(b1=beta1, b2=beta2, b3=beta3, eps=eps),
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
+            optax.add_decayed_weights(weight_decay, mask=wd_mask)
+            if weight_decay
+            else optax.identity(),
             optax.scale_by_learning_rate(learning_rate),
         )
     elif key == "novograd":
