@@ -154,3 +154,95 @@ def load_reference_ecapa(checkpoint_path: str, **kwargs) -> Tuple[Dict, Dict]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return convert_ecapa_state_dict(sd, **kwargs)
+
+
+def _conv2d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv2d [out, in, kF, kT] (reference maps are [B, C, F, T]) ->
+    flax NHWC-with-time-as-H kernel [kT, kF, in, out]."""
+    return np.transpose(np.asarray(w), (3, 2, 1, 0))
+
+
+def convert_resnet_state_dict(
+    sd: Dict, freq_out: int
+) -> Tuple[Dict, Dict]:
+    """ASV-Subtools ResNetXvector state_dict -> (params, batch_stats) for
+    models.ResNetXvector (full_pre_activation default, fc1 optional).
+
+    freq_out: F' after the trunk (ceil(F/8) for 3 stride-2 stages) —
+    needed because the reference flattens [C, F'] channel-major while we
+    flatten [F', C] freq-major; fc1/fc2 input rows are permuted to match.
+    """
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {"resnet": {}, "head": {}}
+    stats: Dict = {"resnet": {}, "head": {}}
+    rp, rs = params["resnet"], stats["resnet"]
+
+    rp["stem"] = {"kernel": _conv2d_kernel(sd["resnet.conv1.weight"])}
+    rp["stem_bn"], rs["stem_bn"] = _bn(sd, "resnet.bn1")
+
+    layer_sizes = []
+    for stage in range(1, 5):
+        b = 0
+        while f"resnet.layer{stage}.{b}.conv1.weight" in sd:
+            name = f"layer{stage}_{b}"
+            pre = f"resnet.layer{stage}.{b}"
+            blk_p: Dict = {
+                "conv1": {"kernel": _conv2d_kernel(sd[f"{pre}.conv1.weight"])},
+                "conv2": {"kernel": _conv2d_kernel(sd[f"{pre}.conv2.weight"])},
+            }
+            blk_s: Dict = {}
+            blk_p["bn1"], blk_s["bn1"] = _bn(sd, f"{pre}.bn1")
+            blk_p["bn2"], blk_s["bn2"] = _bn(sd, f"{pre}.bn2")
+            if f"{pre}.downsample.0.weight" in sd:
+                blk_p["downsample_conv"] = {
+                    "kernel": _conv2d_kernel(sd[f"{pre}.downsample.0.weight"])
+                }
+                blk_p["downsample_bn"], blk_s["downsample_bn"] = _bn(
+                    sd, f"{pre}.downsample.1"
+                )
+            if f"{pre}.se.fc.0.weight" in sd:  # SE variant
+                blk_p["se"] = {
+                    "fc1": {
+                        "kernel": _dense_kernel(sd[f"{pre}.se.fc.0.weight"]),
+                        "bias": np.asarray(sd[f"{pre}.se.fc.0.bias"], np.float32),
+                    },
+                    "fc2": {
+                        "kernel": _dense_kernel(sd[f"{pre}.se.fc.2.weight"]),
+                        "bias": np.asarray(sd[f"{pre}.se.fc.2.bias"], np.float32),
+                    },
+                }
+            rp[name] = blk_p
+            rs[name] = blk_s
+            b += 1
+        layer_sizes.append(b)
+
+    # head: permute fc rows from channel-major [C, F'] to freq-major [F', C]
+    first_fc = "fc1" if "fc1.affine.weight" in sd else "fc2"
+    w = sd[f"{first_fc}.affine.weight"]
+    if w.ndim == 3:
+        w = w[:, :, 0]
+    in_dim = w.shape[1]
+    half = in_dim // 2  # stats pooling: [mean, std]
+    c_dim = half // freq_out
+    # torch input index (mean half): c * freq_out + f ; ours: f * c_dim + c
+    perm = np.zeros(in_dim, np.int64)
+    for f in range(freq_out):
+        for c in range(c_dim):
+            perm[f * c_dim + c] = c * freq_out + f
+    perm[half:] = perm[:half] + half
+    w_perm = w[:, perm]
+
+    hp, hs = params["head"], stats["head"]
+    hp[f"{first_fc}_affine"] = {
+        "kernel": np.transpose(w_perm, (1, 0)),
+        "bias": np.asarray(sd[f"{first_fc}.affine.bias"], np.float32),
+    }
+    hp[f"{first_fc}_bn"], hs[f"{first_fc}_bn"] = _bn(sd, f"{first_fc}.batchnorm")
+    if first_fc == "fc1" and "fc2.affine.weight" in sd:
+        hp["fc2_affine"] = {
+            "kernel": _dense_kernel(sd["fc2.affine.weight"]),
+            "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
+        }
+        hp["fc2_bn"], hs["fc2_bn"] = _bn(sd, "fc2.batchnorm")
+    return params, stats

@@ -20,11 +20,16 @@ from ..nn.resnet import ResNet
 
 
 class _EmbeddingHead(nn.Module):
-    """stats-pool -> fc1(affine/relu/bn) -> fc2(affine/relu/bn) head."""
+    """stats-pool -> [fc1(affine/relu/bn)] -> fc2(affine/relu/bn) head.
+
+    fc1 is optional, matching the reference resnet_xvector default
+    (fc1=False: pooling feeds fc2 directly, resnet_xvector.py:99-120).
+    """
 
     embd_dim: int = 512
     pooling: str = "statistics"
     pooling_params: Any = None
+    fc1: bool = False
     momentum: float = 0.1
     axis_name: Optional[str] = None
 
@@ -37,11 +42,15 @@ class _EmbeddingHead(nn.Module):
         else:
             stats = pool(h, mask=mask)
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
-        z = nn.Dense(self.embd_dim, name="fc1_affine")(stats)
-        if position == "far":
-            return z
-        z = jax.nn.relu(z)
-        z = BatchNorm(name="fc1_bn", **common)(z, train=train)
+        z = stats
+        if self.fc1:
+            z = nn.Dense(self.embd_dim, name="fc1_affine")(z)
+            if position == "far":
+                return z
+            z = jax.nn.relu(z)
+            z = BatchNorm(name="fc1_bn", **common)(z, train=train)
+        elif position == "far":
+            raise ValueError("position='far' requires fc1=True")
         z2 = nn.Dense(self.embd_dim, name="fc2_affine")(z)
         if position == "near_affine":
             return z2
@@ -59,9 +68,11 @@ class ResNetXvector(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     base_planes: int = 32
     use_se: bool = False
+    full_pre_activation: bool = True
     embd_dim: int = 512
     pooling: str = "statistics"
     pooling_params: Any = None
+    fc1: bool = False
     momentum: float = 0.1
     axis_name: Optional[str] = None
 
@@ -78,6 +89,7 @@ class ResNetXvector(nn.Module):
             layers=self.layers,
             base_planes=self.base_planes,
             use_se=self.use_se,
+            full_pre_activation=self.full_pre_activation,
             momentum=self.momentum,
             axis_name=self.axis_name,
             name="resnet",
@@ -92,6 +104,7 @@ class ResNetXvector(nn.Module):
             embd_dim=self.embd_dim,
             pooling=self.pooling,
             pooling_params=self.pooling_params,
+            fc1=self.fc1,
             momentum=self.momentum,
             axis_name=self.axis_name,
             name="head",

@@ -19,12 +19,18 @@ from .tdnn import SEBlock2D
 
 
 class BasicBlock(nn.Module):
-    """3x3 + 3x3 residual block (reference resnet.py:23-110)."""
+    """3x3 + 3x3 residual block (reference resnet.py:23-110).
+
+    full_pre_activation=True (the reference default, resnet.py:59-105,
+    He et al. 2016): bn-relu-conv twice, identity added WITHOUT a final
+    relu; False = the original conv-bn-relu ordering.
+    """
 
     planes: int
     stride: Tuple[int, int] = (1, 1)
     use_se: bool = False
     se_ratio: int = 16
+    full_pre_activation: bool = True
     momentum: float = 0.1
     axis_name: Optional[str] = None
 
@@ -32,21 +38,43 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        bn = lambda name: BatchNorm(
+            momentum=self.momentum, axis_name=self.axis_name, name=name
+        )
         residual = x
+
+        if self.full_pre_activation:
+            y = bn("bn1")(x, train=train)
+            y = jax.nn.relu(y)
+            y = nn.Conv(
+                self.planes, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
+                use_bias=False, name="conv1",
+            )(y)
+            y = bn("bn2")(y, train=train)
+            y = jax.nn.relu(y)
+            y = nn.Conv(
+                self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2"
+            )(y)
+            if self.use_se:
+                y = SEBlock2D(ratio=self.se_ratio, name="se")(y)
+            if residual.shape != y.shape:
+                residual = nn.Conv(
+                    self.planes, (1, 1), strides=self.stride, use_bias=False,
+                    name="downsample_conv",
+                )(residual)
+                residual = bn("downsample_bn")(residual, train=train)
+            return y + residual
+
         y = nn.Conv(
-            self.planes, (3, 3), strides=self.stride, padding="SAME",
+            self.planes, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
             use_bias=False, name="conv1",
         )(x)
-        y = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn1")(
-            y, train=train
-        )
+        y = bn("bn1")(y, train=train)
         y = jax.nn.relu(y)
         y = nn.Conv(
-            self.planes, (3, 3), padding="SAME", use_bias=False, name="conv2"
+            self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="conv2"
         )(y)
-        y = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn2")(
-            y, train=train
-        )
+        y = bn("bn2")(y, train=train)
         if self.use_se:
             y = SEBlock2D(ratio=self.se_ratio, name="se")(y)
         if residual.shape != y.shape:
@@ -54,9 +82,7 @@ class BasicBlock(nn.Module):
                 self.planes, (1, 1), strides=self.stride, use_bias=False,
                 name="downsample_conv",
             )(residual)
-            residual = BatchNorm(
-                momentum=self.momentum, axis_name=self.axis_name, name="downsample_bn"
-            )(residual, train=train)
+            residual = bn("downsample_bn")(residual, train=train)
         return jax.nn.relu(y + residual)
 
 
@@ -82,7 +108,7 @@ class Bottleneck(nn.Module):
         )
         y = jax.nn.relu(y)
         y = nn.Conv(
-            self.planes, (3, 3), strides=self.stride, padding="SAME",
+            self.planes, (3, 3), strides=self.stride, padding=[(1, 1), (1, 1)],
             use_bias=False, name="conv2",
         )(y)
         y = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn2")(
@@ -119,6 +145,7 @@ class ResNet(nn.Module):
     base_planes: int = 32
     use_se: bool = False
     se_ratio: int = 16
+    full_pre_activation: bool = True  # reference default (resnet_xvector.py:38)
     momentum: float = 0.1
     axis_name: Optional[str] = None
     head_conv: bool = True  # 3x3 stem conv (head_conv in reference)
@@ -132,7 +159,7 @@ class ResNet(nn.Module):
         p = self.base_planes
 
         if self.head_conv:
-            x = nn.Conv(p, (3, 3), padding="SAME", use_bias=False, name="stem")(x)
+            x = nn.Conv(p, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False, name="stem")(x)
             x = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="stem_bn")(
                 x, train=train
             )
@@ -144,7 +171,7 @@ class ResNet(nn.Module):
         for stage, (n_blocks, stride) in enumerate(zip(self.layers, strides)):
             planes = p * (2**stage)
             for b in range(n_blocks):
-                x = blk(
+                kwargs = dict(
                     planes=planes,
                     stride=stride if b == 0 else (1, 1),
                     use_se=self.use_se,
@@ -152,7 +179,10 @@ class ResNet(nn.Module):
                     momentum=self.momentum,
                     axis_name=self.axis_name,
                     name=f"layer{stage + 1}_{b}",
-                )(x, train=train)
+                )
+                if blk is BasicBlock:
+                    kwargs["full_pre_activation"] = self.full_pre_activation
+                x = blk(**kwargs)(x, train=train)
 
         # [B, T', F', C] -> [B, T', F'*C] frame-level features
         b, t, f, c = x.shape

@@ -94,3 +94,60 @@ class TestEcapaParity:
             ours.apply(variables, jnp.asarray(x), train=False, position="near_affine")
         )
         np.testing.assert_allclose(our_emb, ref_np, rtol=1e-3, atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def reference_resnet():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "resnet_ref", "/root/reference/pytorch/model/resnet_xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference resnet: {e}")
+    return mod
+
+
+class TestResnetParity:
+    def test_embeddings_allclose(self, reference_resnet):
+        from asv_subtools_tpu.convert import convert_resnet_state_dict
+        from asv_subtools_tpu.models import ResNetXvector
+
+        torch.manual_seed(0)
+        feat, embd = 24, 32
+        ref = reference_resnet.ResNetXvector(
+            feat, 50, training=False,
+            resnet_params={"planes": [8, 16, 32, 64], "layers": [1, 1, 1, 1]},
+            fc1=False, fc1_params={}, extracted_embedding="near",
+        )
+        # override embd dim via fc2? reference fc2 out = embd_dim param
+        ref.eval()
+        freq_out = -(-feat // 8)
+        params, stats = convert_resnet_state_dict(ref.state_dict(), freq_out)
+        ours = ResNetXvector(
+            base_planes=8, layers=(1, 1, 1, 1),
+            embd_dim=ref.state_dict()["fc2.affine.weight"].shape[0],
+        )
+        variables = {"params": params, "batch_stats": stats}
+
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 64, feat)), train=False
+        )
+        shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 64, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
