@@ -112,17 +112,39 @@ class WavEgs:
 
 class WavEgsXvector:
     """Extraction egs: per-utterance whole features, no chunking/aug
-    (egs_online.py:239-260)."""
+    (egs_online.py:239-260). With workers>1 the decode+feature work runs
+    in an ordered thread pool (ParallelMapper) so the host keeps the chip
+    fed during batched extraction."""
 
-    def __init__(self, wav_scp: str, *, de_silence: bool = False, feat_opts=None):
+    def __init__(
+        self,
+        wav_scp: str,
+        *,
+        de_silence: bool = False,
+        feat_opts=None,
+        workers: int = 1,
+    ):
         self.entries = list(P.wav_scp_source(wav_scp))
+        self.workers = workers
         stages: List[Callable] = [P.parse_raw, P.resample()]
         if de_silence:
             stages.append(P.de_sil())
         stages.append(P.compute_feats(feat_opts))
         self.stages = stages
 
+    def _process_one(self, entry):
+        out = list(P.Pipeline([entry], self.stages))
+        if not out:
+            return None
+        s = out[0]
+        return s["key"], s["feat"]
+
     def __iter__(self):
+        if self.workers > 1:
+            yield from ParallelMapper(
+                self._process_one, self.entries, workers=self.workers
+            )
+            return
         for s in P.Pipeline(self.entries, self.stages):
             yield s["key"], s["feat"]
 
