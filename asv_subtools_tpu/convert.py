@@ -246,3 +246,149 @@ def convert_resnet_state_dict(
         }
         hp["fc2_bn"], hs["fc2_bn"] = _bn(sd, "fc2.batchnorm")
     return params, stats
+
+
+def _ln(sd: Dict, prefix: str) -> Dict:
+    """torch LayerNorm weight/bias -> flax scale/bias."""
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+    }
+
+
+def convert_conformer_state_dict(
+    sd: Dict, num_blocks: int, freq_out: int
+) -> Tuple[Dict, Dict]:
+    """ASV-Subtools TransformerXvector (conformer, rel_pos, conv2d 4x)
+    state_dict -> (params, batch_stats) for models.ConformerXvector.
+
+    freq_out: F' after the two stride-2 subsampling convs
+    (((F-1)//2 - 1)//2) — the flatten permutation mirror of the resnet
+    converter. q/k/v linears fuse into our single qkv kernel.
+    """
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {"transformer": {}}
+    stats: Dict = {}
+    tp = params["transformer"]
+
+    # subsampling: torch maps are [B, 1, T, F] -> kernel [out, in, kT, kF]
+    sub_kernel = lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0))
+    proj_w = np.asarray(sd["transformer.embed.out.0.weight"])  # [d, C*F']
+    d_att, in_dim = proj_w.shape
+    c_dim = in_dim // freq_out
+    perm = np.zeros(in_dim, np.int64)
+    for f in range(freq_out):
+        for c in range(c_dim):
+            perm[f * c_dim + c] = c * freq_out + f
+    tp["embed"] = {
+        "conv1": {
+            "kernel": sub_kernel(sd["transformer.embed.conv.0.weight"]),
+            "bias": np.asarray(sd["transformer.embed.conv.0.bias"], np.float32),
+        },
+        "conv2": {
+            "kernel": sub_kernel(sd["transformer.embed.conv.2.weight"]),
+            "bias": np.asarray(sd["transformer.embed.conv.2.bias"], np.float32),
+        },
+        "proj": {
+            "kernel": np.transpose(proj_w[:, perm], (1, 0)),
+            "bias": np.asarray(sd["transformer.embed.out.0.bias"], np.float32),
+        },
+    }
+
+    for i in range(num_blocks):
+        pre = f"transformer.encoders.{i}"
+        qkv_w = np.concatenate(
+            [
+                _dense_kernel(sd[f"{pre}.self_attn.linear_q.weight"]),
+                _dense_kernel(sd[f"{pre}.self_attn.linear_k.weight"]),
+                _dense_kernel(sd[f"{pre}.self_attn.linear_v.weight"]),
+            ],
+            axis=1,
+        )
+        qkv_b = np.concatenate(
+            [
+                np.asarray(sd[f"{pre}.self_attn.linear_q.bias"], np.float32),
+                np.asarray(sd[f"{pre}.self_attn.linear_k.bias"], np.float32),
+                np.asarray(sd[f"{pre}.self_attn.linear_v.bias"], np.float32),
+            ]
+        )
+        blk = {
+            "norm_ff_macaron": _ln(sd, f"{pre}.norm_ff_macaron"),
+            "ff_macaron": {
+                "w1": {
+                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward_macaron.w_1.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.feed_forward_macaron.w_1.bias"], np.float32),
+                },
+                "w2": {
+                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward_macaron.w_2.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.feed_forward_macaron.w_2.bias"], np.float32),
+                },
+            },
+            "norm_mha": _ln(sd, f"{pre}.norm_mha"),
+            "self_attn": {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "pos": {"kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_pos.weight"])},
+                "pos_bias_u": np.asarray(sd[f"{pre}.self_attn.pos_bias_u"], np.float32),
+                "pos_bias_v": np.asarray(sd[f"{pre}.self_attn.pos_bias_v"], np.float32),
+                "out": {
+                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_out.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
+                },
+            },
+            "norm_conv": _ln(sd, f"{pre}.norm_conv"),
+            "conv_module": {
+                "pointwise1": {
+                    "kernel": _conv_kernel(sd[f"{pre}.conv_module.pointwise_conv1.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.conv_module.pointwise_conv1.bias"], np.float32),
+                },
+                "depthwise": {
+                    "kernel": _conv_kernel(sd[f"{pre}.conv_module.depthwise_conv.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.conv_module.depthwise_conv.bias"], np.float32),
+                },
+                "norm": _ln(sd, f"{pre}.conv_module.norm"),
+                "pointwise2": {
+                    "kernel": _conv_kernel(sd[f"{pre}.conv_module.pointwise_conv2.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.conv_module.pointwise_conv2.bias"], np.float32),
+                },
+            },
+            "norm_ff": _ln(sd, f"{pre}.norm_ff"),
+            "ff": {
+                "w1": {
+                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward.w_1.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.feed_forward.w_1.bias"], np.float32),
+                },
+                "w2": {
+                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward.w_2.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.feed_forward.w_2.bias"], np.float32),
+                },
+            },
+            "norm_final": _ln(sd, f"{pre}.norm_final"),
+        }
+        tp[f"block_{i}"] = blk
+
+    tp["after_norm"] = _ln(sd, "transformer.after_norm")
+
+    params["transform_out_affine"] = {
+        "kernel": _dense_kernel(sd["transform_out.affine.weight"]),
+        "bias": np.asarray(sd["transform_out.affine.bias"], np.float32),
+    }
+    params["transform_out_norm"] = _ln(sd, "transform_out.batchnorm")
+    params["stats"] = {
+        "att1": {
+            "kernel": _conv_kernel(sd["stats.attention.0.weight"]),
+            "bias": np.asarray(sd["stats.attention.0.bias"], np.float32),
+        },
+        "att_norm": _ln(sd, "stats.attention.2"),
+        "att2": {
+            "kernel": _conv_kernel(sd["stats.attention.4.weight"]),
+            "bias": np.asarray(sd["stats.attention.4.bias"], np.float32),
+        },
+    }
+    params["bn_stats"] = _ln(sd, "stats.norm_stats")
+    params["fc2_affine"] = {
+        "kernel": _dense_kernel(sd["fc2.affine.weight"]),
+        "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
+    }
+    params["fc2_norm"] = _ln(sd, "fc2.batchnorm")
+    return params, stats

@@ -74,6 +74,7 @@ class ConformerXvector(nn.Module):
             stats = EcapaAttentiveStatsPool(
                 bottleneck=pp.get("hidden_size", 128),
                 time_attention=pp.get("time_attention", False),
+                norm_type=pp.get("norm_type", "layer_norm"),
                 axis_name=self.axis_name,
                 name="stats",
             )(h, train=train, mask=sub_mask)

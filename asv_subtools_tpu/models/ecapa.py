@@ -148,6 +148,7 @@ class EcapaAttentiveStatsPool(nn.Module):
 
     bottleneck: int = 128
     time_attention: bool = True
+    norm_type: str = "batch_norm"  # batch_norm | layer_norm (transformer uses LN)
     momentum: float = 0.5
     axis_name: Optional[str] = None
 
@@ -174,9 +175,12 @@ class EcapaAttentiveStatsPool(nn.Module):
             x_in = x
         a = nn.Conv(self.bottleneck, (1,), name="att1")(x_in)
         a = jax.nn.relu(a)
-        a = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="att_bn")(
-            a, train=train, mask=mask
-        )
+        if self.norm_type == "batch_norm":
+            a = BatchNorm(
+                momentum=self.momentum, axis_name=self.axis_name, name="att_bn"
+            )(a, train=train, mask=mask)
+        else:
+            a = nn.LayerNorm(name="att_norm")(a)
         a = jnp.tanh(a)
         a = nn.Conv(d, (1,), name="att2")(a)
         if mask is not None:

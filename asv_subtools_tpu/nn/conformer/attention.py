@@ -69,11 +69,18 @@ class MultiHeadedAttention(nn.Module):
 
 
 class RelPositionMultiHeadedAttention(nn.Module):
-    """Transformer-XL relative-position MHA with u/v biases
-    (attention.py:157-253; Dai et al. 2019)."""
+    """Relative-position MHA with u/v biases (attention.py:157-253).
+
+    rel_shift=False (default) mirrors the reference/wenet convention: the
+    positional term matrix_bd = (q+v) @ pos^T uses ABSOLUTE key positions
+    with pos_emb of length T and NO Transformer-XL rel-shift (the
+    reference removed it, attention.py:246-249). rel_shift=True enables
+    the true Transformer-XL alignment with a [2T-1] embedding.
+    """
 
     num_heads: int = 4
     dropout_rate: float = 0.0
+    rel_shift: bool = False
 
     @staticmethod
     def _rel_shift(x):
@@ -102,9 +109,14 @@ class RelPositionMultiHeadedAttention(nn.Module):
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
 
         if pos_emb is None:
-            pos_emb = rel_position_encoding(t, d)
-        p = nn.Dense(d, use_bias=False, name="pos")(pos_emb)  # [2T-1, D]
-        p = p.reshape(-1, h, dh).transpose(1, 0, 2)  # [H, 2T-1, Dh]
+            if self.rel_shift:
+                pos_emb = rel_position_encoding(t, d)
+            else:
+                from .embedding import sinusoid_table
+
+                pos_emb = jnp.asarray(sinusoid_table(t, d))
+        p = nn.Dense(d, use_bias=False, name="pos")(pos_emb)  # [P, D]
+        p = p.reshape(-1, h, dh).transpose(1, 0, 2)  # [H, P, Dh]
 
         u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, dh))
         vb = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, dh))
@@ -112,8 +124,9 @@ class RelPositionMultiHeadedAttention(nn.Module):
         q_u = (q + u).transpose(0, 2, 1, 3)  # [B, H, T, Dh]
         q_v = (q + vb).transpose(0, 2, 1, 3)
         ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k)
-        bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)  # [B, H, T, 2T-1]
-        bd = self._rel_shift(bd)
+        bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)  # [B, H, T, P]
+        if self.rel_shift:
+            bd = self._rel_shift(bd)
         scores = (ac + bd) / math.sqrt(dh)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)

@@ -101,6 +101,7 @@ class ConformerBlock(nn.Module):
     positionwise_layer_type: str = "linear"
     positionwise_conv_kernel_size: int = 1
     activation_type: str = "swish"
+    cnn_norm_type: str = "layer_norm"  # reference cnn_module_norm default
     re_scale: bool = False  # learned residual-branch scales (ReConformer)
     causal_conv: bool = False  # causal conv module (streaming chunks)
     axis_name: Optional[str] = None
@@ -168,7 +169,8 @@ class ConformerBlock(nn.Module):
             res = x
             h = nn.LayerNorm(name="norm_conv")(x) if self.normalize_before else x
             h = ConvolutionModule(
-                kernel_size=self.cnn_kernel, causal=self.causal_conv,
+                kernel_size=self.cnn_kernel, norm_type=self.cnn_norm_type,
+                causal=self.causal_conv,
                 axis_name=self.axis_name, name="conv_module",
             )(h, mask=pad_mask, train=train)
             x = res + res_scale("scale_conv") * drop(h)
@@ -238,6 +240,7 @@ class ConformerEncoder(nn.Module):
     macaron: bool = True
     use_cnn: bool = True
     cnn_kernel: int = 15
+    cnn_norm_type: str = "layer_norm"
     normalize_before: bool = True
     positionwise_layer_type: str = "linear"
     activation_type: str = "swish"
@@ -266,7 +269,12 @@ class ConformerEncoder(nn.Module):
         if self.pos_enc_type == "abs_pos":
             h = abs_position_encoding(h)
         elif self.pos_enc_type == "rel_pos":
-            pos_emb = rel_position_encoding(t, self.attention_dim)
+            # wenet RelPositionalEncoding scales x by sqrt(d); pos_emb is the
+            # standard table at positions 0..T-1 (no XL rel-shift)
+            from .embedding import sinusoid_table
+
+            h = h * float(np.sqrt(self.attention_dim))
+            pos_emb = jnp.asarray(sinusoid_table(t, self.attention_dim))
 
         pad_mask = mask
         from .mask import add_optional_chunk_mask
@@ -296,6 +304,7 @@ class ConformerEncoder(nn.Module):
                 macaron=self.macaron,
                 use_cnn=self.use_cnn,
                 cnn_kernel=self.cnn_kernel,
+                cnn_norm_type=self.cnn_norm_type,
                 normalize_before=self.normalize_before,
                 positionwise_layer_type=self.positionwise_layer_type,
                 activation_type=self.activation_type,

@@ -151,3 +151,66 @@ class TestResnetParity:
         )
         assert our_emb.shape == ref_np.shape
         np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def reference_conformer():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "conf_ref", "/root/reference/pytorch/model/transformer_xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference conformer: {e}")
+    return mod
+
+
+class TestConformerParity:
+    def test_embeddings_allclose(self, reference_conformer):
+        from asv_subtools_tpu.convert import convert_conformer_state_dict
+        from asv_subtools_tpu.models import ConformerXvector
+
+        torch.manual_seed(0)
+        feat, d_att, blocks = 30, 32, 2
+        ref = reference_conformer.TransformerXvector(
+            feat, 50, training=False, embd_dim=16,
+            transformer_params={
+                "attention_dim": d_att, "attention_heads": 2,
+                "linear_units": 64, "num_blocks": blocks,
+                "pos_enc_type": "rel_pos", "input_layer": "conv2d",
+                "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+            },
+            tansformer_out={"out_dim": 48},
+        )
+        ref.eval()
+        freq_out = ((feat - 1) // 2 - 1) // 2
+        params, stats = convert_conformer_state_dict(
+            ref.state_dict(), blocks, freq_out
+        )
+        ours = ConformerXvector(
+            embd_dim=16, attention_dim=d_att, attention_heads=2,
+            linear_units=64, num_blocks=blocks, out_dim=48, dropout_rate=0.0,
+        )
+        variables = {"params": params, "batch_stats": stats}
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.ones((1, 80, feat)), train=False,
+        )
+        shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 80, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=3e-3, atol=3e-3)
