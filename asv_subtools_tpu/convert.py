@@ -38,14 +38,18 @@ def _dense_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def _bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
-    params = {
-        "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
-        "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
-    }
     stats = {
         "mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
         "var": np.asarray(sd[f"{prefix}.running_var"], np.float32),
     }
+    if f"{prefix}.weight" in sd:
+        params = {
+            "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
+        }
+    else:  # affine=False BatchNorm (snowdar models): identity scale/bias
+        d = stats["mean"].shape[0]
+        params = {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)}
     return params, stats
 
 
@@ -391,4 +395,35 @@ def convert_conformer_state_dict(
         "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
     }
     params["fc2_norm"] = _ln(sd, "fc2.batchnorm")
+    return params, stats
+
+
+def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """ASV-Subtools standard Xvector/snowdar_xvector state_dict ->
+    (params, batch_stats) for models.Xvector (5 TDNN layers, stats pooling,
+    tdnn6/tdnn7 head). Dilated contexts stored as masked full-width kernels
+    are tap-selected like the ECAPA converter."""
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+    taps_by_layer = {
+        "tdnn1": None,       # [-2..2] contiguous
+        "tdnn2": (0, 2, 4),  # [-2, 0, 2] in a width-5 masked kernel
+        "tdnn3": (0, 3, 6),  # [-3, 0, 3] in a width-7 masked kernel
+        "tdnn4": None,
+        "tdnn5": None,
+    }
+    for name, taps in taps_by_layer.items():
+        params[name], stats[name] = _tdnn_layer(sd, name, taps=taps)
+    params["tdnn6_affine"] = {
+        "kernel": _dense_kernel(sd["tdnn6.affine.weight"]),
+        "bias": np.asarray(sd["tdnn6.affine.bias"], np.float32),
+    }
+    params["tdnn6_bn"], stats["tdnn6_bn"] = _bn(sd, "tdnn6.batchnorm")
+    params["tdnn7_affine"] = {
+        "kernel": _dense_kernel(sd["tdnn7.affine.weight"]),
+        "bias": np.asarray(sd["tdnn7.affine.bias"], np.float32),
+    }
+    params["tdnn7_bn"], stats["tdnn7_bn"] = _bn(sd, "tdnn7.batchnorm")
     return params, stats

@@ -214,3 +214,47 @@ class TestConformerParity:
         )
         assert our_emb.shape == ref_np.shape
         np.testing.assert_allclose(our_emb, ref_np, rtol=3e-3, atol=3e-3)
+
+
+@pytest.fixture(scope="module")
+def reference_snowdar():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "snow_ref", "/root/reference/pytorch/model/snowdar_xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference snowdar: {e}")
+    return mod
+
+
+class TestSnowdarParity:
+    def test_embeddings_allclose(self, reference_snowdar):
+        from asv_subtools_tpu.convert import convert_snowdar_state_dict
+        from asv_subtools_tpu.models import Xvector
+
+        torch.manual_seed(0)
+        feat = 30
+        ref = reference_snowdar.Xvector(feat, 50, training=False,
+                                        extracted_embedding="far")
+        ref.eval()
+        params, stats = convert_snowdar_state_dict(ref.state_dict())
+        ours = Xvector(num_frame_channels=512, embd_dim=512)
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 90, feat)).astype(np.float32)
+        # the decorator takes one [T, D] matrix per call and returns the
+        # chunk-averaged 1-D embedding (framework.py:12-55)
+        refs = []
+        with torch.no_grad():
+            for i in range(2):
+                refs.append(ref.extract_embedding(torch.from_numpy(x[i])).numpy())
+        ref_np = np.stack(refs)
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="far")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
