@@ -76,6 +76,17 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
         xc = x.astype(config.compute_dtype)
+        # true mixed precision: cast the params used in the forward to the
+        # compute dtype (f32 params + bf16 inputs would promote the whole
+        # forward back to f32); the f32 master copy lives in the optimizer.
+        # The margin-loss head stays f32 internally (loss.py upcasts).
+        if config.compute_dtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(config.compute_dtype)
+                if p.dtype == jnp.float32
+                else p,
+                params,
+            )
         if config.mixup_alpha > 0:
             # batch mixup: mixed inputs, loss = lam*L(y) + (1-lam)*L(y[perm])
             from ..nn.tdnn import mixup as _mixup

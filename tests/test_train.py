@@ -241,3 +241,32 @@ class TestParallelMapper:
             )
         )
         assert out == [i * 2 for i in range(30) if i % 3 != 0]
+
+
+class TestMixedPrecision:
+    def test_bf16_step_converges(self):
+        """True mixed precision (bf16 params in forward, f32 master copy)
+        must still train."""
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-2)
+        step = jax.jit(
+            make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.bfloat16))
+        )
+        batch = batch_of()
+        state = init_train_state(net, KEY, batch, tx)
+        # master params stay f32
+        assert all(
+            p.dtype == jnp.float32
+            for p in jax.tree_util.tree_leaves(state.params)
+        )
+        losses = []
+        rng = KEY
+        for _ in range(30):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] - 0.5, losses[::10]
+        assert all(
+            p.dtype == jnp.float32
+            for p in jax.tree_util.tree_leaves(state.params)
+        )
