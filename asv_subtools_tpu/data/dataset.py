@@ -77,6 +77,7 @@ class WavEgs:
         seed: int = 1024,
         rank: int = 0,
         world_size: int = 1,
+        drop_last: bool = True,
     ):
         entries = list(P.wav_scp_source(wav_scp, utt2spk, spk2int))
         self.shards = DistributedShardList(
@@ -98,7 +99,7 @@ class WavEgs:
                 stages.append(P.spec_aug_stage(seed=seed))
         stages += [
             P.shuffle(shuffle_buffer, seed=seed),
-            P.static_batch(batch_size),
+            P.static_batch(batch_size, drop_last=drop_last),
             P.pad_batch(key=key),
         ]
         self.stages = stages

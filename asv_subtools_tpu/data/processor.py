@@ -284,8 +284,9 @@ def sort_by_length(buffer_size: int = 500, key: str = "wav"):
     return stage
 
 
-def static_batch(batch_size: int = 16):
-    """Fixed-count batching (processor.py:548-566)."""
+def static_batch(batch_size: int = 16, drop_last: bool = False):
+    """Fixed-count batching (processor.py:548-566). drop_last=True keeps
+    every batch exactly batch_size (required for mesh-sharded training)."""
 
     def stage(samples):
         buf: List[Sample] = []
@@ -294,7 +295,7 @@ def static_batch(batch_size: int = 16):
             if len(buf) >= batch_size:
                 yield buf
                 buf = []
-        if buf:
+        if buf and not drop_last:
             yield buf
 
     return stage

@@ -51,6 +51,7 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "shuffle_buffer": 1000,
         "compute_feat": True,
         "spec_aug": False,
+        "valid_utts": 0,  # hold out N utts for validation (plateau/reporting)
     },
     # model
     "model": {"name": "ecapa_tdnn", "params": {}},
@@ -96,6 +97,7 @@ class Launcher:
         self.spk2int: Optional[Dict] = None
         self.net: Optional[SpeakerNet] = None
         self.state = None
+        self.valid_egs = None
 
     # -- stage 0 ------------------------------------------------------------
     def build_egs(self) -> WavEgs:
@@ -106,9 +108,37 @@ class Launcher:
             num_spks *= 3
         self.num_targets = num_spks
         self.logger.info("egs: %d speakers (incl. sp-aug)", num_spks)
+
+        train_scp, train_u2s = p["train_wav_scp"], p["train_utt2spk"]
+        self.valid_egs = None
+        n_valid = int(p.get("valid_utts", 0))
+        if n_valid > 0:
+            # hold out utterances keeping >=2 per speaker in train
+            from .datadir import DataDir
+
+            dd = DataDir.read(os.path.dirname(train_scp))
+            train_dd, valid_dd = dd.valid_split(
+                num_utts=n_valid, seed=self.params["seed"]
+            )
+            split_dir = os.path.join(self.params["exp_dir"], "egs_split")
+            train_dd.write(os.path.join(split_dir, "train"))
+            valid_dd.write(os.path.join(split_dir, "valid"))
+            train_scp = os.path.join(split_dir, "train", "wav.scp")
+            train_u2s = os.path.join(split_dir, "train", "utt2spk")
+            self.valid_egs = WavEgs(
+                os.path.join(split_dir, "valid", "wav.scp"),
+                os.path.join(split_dir, "valid", "utt2spk"),
+                self.spk2int,
+                chunk_seconds=p["chunk_seconds"],
+                batch_size=p["batch_size"],
+                compute_feat=p.get("compute_feat", True),
+                shuffle_buffer=1,
+                seed=self.params["seed"],
+            )
+            self.logger.info("valid split: %d utts held out", len(valid_dd))
         return WavEgs(
-            p["train_wav_scp"],
-            p["train_utt2spk"],
+            train_scp,
+            train_u2s,
             self.spk2int,
             chunk_seconds=p["chunk_seconds"],
             batch_size=p["batch_size"],
@@ -174,6 +204,11 @@ class Launcher:
             state, metrics = trainer.run_epoch(
                 state, Prefetcher(egs), rng, epoch=epoch
             )
+            if self.valid_egs is not None:
+                vmetrics = trainer.validate(state, iter(self.valid_egs))
+                metrics = {**metrics, **{f"valid_{k}": v for k, v in vmetrics.items()}}
+                if trainer.plateau is not None:
+                    trainer.plateau.update(vmetrics["loss"])
             save_checkpoint(ckpt_dir, state, epoch + 1, info=metrics)
             self.logger.info("epoch %d: %s", epoch + 1, metrics)
         self.state = state

@@ -57,6 +57,10 @@ class TrainStepConfig:
     use_semi_orth: bool = False  # F-TDNN constraint every 4 steps
     skip_nonfinite: bool = True
     mixup_alpha: float = 0.0  # >0 enables batch mixup (components.py:717 + MixupLoss)
+    # wave-input mode: batch["x"] is [B, S] raw audio; the fused Pallas
+    # fbank + CMVN run INSIDE the jitted step (no host feature stage)
+    wave_input: bool = False
+    fbank_opts: Any = None
 
 
 def make_train_step(
@@ -75,6 +79,21 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
+        if config.wave_input:
+            from ..features import FbankOptions, cmvn_utterance
+            from ..features.pallas_fbank import fused_fbank
+
+            opts = config.fbank_opts or FbankOptions()
+            feats, _energy = fused_fbank(x, opts)
+            if mask is not None:
+                shift, win = opts.frame_opts.window_shift, opts.frame_opts.window_size
+                n_samples = jnp.sum(mask, axis=1)
+                n_frames = jnp.maximum((n_samples - win) // shift + 1, 1)
+                mask = jnp.arange(feats.shape[1])[None, :] < n_frames[:, None]
+                feats = cmvn_utterance(feats, mask=mask) * mask[..., None]
+            else:
+                feats = cmvn_utterance(feats)
+            x = feats
         xc = x.astype(config.compute_dtype)
         # true mixed precision: cast the params used in the forward to the
         # compute dtype (f32 params + bf16 inputs would promote the whole
@@ -229,17 +248,34 @@ def make_train_step(
 
 
 def make_eval_step(net):
-    """Jittable validation step: (state, batch) -> metrics."""
+    """Jittable validation step: (state, batch) -> weighted metric sums.
+
+    batch may carry "weight" [B] (1/0) so padded rows — added to make the
+    batch shardable over the mesh — contribute nothing.
+    """
 
     def step(state, batch):
-        loss, logits, _ = net.apply(
+        loss_vec, logits, _ = net.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["x"],
             batch["y"],
             mask=batch.get("mask"),
             train=False,
         )
-        return {"loss": loss, "accuracy": compute_accuracy(logits, batch["y"])}
+        w = batch.get("weight")
+        if w is None:
+            w = jnp.ones(batch["y"].shape[0], jnp.float32)
+        correct = (jnp.argmax(logits, axis=-1) == batch["y"]).astype(jnp.float32)
+        # loss from the head is already a scalar mean; recompute the sum via
+        # per-row CE for exact weighting
+        from ..nn.loss import cross_entropy
+
+        per_row = cross_entropy(logits, batch["y"], reduction="none")
+        return {
+            "loss_sum": jnp.sum(per_row * w),
+            "acc_sum": jnp.sum(correct * w),
+            "n": jnp.sum(w),
+        }
 
     return step
 
@@ -375,12 +411,25 @@ class Trainer:
         return state, {k: float(v) for k, v in final_metrics.items()}
 
     def validate(self, state: TrainState, valid_iter: Iterable[Dict]) -> Dict:
-        tot = {"loss": 0.0, "accuracy": 0.0}
-        n = 0
+        n_data = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        loss_sum = acc_sum = count = 0.0
         for batch in valid_iter:
+            batch = {k: batch[k] for k in ("x", "y", "mask") if k in batch}
+            b = batch["y"].shape[0]
+            pad = (-b) % n_data
+            weight = np.concatenate([np.ones(b), np.zeros(pad)]).astype(np.float32)
+            if pad:
+                batch = {
+                    k: np.concatenate(
+                        [np.asarray(v)] + [np.asarray(v[:1])] * pad, axis=0
+                    )
+                    for k, v in batch.items()
+                }
+            batch["weight"] = weight
             batch = shard_batch(self.mesh, batch)
             m = jax.device_get(self._eval_step(state, batch))
-            tot["loss"] += float(m["loss"])
-            tot["accuracy"] += float(m["accuracy"])
-            n += 1
-        return {k: v / max(n, 1) for k, v in tot.items()}
+            loss_sum += float(m["loss_sum"])
+            acc_sum += float(m["acc_sum"])
+            count += float(m["n"])
+        count = max(count, 1.0)
+        return {"loss": loss_sum / count, "accuracy": acc_sum / count}

@@ -208,7 +208,7 @@ class TestPipeline:
             egs = WavEgs(
                 str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"), spk2int,
                 chunk_seconds=0.5, batch_size=12, shuffle_buffer=1,
-                rank=rank, world_size=2,
+                rank=rank, world_size=2, drop_last=False,
             )
             for b in egs:
                 seen += b["keys"]

@@ -108,3 +108,39 @@ class TestEndToEnd:
         eer, _ = compute_eer(scores[iu], labels)
         # 4 synthetic speakers with distinct f0s: must beat chance decisively
         assert eer < 0.35, f"end-to-end EER too high: {eer}"
+
+
+class TestValidSplit:
+    def test_valid_split_and_metrics(self, corpus, tmp_path):
+        params = {
+            "exp_dir": str(tmp_path / "exp2"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 0.5,
+                "batch_size": 8,  # must divide the 8-device mesh
+                "shuffle_buffer": 8,
+                "valid_utts": 4,
+            },
+            "model": {"name": "xvector", "params": {"num_frame_channels": 16, "embd_dim": 8}},
+            "loss": {"name": "softmax", "params": {}},
+            "train": {
+                "epochs": 1,
+                "optimizer": {"name": "sgd", "learning_rate": 1e-2},
+                "lr_schedule": {"name": "constant", "base_lr": 1e-2},
+                "compute_dtype": "float32",
+                "report_interval": 100,
+            },
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        assert launcher.valid_egs is not None
+        launcher.build_model()
+        state = launcher.train(egs)
+        # checkpoint sidecar carries valid metrics
+        import yaml
+
+        info = yaml.safe_load(
+            open(tmp_path / "exp2" / "checkpoints" / "checkpoint_info" / "1.yaml")
+        )
+        assert "valid_loss" in info
