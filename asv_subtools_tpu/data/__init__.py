@@ -16,6 +16,7 @@ from .augment import (
 from .egs_offline import Chunk, ChunkEgs, ChunkSamples, read_chunk_csv
 from .dataset import (
     DistributedShardList,
+    ParallelMapper,
     Prefetcher,
     WavEgs,
     WavEgsXvector,

@@ -68,8 +68,13 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "report_interval": 100,
         "margin_warm": None,  # {"start_epoch", "end_epoch", "offset_margin", "init_lambda"}
     },
-    # extraction
-    "extract": {"buckets": [200, 400, 800, 1600, 3200, 6400, 10000], "batch": 32},
+    # extraction: mode "feature" (host fbank) or "wave" (on-chip fused fbank)
+    "extract": {
+        "buckets": [200, 400, 800, 1600, 3200, 6400, 10000],
+        "batch": 32,
+        "mode": "feature",
+        "workers": 8,
+    },
 }
 
 
@@ -220,18 +225,47 @@ class Launcher:
         e = self.params["extract"]
         backbone = self.net.backbone
 
-        def embed_fn(x, mask):
+        def model_apply(x, mask):
             return backbone.apply(
                 {"params": state.params["backbone"],
                  "batch_stats": state.batch_stats.get("backbone", {})},
                 x, mask=mask, train=False,
             )
 
-        ex = Extractor(
-            embed_fn,
-            ExtractConfig(buckets=tuple(e["buckets"]), default_batch=e["batch"]),
-        )
-        items = WavEgsXvector(wav_scp)
+        if e.get("mode", "feature") == "wave":
+            # on-chip fused fbank: host only decodes wav (fast + scalable)
+            from .data import ParallelMapper
+            from .extract import WAVE_BUCKETS, make_wave_embed_fn
+            from .io import read_wav
+
+            embed_fn = make_wave_embed_fn(model_apply)
+            ex = Extractor(
+                embed_fn,
+                ExtractConfig(
+                    buckets=WAVE_BUCKETS, default_batch=e["batch"],
+                    max_chunk=WAVE_BUCKETS[-1],
+                ),
+            )
+            entries = []
+            with open(wav_scp) as f:
+                for line in f:
+                    parts = line.split(None, 1)
+                    if len(parts) == 2:
+                        entries.append((parts[0], parts[1].strip()))
+
+            def decode(kv):
+                k, path = kv
+                wav, _sr = read_wav(path)
+                return k, (wav[0] if wav.ndim > 1 else wav)
+
+            items = ParallelMapper(decode, entries, workers=e.get("workers", 8))
+        else:
+            embed_fn = model_apply
+            ex = Extractor(
+                embed_fn,
+                ExtractConfig(buckets=tuple(e["buckets"]), default_batch=e["batch"]),
+            )
+            items = iter(WavEgsXvector(wav_scp, workers=e.get("workers", 1)))
         stats = ex.extract_to_ark(
             iter(items), out_prefix + ".ark", out_prefix + ".scp"
         )

@@ -175,3 +175,42 @@ class TestFdTrainer:
         content_after = np.asarray(state.params["backbone"]["content_fc"]["kernel"])
         assert not np.allclose(speaker_after, speaker_mid)  # main moved
         np.testing.assert_array_equal(content_after, content_mid)  # adversary frozen
+
+
+class TestClassicChain:
+    def test_ubm_ivector_plda_chain(self):
+        """The classic system end-to-end: UBM -> i-vectors -> PLDA -> EER
+        (the kaldi/runIvector.sh pipeline as array programs)."""
+        from asv_subtools_tpu.backend import PldaStats, estimate_plda
+        from asv_subtools_tpu.backend.ivector import (
+            collect_stats, train_ivector_extractor, train_ubm,
+        )
+
+        rng = np.random.default_rng(0)
+        d, r_true, n_spk, upk = 10, 5, 16, 8
+        proj = rng.normal(size=(r_true, d))
+        utts, ids = [], []
+        for s in range(n_spk):
+            w = rng.normal(size=r_true)
+            for _ in range(upk):
+                t = rng.integers(60, 120)
+                utts.append(w @ proj + rng.normal(size=(t, d)))
+                ids.append(s)
+        ubm = train_ubm(np.concatenate(utts), num_components=8, num_iters=8)
+        stats = collect_stats(ubm, utts)
+        ext = train_ivector_extractor(ubm, stats, ivector_dim=8, num_iters=4)
+        ivecs = ext.extract(stats)
+        ids = np.asarray(ids)
+
+        # split: first 5 utts/spk train PLDA, rest eval
+        train_sel = np.concatenate([np.arange(upk * s, upk * s + 5) for s in range(n_spk)])
+        eval_sel = np.setdiff1d(np.arange(len(utts)), train_sel)
+        plda = estimate_plda(
+            PldaStats.from_vectors(ivecs[train_sel], ids[train_sel]), num_em_iters=5
+        )
+        ev = plda.transform_vectors(ivecs[eval_sel])
+        llr = plda.llr_matrix(ev, ev)
+        iu = np.triu_indices(len(eval_sel), 1)
+        same = (ids[eval_sel][:, None] == ids[eval_sel][None, :])[iu].astype(int)
+        eer, _ = compute_eer(llr[iu], same)
+        assert eer < 0.30, f"classic chain EER {eer}"

@@ -144,3 +144,62 @@ class TestValidSplit:
             open(tmp_path / "exp2" / "checkpoints" / "checkpoint_info" / "1.yaml")
         )
         assert "valid_loss" in info
+
+
+class TestConfigPresets:
+    def test_all_presets_build(self, corpus):
+        """Every preset must construct its Launcher + model."""
+        import glob
+
+        from asv_subtools_tpu.utils import load_yaml
+
+        presets = sorted(glob.glob("recipes/configs/*.yaml"))
+        assert len(presets) >= 10
+        for path in presets:
+            cfg = load_yaml(path)
+            cfg.setdefault("data", {})
+            cfg["data"].update(
+                {
+                    "train_wav_scp": str(corpus / "wav.scp"),
+                    "train_utt2spk": str(corpus / "utt2spk"),
+                }
+            )
+            launcher = Launcher(cfg)
+            launcher.build_egs()
+            net = launcher.build_model()
+            assert net is not None, path
+
+
+class TestWaveModeExtractStage:
+    def test_extract_wave_mode(self, corpus, tmp_path):
+        params = {
+            "exp_dir": str(tmp_path / "exp3"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 0.5,
+                "batch_size": 8,
+                "shuffle_buffer": 8,
+            },
+            "model": {"name": "xvector", "params": {"num_frame_channels": 16, "embd_dim": 8}},
+            "loss": {"name": "softmax", "params": {}},
+            "train": {
+                "epochs": 1,
+                "optimizer": {"name": "sgd", "learning_rate": 1e-2},
+                "lr_schedule": {"name": "constant", "base_lr": 1e-2},
+                "compute_dtype": "float32",
+                "report_interval": 100,
+            },
+            "extract": {"mode": "wave", "batch": 4, "workers": 2},
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        launcher.build_model()
+        state = launcher.train(egs)
+        stats = launcher.extract(
+            str(corpus / "eval.scp"), str(tmp_path / "xv"), state
+        )
+        assert stats["utts"] == 8
+        embs = dict(read_vec_flt_scp(str(tmp_path / "xv.scp")))
+        assert len(embs) == 8
+        assert all(np.all(np.isfinite(v)) for v in embs.values())
