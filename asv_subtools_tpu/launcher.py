@@ -38,7 +38,6 @@ from .utils import assign_params_dict, init_logger, set_all_seed
 
 DEFAULT_PARAMS: Dict[str, Any] = {
     "seed": 1024,
-    "stages": [0, 1, 2, 3],
     "exp_dir": "exp/test",
     # data
     "data": {

@@ -54,6 +54,7 @@ class MultiHeadedAttention(nn.Module):
         mask: Optional[jax.Array] = None,
         pos_emb: Optional[jax.Array] = None,
         deterministic: bool = True,
+        extra_score: Optional[jax.Array] = None,
     ) -> jax.Array:
         b, t, d = x.shape
         h = self.num_heads
@@ -63,7 +64,8 @@ class MultiHeadedAttention(nn.Module):
         q = q.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
-        out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self)
+        out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self,
+                      extra_score=extra_score)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(d, name="out")(out)
 
@@ -98,6 +100,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
         mask: Optional[jax.Array] = None,
         pos_emb: Optional[jax.Array] = None,
         deterministic: bool = True,
+        extra_score: Optional[jax.Array] = None,
     ) -> jax.Array:
         b, t, d = x.shape
         h = self.num_heads
@@ -128,6 +131,8 @@ class RelPositionMultiHeadedAttention(nn.Module):
         if self.rel_shift:
             bd = self._rel_shift(bd)
         scores = (ac + bd) / math.sqrt(dh)
+        if extra_score is not None:  # T5 relative bias (add_t5rel_bias)
+            scores = scores + extra_score
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         attn = jax.nn.softmax(scores, axis=-1)

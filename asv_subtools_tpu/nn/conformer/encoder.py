@@ -153,9 +153,11 @@ class ConformerBlock(nn.Module):
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
         )
-        h_att = att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det) if not (
-            self.att_type != "gau" and extra_score is not None
-        ) else att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det)
+        if self.att_type != "gau" and extra_score is not None:
+            h_att = att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det,
+                        extra_score=extra_score)
+        else:
+            h_att = att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det)
         if self.concat_after:
             x = res + nn.Dense(x.shape[-1], name="concat_linear")(
                 jnp.concatenate([h, h_att], axis=-1)

@@ -368,6 +368,7 @@ class Trainer:
     ) -> Tuple[TrainState, Dict]:
         """One epoch over `data_iter` of host batches; returns final state."""
         agg = {"loss": 0.0, "accuracy": 0.0, "n": 0}
+        metrics = {}
         t0 = time.time()
         for i, batch in enumerate(data_iter):
             step_idx = int(jax.device_get(state.step))
@@ -407,7 +408,7 @@ class Trainer:
                 if valid_iter is not None and self.plateau is not None:
                     vloss = self.validate(state, valid_iter())
                     self.plateau.update(vloss["loss"])
-        final_metrics = jax.device_get(metrics) if agg["n"] else {}
+        final_metrics = jax.device_get(metrics) if agg["n"] else {}  # noqa
         return state, {k: float(v) for k, v in final_metrics.items()}
 
     def validate(self, state: TrainState, valid_iter: Iterable[Dict]) -> Dict:

@@ -196,3 +196,23 @@ class TestReConformer:
         np.testing.assert_allclose(
             np.asarray(y_full[:, :8]), np.asarray(y_cut[:, :8]), atol=1e-5
         )
+
+
+class TestT5BiasWired:
+    def test_t5_bias_changes_output(self):
+        """add_t5rel_bias must actually inject the bias into attention."""
+        x = jax.random.normal(KEY, (1, 16, 24))
+        enc_with = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=1,
+            input_layer="linear", pos_enc_type="abs_pos", add_t5rel_bias=True,
+        )
+        v = enc_with.init(RNGS, x, train=False)
+        y1, _ = enc_with.apply(v, x, train=False)
+        # zero the learned bias -> output must change vs a random bias
+        import flax
+
+        p2 = flax.core.unfreeze(v["params"]) if hasattr(flax.core, "unfreeze") else dict(v["params"])
+        p2 = jax.tree_util.tree_map(lambda a: a, v["params"])
+        p2 = {**p2, "t5_bias": {"rel_bias": jnp.full_like(p2["t5_bias"]["rel_bias"], 3.0)}}
+        y2, _ = enc_with.apply({"params": p2}, x, train=False)
+        assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
