@@ -74,3 +74,32 @@ def read_scores(path: str) -> Tuple[Trials, np.ndarray]:
                 tst.append(parts[1])
                 sc.append(float(parts[2]))
     return Trials(enr, tst), np.asarray(sc)
+
+
+def scores_to_table(
+    trials: "Trials", scores: np.ndarray
+) -> Tuple[List[str], List[str], np.ndarray]:
+    """score2table.sh: per-trial score list -> dense [enroll x test] table
+    (NaN where no trial exists)."""
+    e_keys = sorted(set(trials.enroll_keys))
+    t_keys = sorted(set(trials.test_keys))
+    ei = {k: i for i, k in enumerate(e_keys)}
+    ti = {k: i for i, k in enumerate(t_keys)}
+    table = np.full((len(e_keys), len(t_keys)), np.nan)
+    for e, t, s in zip(trials.enroll_keys, trials.test_keys, scores):
+        table[ei[e], ti[t]] = s
+    return e_keys, t_keys, table
+
+
+def table_to_scores(
+    e_keys: Sequence[str], t_keys: Sequence[str], table: np.ndarray
+) -> Tuple["Trials", np.ndarray]:
+    """table2score.sh: dense table -> per-trial list (skipping NaNs)."""
+    enr, tst, sc = [], [], []
+    for i, e in enumerate(e_keys):
+        for j, t in enumerate(t_keys):
+            if not np.isnan(table[i, j]):
+                enr.append(e)
+                tst.append(t)
+                sc.append(float(table[i, j]))
+    return Trials(enr, tst), np.asarray(sc)

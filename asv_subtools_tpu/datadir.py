@@ -221,3 +221,63 @@ def utt2num_frames_from_feats(feats_scp: str) -> Dict[str, int]:
     from .io.kaldi import read_mat_scp
 
     return {k: m.shape[0] for k, m in read_mat_scp(feats_scp)}
+
+
+def split_enroll_test_by_trials(
+    datadir: DataDir, trials: Sequence[Tuple[str, str, int]]
+) -> Tuple[DataDir, DataDir]:
+    """split_enroll_test_by_trials.sh: partition a data dir into the enroll
+    and test sides referenced by a trials list."""
+    enroll_utts = {a for a, _, _ in trials}
+    test_utts = {b for _, b, _ in trials}
+    return datadir.filter_utts(enroll_utts), datadir.filter_utts(test_utts)
+
+
+def paste_feats(feat_mats: Sequence[Dict[str, "np.ndarray"]]) -> Dict[str, "np.ndarray"]:
+    """pasteFeats.sh: concatenate feature DIMENSIONS across tables
+    (e.g. fbank ++ pitch) for utterances present in all tables."""
+    keys = set(feat_mats[0])
+    for t in feat_mats[1:]:
+        keys &= set(t)
+    out = {}
+    for k in keys:
+        mats = [t[k] for t in feat_mats]
+        n = min(m.shape[0] for m in mats)
+        out[k] = np.concatenate([m[:n] for m in mats], axis=1)
+    return out
+
+
+def concat_sp_feats(
+    feats: Dict[str, "np.ndarray"], utt2spk: Dict[str, str]
+) -> Dict[str, "np.ndarray"]:
+    """concatSpFeats.sh: concatenate each speaker's utterance features in
+    TIME into one long matrix per speaker."""
+    by_spk: Dict[str, List[str]] = {}
+    for u, s in utt2spk.items():
+        if u in feats:
+            by_spk.setdefault(s, []).append(u)
+    return {
+        s: np.concatenate([feats[u] for u in sorted(us)], axis=0)
+        for s, us in by_spk.items()
+    }
+
+
+def select_feats(feats: Dict[str, "np.ndarray"], columns: Sequence[int]) -> Dict:
+    """selectFeats.sh: keep a subset of feature columns."""
+    cols = list(columns)
+    return {k: v[:, cols] for k, v in feats.items()}
+
+
+def cut_utt_random(
+    feats: Dict[str, "np.ndarray"], max_frames: int, seed: int = 1024
+) -> Dict:
+    """cutUttRandomFromFeats.sh: random fixed-length cut of long utterances."""
+    rng = random.Random(seed)
+    out = {}
+    for k, v in feats.items():
+        if v.shape[0] > max_frames:
+            start = rng.randint(0, v.shape[0] - max_frames)
+            out[k] = v[start : start + max_frames]
+        else:
+            out[k] = v
+    return out

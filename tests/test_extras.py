@@ -337,3 +337,44 @@ class TestMmiGmm:
         acc_mmi = (scores_mmi.argmax(1) == y).mean()
         assert np.all(np.isfinite(scores_mmi))
         assert acc_mmi >= acc_ml - 0.01  # at worst equal, typically better
+
+
+class TestFeatsOps:
+    def test_paste_concat_select_cut(self):
+        from asv_subtools_tpu.datadir import (
+            concat_sp_feats, cut_utt_random, paste_feats, select_feats,
+            split_enroll_test_by_trials,
+        )
+
+        rng = np.random.default_rng(0)
+        fb = {f"u{i}": rng.normal(size=(50 + i, 4)).astype(np.float32) for i in range(3)}
+        pit = {f"u{i}": rng.normal(size=(50 + i, 2)).astype(np.float32) for i in range(3)}
+        pasted = paste_feats([fb, pit])
+        assert pasted["u0"].shape == (50, 6)
+        sel = select_feats(pasted, [0, 5])
+        assert sel["u1"].shape == (51, 2)
+        cat = concat_sp_feats(fb, {"u0": "a", "u1": "a", "u2": "b"})
+        assert cat["a"].shape[0] == 50 + 51
+        cut = cut_utt_random(fb, 40)
+        assert all(v.shape[0] <= 40 for v in cut.values())
+
+    def test_split_by_trials(self, datadir):
+        from asv_subtools_tpu.datadir import generate_trials, split_enroll_test_by_trials
+
+        trials = generate_trials(datadir, 2, 2)
+        enr, tst = split_enroll_test_by_trials(datadir, trials)
+        assert len(enr) > 0 and len(tst) > 0
+
+
+class TestScoreTables:
+    def test_table_roundtrip(self):
+        from asv_subtools_tpu.backend.trials import (
+            Trials, scores_to_table, table_to_scores,
+        )
+
+        tr = Trials(["e1", "e1", "e2"], ["t1", "t2", "t2"], None)
+        scores = np.asarray([0.5, -0.2, 0.9])
+        ek, tk, table = scores_to_table(tr, scores)
+        assert np.isnan(table).sum() == 1  # (e2, t1) missing
+        tr2, s2 = table_to_scores(ek, tk, table)
+        assert len(s2) == 3 and set(s2.round(2)) == {0.5, -0.2, 0.9}
