@@ -278,3 +278,43 @@ def plda_score_trials(
     e = plda.transform_vectors(enroll_vectors, num_examples=n)
     t = plda.transform_vectors(test_vectors, num_examples=1)
     return plda.llr_matrix(e, t, enroll_counts)
+
+
+def llr_matrix_device(
+    plda: Plda,
+    enroll: "np.ndarray",
+    test: "np.ndarray",
+    enroll_counts: Optional[np.ndarray] = None,
+):
+    """Jittable [E, T] PLDA LLR matrix on device (jnp mirror of
+    Plda.llr_matrix): at vox1-E/H scale the matmul-shaped terms ride the
+    MXU and shard over the mesh like the cosine/AS-norm path."""
+    import jax.numpy as jnp
+
+    e = jnp.asarray(enroll, jnp.float32)
+    t = jnp.asarray(test, jnp.float32)
+    n = (
+        jnp.ones(e.shape[0])
+        if enroll_counts is None
+        else jnp.asarray(enroll_counts, jnp.float32)
+    )
+    psi = jnp.asarray(plda.psi, jnp.float32)[None, :]
+    n_ = n[:, None]
+    w = n_ * psi / (n_ * psi + 1.0)
+    mean = w * e
+    var_given = 1.0 + psi / (n_ * psi + 1.0)
+    logdet_given = jnp.sum(jnp.log(var_given), axis=1)
+    inv_given = 1.0 / var_given
+    t2 = t * t
+    cross = (inv_given * mean) @ t.T
+    quad = inv_given @ t2.T - 2.0 * cross + jnp.sum(
+        inv_given * mean * mean, axis=1, keepdims=True
+    )
+    loglike_given = -0.5 * (
+        logdet_given[:, None] + M_LOG_2PI * plda.dim + quad
+    )
+    var_no = psi[0] + 1.0
+    loglike_no = -0.5 * (
+        jnp.sum(jnp.log(var_no)) + M_LOG_2PI * plda.dim + t2 @ (1.0 / var_no)
+    )
+    return loglike_given - loglike_no[None, :]

@@ -432,3 +432,20 @@ class TestAsnormDevice:
         host = asnorm(raw, ec, tc, top_n=16)
         dev = np.asarray(asnorm_device(raw, ec, tc, top_n=16))
         np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+class TestPldaDevice:
+    def test_device_llr_matches_numpy(self):
+        from asv_subtools_tpu.backend.plda import llr_matrix_device
+
+        rng = np.random.default_rng(0)
+        plda = Plda(
+            mean=rng.normal(size=8),
+            transform=rng.normal(size=(8, 8)),
+            psi=np.abs(rng.normal(size=8)) + 0.5,
+        )
+        e = plda.transform_vectors(rng.normal(size=(6, 8)))
+        t = plda.transform_vectors(rng.normal(size=(9, 8)))
+        host = plda.llr_matrix(e, t)
+        dev = np.asarray(llr_matrix_device(plda, e, t))
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
