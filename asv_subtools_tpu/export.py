@@ -58,6 +58,161 @@ def load_embed_fn(path: str) -> Callable:
     return exp.call
 
 
+_PJRT_DTYPES = {
+    "float32": "f32",
+    "bfloat16": "bf16",
+    "float16": "f16",
+    "float64": "f64",
+    "int32": "s32",
+    "int64": "s64",
+    "uint8": "u8",
+    "uint32": "u32",
+    "bool": "pred",
+}
+
+
+def export_pjrt_bundle(
+    fn: Callable,
+    example_args: Sequence[Any],
+    out_dir: str,
+    *,
+    baked: Sequence[bool] | None = None,
+    platform: str = "tpu",
+    params_ref: str = "params.bin",
+) -> str:
+    """Export `fn(*args)` as a native-runtime bundle for runtime/bin/pjrt_runner.
+
+    The C++ runner (runtime/pjrt/pjrt_executor.cc) dlopens a PJRT plugin,
+    compiles model.mlir with compile_options.pb, and feeds args from
+    params.bin (baked leaves, e.g. model weights) or from the caller
+    (runtime leaves, e.g. the feature batch). This replaces the
+    reference's libtorch-embedded C++ runtime
+    (runtime/onnxruntime/... in Snowdar/asv-subtools' deployment docs)
+    with a PJRT-native one: the same binary serves on TPU (libtpu) or any
+    other PJRT plugin, with zero Python in the serve path.
+
+    Args:
+      fn: pure jittable function; its flattened leaves become PJRT args.
+      example_args: concrete arrays (baked values are stored verbatim).
+      baked: per-flattened-leaf flags — True leaves are stored in
+        params.bin; False leaves are fed at run time. Default: all False.
+      platform: lowering platform for jax.export.
+      params_ref: manifest-relative path for the params blob; pass e.g.
+        "../params.bin" to share one blob across per-bucket bundles.
+    """
+    from jaxlib import xla_client
+
+    os.makedirs(out_dir, exist_ok=True)
+    leaves, _ = jax.tree_util.tree_flatten(tuple(example_args))
+    if baked is None:
+        baked = [False] * len(leaves)
+    baked = list(baked)
+    assert len(baked) == len(leaves), (len(baked), len(leaves))
+
+    specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        tuple(example_args),
+    )
+    exp = jax_export.export(jax.jit(fn), platforms=[platform])(*specs)
+    mlir_text = exp.mlir_module()
+    with open(os.path.join(out_dir, "model.mlir"), "w") as f:
+        f.write(mlir_text)
+
+    co = xla_client.CompileOptions()
+    with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+        f.write(co.SerializeAsString())
+
+    manifest = ["# asvtpu-pjrt-bundle v1", "mlir model.mlir",
+                "compile_options compile_options.pb", f"params {params_ref}"]
+    params_blob = bytearray()
+    for i, (leaf, is_baked) in enumerate(zip(leaves, baked)):
+        arr = np.asarray(leaf)
+        dt = _PJRT_DTYPES.get(
+            jnp.asarray(leaf).dtype.name, None
+        )
+        if dt is None:
+            raise ValueError(f"arg {i}: unsupported dtype {arr.dtype}")
+        dims = " ".join(str(d) for d in arr.shape)
+        if is_baked:
+            if dt == "bf16":
+                raw = np.asarray(jnp.asarray(leaf)).view(np.uint16).tobytes()
+            else:
+                raw = np.ascontiguousarray(arr).tobytes()
+            off = len(params_blob)
+            params_blob += raw
+            manifest.append(
+                f"arg {i} {dt} param {off} {len(raw)} {arr.ndim} {dims}".rstrip()
+            )
+        else:
+            nbytes = arr.size * jnp.asarray(leaf).dtype.itemsize
+            manifest.append(
+                f"arg {i} {dt} runtime 0 {nbytes} {arr.ndim} {dims}".rstrip()
+            )
+    with open(os.path.normpath(os.path.join(out_dir, params_ref)), "wb") as f:
+        f.write(bytes(params_blob))
+    with open(os.path.join(out_dir, "manifest.txt"), "w") as f:
+        f.write("\n".join(manifest) + "\n")
+    return out_dir
+
+
+def export_pjrt_embed_bundles(
+    model,
+    variables: Dict,
+    feat_dim: int,
+    out_dir: str,
+    bucket_lengths: Sequence[int] = (200, 400, 800, 1600, 3200),
+    compute_dtype=None,
+    platform: str = "tpu",
+) -> Dict[int, str]:
+    """Export the embedding head as one PJRT bundle per bucket length for
+    the native extractor (runtime/bin/asv_extractor_main --pjrt_plugin).
+
+    Each bundle computes `embed(variables, x [1, T, D] f32, mask [1, T]
+    pred) -> [1, E] f32` with the variables baked into params.bin
+    (bf16-cast when compute_dtype is bfloat16 — the serving configuration
+    that bench.py validates at <1e-2 cosine distance from f32).
+    """
+    import jax.tree_util as jtu
+    from jax.flatten_util import ravel_pytree
+
+    if compute_dtype is not None:
+        cast = lambda a: (
+            a.astype(compute_dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a
+        )
+        variables = jtu.tree_map(cast, variables)
+
+    # One flat parameter vector instead of hundreds of leaf args: a single
+    # baked H2D per call, and it keeps the native executor's per-execute
+    # argument count tiny (large per-op arg lists are also where proxying
+    # PJRT transports hit wire limits).
+    flat_v, unravel = ravel_pytree(variables)
+
+    def embed(flat, x, mask):
+        v = unravel(flat)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        out = model.apply(v, x, mask=mask, method=model.embed)
+        return out.astype(jnp.float32)
+
+    paths: Dict[int, str] = {}
+    for t in bucket_lengths:
+        x = jnp.zeros((1, int(t), feat_dim), jnp.float32)
+        m = jnp.ones((1, int(t)), bool)
+        d = os.path.join(out_dir, f"t{t}")
+        export_pjrt_bundle(
+            embed,
+            (flat_v, x, m),
+            d,
+            baked=[True, False, False],
+            platform=platform,
+            params_ref="../params.bin",  # identical blob shared across buckets
+        )
+        paths[int(t)] = d
+    return paths
+
+
 def write_nnet_config(
     out_dir: str,
     model_name: str,

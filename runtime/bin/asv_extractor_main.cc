@@ -1,25 +1,35 @@
 // End-to-end native extractor: wav.scp -> fbank (C++) -> energy VAD ->
-// submean over voiced frames -> TPU embedding service (socket) -> text
-// embeddings + RTF accounting.
+// submean over voiced frames -> TPU embedding (socket service OR in-process
+// PJRT) -> text embeddings + RTF accounting.
 // Parity: reference runtime/bin/extractor_main.cc + torch_asv_extractor.cc
 // (VAD :14-62, submean :100-101, voiced select :103-107), with the jit
-// model call replaced by the TPU serving protocol (serving.py).
+// model call replaced by either the TPU serving protocol (serving.py) or —
+// fully native, no Python anywhere — an in-process PJRT executor running
+// per-bucket bundles exported by export.export_pjrt_embed_bundles.
 #include <arpa/inet.h>
+#include <dirent.h>
 #include <netinet/in.h>
+#include <stdlib.h>
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
 #include <iostream>
+#include <memory>
 #include <sstream>
 #include <string>
 #include <vector>
 
 #include "frontend/feature.h"
 #include "frontend/wav.h"
+#ifdef ASVTPU_WITH_PJRT
+#include "pjrt/bundle.h"
+#include "pjrt/pjrt_executor.h"
+#endif
 
 using namespace asvtpu;
 using Clock = std::chrono::steady_clock;
@@ -61,10 +71,129 @@ static std::vector<float> RemoteEmbed(int fd, const std::vector<float>& feats,
   return emb;
 }
 
+#ifdef ASVTPU_WITH_PJRT
+// In-process PJRT embedding over per-bucket exported bundles. One PJRT
+// client (the plugin's client is process-wide), one compiled executable per
+// bucket length; per utterance the smallest bucket >= T is chosen and the
+// features zero-padded with a matching boolean mask.
+class PjrtEmbedder {
+ public:
+  static std::unique_ptr<PjrtEmbedder> Create(
+      const std::string& plugin, const std::string& bundles_dir,
+      const std::vector<asvtpu::ClientOption>& opts, std::string* error) {
+    std::unique_ptr<PjrtEmbedder> e(new PjrtEmbedder());
+    // discover t<N> bucket subdirs
+    DIR* d = ::opendir(bundles_dir.c_str());
+    if (d == nullptr) {
+      *error = "cannot open " + bundles_dir;
+      return nullptr;
+    }
+    std::vector<std::pair<int, std::string>> dirs;
+    while (dirent* ent = ::readdir(d)) {
+      std::string name = ent->d_name;
+      if (name.size() > 1 && name[0] == 't' &&
+          name.find_first_not_of("0123456789", 1) == std::string::npos) {
+        dirs.emplace_back(std::stoi(name.substr(1)), bundles_dir + "/" + name);
+      }
+    }
+    ::closedir(d);
+    std::sort(dirs.begin(), dirs.end());
+    if (dirs.empty()) {
+      *error = "no t<N> bucket dirs in " + bundles_dir;
+      return nullptr;
+    }
+    e->ex_ = asvtpu::PjrtExecutor::Create(plugin, opts, error);
+    if (!e->ex_) return nullptr;
+    for (auto& [t, dir] : dirs) {
+      Bucket b;
+      b.t = t;
+      asvtpu::Bundle bundle;
+      if (!asvtpu::LoadBundle(dir, &bundle, error)) return nullptr;
+      b.handle = e->ex_->CompileModule(bundle.mlir, bundle.compile_options,
+                                       error);
+      if (b.handle < 0) return nullptr;
+      if (!asvtpu::MaterializeInputs(bundle, &b.inputs, error)) return nullptr;
+      // locate runtime slots: x is the non-baked rank-3 arg, mask rank-2
+      b.x_slot = b.mask_slot = -1;
+      for (size_t i = 0; i < bundle.args.size(); ++i) {
+        if (bundle.args[i].baked) continue;
+        if (bundle.args[i].dims.size() == 3) b.x_slot = int(i);
+        if (bundle.args[i].dims.size() == 2) b.mask_slot = int(i);
+      }
+      if (b.x_slot < 0 || b.mask_slot < 0) {
+        *error = dir + ": no runtime feats/mask args";
+        return nullptr;
+      }
+      b.dim = int(bundle.args[b.x_slot].dims[2]);
+      e->buckets_.push_back(std::move(b));
+    }
+    return e;
+  }
+
+  // feats: [t, dim] row-major; returns embedding or empty on error.
+  std::vector<float> Embed(const std::vector<float>& feats, int t, int dim,
+                           std::string* error) {
+    Bucket* b = nullptr;
+    for (auto& cand : buckets_) {
+      if (cand.t >= t) {
+        b = &cand;
+        break;
+      }
+    }
+    if (b == nullptr) b = &buckets_.back();  // truncate to largest bucket
+    int use_t = std::min(t, b->t);
+    if (dim != b->dim) {
+      *error = "feat dim mismatch";
+      return {};
+    }
+    asvtpu::HostArray& x = b->inputs[b->x_slot];
+    asvtpu::HostArray& m = b->inputs[b->mask_slot];
+    std::fill(x.data.begin(), x.data.end(), 0);
+    std::memcpy(x.data.data(), feats.data(), size_t(use_t) * dim * 4);
+    std::fill(m.data.begin(), m.data.end(), 0);
+    std::fill(m.data.begin(), m.data.begin() + use_t, 1);
+    std::vector<asvtpu::HostArray> outputs;
+    if (!ex_->ExecuteModule(b->handle, b->inputs, &outputs, error)) return {};
+    if (outputs.empty() || outputs[0].dtype != "f32") {
+      *error = "unexpected output";
+      return {};
+    }
+    const float* p = reinterpret_cast<const float*>(outputs[0].data.data());
+    return std::vector<float>(p, p + outputs[0].num_elements());
+  }
+
+  const std::string& platform() const { return ex_->platform_name(); }
+  size_t num_buckets() const { return buckets_.size(); }
+
+ private:
+  PjrtEmbedder() = default;
+  struct Bucket {
+    int t = 0, dim = 0, handle = -1, x_slot = -1, mask_slot = -1;
+    std::vector<asvtpu::HostArray> inputs;  // baked params + runtime slots
+  };
+  std::unique_ptr<asvtpu::PjrtExecutor> ex_;
+  std::vector<Bucket> buckets_;  // ascending t
+};
+#else
+struct ClientOptionStub {
+  std::string name;
+  bool is_string = true;
+  std::string str_value;
+  long long int_value = 0;
+};
+#endif  // ASVTPU_WITH_PJRT
+
 int main(int argc, char** argv) {
   std::string wav_scp, out_path, host = "127.0.0.1";
+  std::string pjrt_plugin, pjrt_bundles;
+#ifdef ASVTPU_WITH_PJRT
+  using Opt = asvtpu::ClientOption;
+#else
+  using Opt = ClientOptionStub;
+#endif
+  std::vector<Opt> pjrt_opts;
   int port = 0, num_bins = 80;
-  bool do_vad = true, do_submean = true;
+  bool do_vad = true, do_submean = true, axon_defaults = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
@@ -75,26 +204,96 @@ int main(int argc, char** argv) {
     else if (a == "--num_bins") num_bins = std::stoi(next());
     else if (a == "--no_vad") do_vad = false;
     else if (a == "--no_submean") do_submean = false;
-    else {
-      std::cerr << "usage: asv_extractor_main --wav_scp scp --port P"
+    else if (a == "--pjrt_plugin") pjrt_plugin = next();
+    else if (a == "--pjrt_bundles") pjrt_bundles = next();
+    else if (a == "--pjrt_axon") axon_defaults = true;
+    else if (a == "--pjrt_opt" || a == "--pjrt_iopt") {
+      bool is_int = (a == "--pjrt_iopt");
+      std::string kv = next();
+      size_t eq = kv.find('=');
+      Opt o;
+      o.name = kv.substr(0, eq);
+      if (is_int) {
+        o.is_string = false;
+        o.int_value = std::atoll(kv.substr(eq + 1).c_str());
+      } else {
+        o.str_value = kv.substr(eq + 1);
+      }
+      pjrt_opts.push_back(o);
+    } else {
+      std::cerr << "usage: asv_extractor_main --wav_scp scp"
+                << " (--port P | --pjrt_plugin SO --pjrt_bundles DIR"
+                << " [--pjrt_axon] [--pjrt_opt k=v] [--pjrt_iopt k=v])"
                 << " [--output emb.txt] [--num_bins N] [--no_vad]\n";
       return 1;
     }
   }
-  if (wav_scp.empty() || port == 0) {
-    std::cerr << "--wav_scp and --port are required\n";
+  bool use_pjrt = !pjrt_plugin.empty();
+  if (wav_scp.empty() || (port == 0 && !use_pjrt)) {
+    std::cerr << "--wav_scp and (--port or --pjrt_plugin) are required\n";
     return 1;
   }
 
-  int fd = ::socket(AF_INET, SOCK_STREAM, 0);
-  sockaddr_in addr{};
-  addr.sin_family = AF_INET;
-  addr.sin_port = htons(uint16_t(port));
-  ::inet_pton(AF_INET, host.c_str(), &addr.sin_addr);
-  if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
-    std::cerr << "cannot connect to embedding service " << host << ":" << port
-              << "\n";
+#ifdef ASVTPU_WITH_PJRT
+  std::unique_ptr<PjrtEmbedder> pjrt;
+#endif
+  int fd = -1;
+  if (use_pjrt) {
+#ifndef ASVTPU_WITH_PJRT
+    std::cerr << "built without PJRT support\n";
     return 1;
+#else
+    if (axon_defaults) {
+      // The axon relay options the Python side passes in register()
+      // (axon/register/pjrt.py _register_backend) — for running against
+      // the tunneled dev chip. Real libtpu needs none of these.
+      ::setenv("AXON_COMPAT_VERSION", "49", 0);
+      ::setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", 0);
+      ::setenv("AXON_LOOPBACK_RELAY", "1", 0);
+      ::setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+      ::setenv("TPU_SKIP_MDS_QUERY", "1", 0);
+      auto add_i = [&](const char* k, int64_t v) {
+        Opt o;
+        o.name = k;
+        o.is_string = false;
+        o.int_value = v;
+        pjrt_opts.push_back(o);
+      };
+      auto add_s = [&](const char* k, const std::string& v) {
+        Opt o;
+        o.name = k;
+        o.str_value = v;
+        pjrt_opts.push_back(o);
+      };
+      add_i("remote_compile", 1);
+      add_i("local_only", 0);
+      add_i("priority", 0);
+      add_i("n_slices", 1);
+      add_i("rank", 0xFFFFFFFFll);
+      add_s("topology", "v5e:1x1x1");
+      add_s("session_id",
+            "asv-extractor-" + std::to_string(::getpid()));
+    }
+    std::string error;
+    pjrt = PjrtEmbedder::Create(pjrt_plugin, pjrt_bundles, pjrt_opts, &error);
+    if (!pjrt) {
+      std::cerr << "pjrt: " << error << "\n";
+      return 1;
+    }
+    std::cerr << "pjrt: platform=" << pjrt->platform() << " buckets="
+              << pjrt->num_buckets() << "\n";
+#endif  // ASVTPU_WITH_PJRT
+  } else {
+    fd = ::socket(AF_INET, SOCK_STREAM, 0);
+    sockaddr_in addr{};
+    addr.sin_family = AF_INET;
+    addr.sin_port = htons(uint16_t(port));
+    ::inet_pton(AF_INET, host.c_str(), &addr.sin_addr);
+    if (::connect(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
+      std::cerr << "cannot connect to embedding service " << host << ":"
+                << port << "\n";
+      return 1;
+    }
   }
 
   // fbank with energy in column 0 so the VAD can use raw energies
@@ -155,12 +354,20 @@ int main(int argc, char** argv) {
       }
     }
 
-    std::vector<float> emb = RemoteEmbed(fd, selected, kept, fdim);
+    std::string embed_error;
+#ifdef ASVTPU_WITH_PJRT
+    std::vector<float> emb =
+        use_pjrt ? pjrt->Embed(selected, kept, fdim, &embed_error)
+                 : RemoteEmbed(fd, selected, uint32_t(kept), uint32_t(fdim));
+#else
+    std::vector<float> emb =
+        RemoteEmbed(fd, selected, uint32_t(kept), uint32_t(fdim));
+#endif
     double dt = std::chrono::duration<double>(Clock::now() - t0).count();
     total_wav_s += wav_s;
     total_s += dt;
     if (emb.empty()) {
-      std::cerr << key << " FAILED\n";
+      std::cerr << key << " FAILED " << embed_error << "\n";
       ++failures;
       continue;
     }
@@ -173,7 +380,7 @@ int main(int argc, char** argv) {
     }
     ++n;
   }
-  ::close(fd);
+  if (fd >= 0) ::close(fd);
   std::cout << "TOTAL utts=" << n << " failures=" << failures
             << " wav_s=" << total_wav_s << " elapsed_s=" << total_s
             << " RTF=" << (total_wav_s > 0 ? total_s / total_wav_s : 0) << "\n";
