@@ -49,7 +49,7 @@ class Xvector(nn.Module):
         x: jax.Array,
         mask: Optional[jax.Array] = None,
         train: bool = True,
-        position: str = "far",
+        position: str = "near",
     ) -> jax.Array:
         c = self.num_frame_channels
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
@@ -196,7 +196,7 @@ class FactoredXvector(nn.Module):
         x: jax.Array,
         mask: Optional[jax.Array] = None,
         train: bool = True,
-        position: str = "far",
+        position: str = "near",
     ) -> jax.Array:
         c, b = self.num_frame_channels, self.bottleneck_dim
         common = dict(momentum=self.momentum, axis_name=self.axis_name)

@@ -83,4 +83,45 @@ int asvtpu_vad(const float* log_energy, int num_frames, float threshold,
   return num_frames;
 }
 
+
+int asvtpu_spectrogram(const float* wave, int num_samples, float samp_freq,
+                       int raw_energy, float* out, int max_out) {
+  try {
+    SpectrogramOptions opts;
+    opts.frame_opts.samp_freq = samp_freq;
+    opts.raw_energy = raw_energy;
+    SpectrogramComputer computer(opts);
+    std::vector<float> w(wave, wave + num_samples);
+    std::vector<float> feats = computer.Compute(w);
+    int n = int(feats.size());
+    if (n > max_out) return -1;
+    std::memcpy(out, feats.data(), sizeof(float) * n);
+    return n / computer.Dim();
+  } catch (...) {
+    return -1;
+  }
+}
+
+int asvtpu_plp(const float* wave, int num_samples, int num_bins, int num_ceps,
+               int lpc_order, float samp_freq, int use_energy, float* out,
+               int max_out) {
+  try {
+    PlpOptions opts;
+    opts.frame_opts.samp_freq = samp_freq;
+    opts.mel_opts.num_bins = num_bins;
+    opts.num_ceps = num_ceps;
+    opts.lpc_order = lpc_order;
+    opts.use_energy = use_energy;
+    PlpComputer computer(opts);
+    std::vector<float> w(wave, wave + num_samples);
+    std::vector<float> feats = computer.Compute(w);
+    int n = int(feats.size());
+    if (n > max_out) return -1;
+    std::memcpy(out, feats.data(), sizeof(float) * n);
+    return n / computer.Dim();
+  } catch (...) {
+    return -1;
+  }
+}
+
 }  // extern "C"

@@ -297,4 +297,157 @@ std::vector<uint8_t> ComputeVadEnergy(const VadOptions& opts,
   return out;
 }
 
+
+// --------------------------------------------------------------------------
+// Spectrogram
+// --------------------------------------------------------------------------
+
+SpectrogramComputer::SpectrogramComputer(const SpectrogramOptions& opts)
+    : opts_(opts), window_(opts.frame_opts) {}
+
+std::vector<float> SpectrogramComputer::Compute(
+    const std::vector<float>& wave) const {
+  const auto& fo = opts_.frame_opts;
+  int nf = fo.NumFrames(wave.size());
+  int dim = Dim();
+  std::vector<float> out(size_t(nf) * dim);
+  std::vector<float> frame, power;
+  std::mt19937 rng(0);
+  for (int t = 0; t < nf; ++t) {
+    float log_e =
+        window_.Extract(wave, t, &frame, fo.dither != 0 ? &rng : nullptr);
+    if (!opts_.raw_energy) {
+      double e = 0;
+      for (float v : frame) e += double(v) * v;
+      log_e = std::log(std::max(float(e), kEps));
+    }
+    Rfft(frame, &power);  // n/2 + 1 bins
+    float* row = &out[size_t(t) * dim];
+    for (int k = 0; k < dim; ++k) row[k] = std::log(std::max(power[k], kEps));
+    if (opts_.energy_floor > 0)
+      log_e = std::max(log_e, std::log(opts_.energy_floor));
+    row[0] = log_e;
+  }
+  return out;
+}
+
+// --------------------------------------------------------------------------
+// PLP
+// --------------------------------------------------------------------------
+
+PlpComputer::PlpComputer(const PlpOptions& opts)
+    : opts_(opts), window_(opts.frame_opts),
+      mel_(opts.mel_opts, opts.frame_opts) {
+  int nb = opts.mel_opts.num_bins;
+  // Equal-loudness per mel-bin center frequency
+  // (GetEqualLoudnessVector, mel-computations.cc:214-227).
+  double nyquist = 0.5 * opts.frame_opts.samp_freq;
+  double high = opts.mel_opts.high_freq > 0 ? opts.mel_opts.high_freq
+                                            : nyquist + opts.mel_opts.high_freq;
+  double mel_low = MelScale(opts.mel_opts.low_freq);
+  double mel_delta = (MelScale(high) - mel_low) / (nb + 1);
+  equal_loudness_.resize(nb);
+  for (int b = 0; b < nb; ++b) {
+    double center_mel = mel_low + (b + 1) * mel_delta;
+    double f0 = 700.0 * (std::exp(center_mel / 1127.0) - 1.0);
+    double fsq = f0 * f0;
+    double fsub = fsq / (fsq + 1.6e5);
+    equal_loudness_[b] = float(fsub * fsub * ((fsq + 1.44e6) / (fsq + 9.61e6)));
+  }
+  // IDFT bases [dimension, n_bases] with dimension = nb + 2
+  // (InitIdftBases, feature-functions.cc:13-30).
+  int dimension = nb + 2, n_bases = opts.lpc_order + 1;
+  double angle = kPi / (dimension - 1);
+  double scale = 1.0 / (2.0 * (dimension - 1));
+  idft_.assign(size_t(dimension) * n_bases, 0.0f);
+  for (int i = 0; i < n_bases; ++i) {
+    idft_[size_t(0) * n_bases + i] = float(scale);
+    for (int j = 1; j < dimension; ++j)
+      idft_[size_t(j) * n_bases + i] = float(2 * scale * std::cos(angle * i * j));
+    idft_[size_t(dimension - 1) * n_bases + i] =
+        float(scale * std::cos(angle * i * (dimension - 1)));
+  }
+  lifter_.resize(opts.num_ceps);
+  for (int i = 0; i < opts.num_ceps; ++i)
+    lifter_[i] = opts.cepstral_lifter != 0.0f
+                     ? float(1.0 + 0.5 * opts.cepstral_lifter *
+                                       std::sin(kPi * i / opts.cepstral_lifter))
+                     : 1.0f;
+}
+
+std::vector<float> PlpComputer::Compute(const std::vector<float>& wave) const {
+  const auto& fo = opts_.frame_opts;
+  int nf = fo.NumFrames(wave.size());
+  int nb = opts_.mel_opts.num_bins;
+  int order = opts_.lpc_order, k = opts_.num_ceps;
+  int dim = Dim();
+  std::vector<float> out(size_t(nf) * dim);
+  std::vector<float> frame, power, mel;
+  std::vector<double> dup(nb + 2), autocorr(order + 1), lpc(order), ceps(order);
+  std::mt19937 rng(0);
+  for (int t = 0; t < nf; ++t) {
+    float log_e =
+        window_.Extract(wave, t, &frame, fo.dither != 0 ? &rng : nullptr);
+    if (opts_.use_energy && !opts_.raw_energy) {
+      double e = 0;
+      for (float v : frame) e += double(v) * v;
+      log_e = std::log(std::max(float(e), kEps));
+    }
+    Rfft(frame, &power);
+    power.resize(fo.PaddedWindowSize() / 2);  // drop highest bin
+    mel.clear();
+    mel_.Compute(power, &mel);
+    for (int b = 0; b < nb; ++b) {
+      double v = double(mel[b]) * equal_loudness_[b];
+      dup[b + 1] = std::pow(std::max(v, double(kEps)),
+                            double(opts_.compress_factor));
+    }
+    dup[0] = dup[1];
+    dup[nb + 1] = dup[nb];
+    // autocorr = dup @ idft  ([nb+2] x [nb+2, order+1])
+    for (int i = 0; i <= order; ++i) {
+      double sum = 0;
+      for (int j = 0; j < nb + 2; ++j)
+        sum += dup[j] * idft_[size_t(j) * (order + 1) + i];
+      autocorr[i] = sum;
+    }
+    // Levinson-Durbin (Durbin, mel-computations.cc:235-277)
+    double e = autocorr[0];
+    std::fill(lpc.begin(), lpc.end(), 0.0);
+    for (int i = 0; i < order; ++i) {
+      double ki = autocorr[i + 1];
+      for (int j = 0; j < i; ++j) ki += lpc[j] * autocorr[i - j];
+      ki /= e;
+      double c = std::max(1.0 - ki * ki, 1.0e-5);
+      e *= c;
+      std::vector<double> nl(i + 1);
+      for (int j = 0; j < i; ++j) nl[j] = lpc[j] - ki * lpc[i - j - 1];
+      nl[i] = -ki;
+      for (int j = 0; j <= i; ++j) lpc[j] = nl[j];
+    }
+    double c0 = std::log(std::max(e, double(kEps)));
+    // LPC -> cepstrum (Lpc2CepstrumInternal, mel-computations.cc:313)
+    for (int i = 0; i < order; ++i) {
+      double s = 0;
+      for (int j = 0; j < i; ++j) s += (i - j) * lpc[j] * ceps[i - j - 1];
+      ceps[i] = -lpc[i] - s / (i + 1);
+    }
+    float* row = &out[size_t(t) * dim];
+    row[0] = float(c0);
+    for (int i = 1; i < k; ++i) row[i] = float(ceps[i - 1]);
+    for (int i = 0; i < k; ++i) row[i] *= lifter_[i] * opts_.cepstral_scale;
+    if (opts_.use_energy) {
+      if (opts_.energy_floor > 0)
+        log_e = std::max(log_e, std::log(opts_.energy_floor));
+      row[0] = log_e;
+    }
+    if (opts_.htk_compat) {
+      float energy = row[0];
+      for (int i = 0; i + 1 < k; ++i) row[i] = row[i + 1];
+      row[k - 1] = energy;
+    }
+  }
+  return out;
+}
+
 }  // namespace asvtpu

@@ -117,6 +117,60 @@ class MfccComputer {
   std::vector<float> lifter_;  // [num_ceps]
 };
 
+struct SpectrogramOptions {
+  FrameOptions frame_opts;
+  float energy_floor = 0.0f;
+  bool raw_energy = true;
+  int Dim() const { return frame_opts.PaddedWindowSize() / 2 + 1; }
+};
+
+// Log power spectrogram with raw log-energy in column 0
+// (parity: reference runtime/kaldifeat/csrc/feature-spectrogram.cc:22-66).
+class SpectrogramComputer {
+ public:
+  explicit SpectrogramComputer(const SpectrogramOptions& opts);
+  int Dim() const { return opts_.Dim(); }
+  std::vector<float> Compute(const std::vector<float>& wave) const;
+
+ private:
+  SpectrogramOptions opts_;
+  FeatureWindow window_;
+};
+
+struct PlpOptions {
+  FrameOptions frame_opts;
+  MelOptions mel_opts;
+  int lpc_order = 12;
+  int num_ceps = 13;
+  bool use_energy = true;
+  float energy_floor = 0.0f;
+  bool raw_energy = true;
+  float compress_factor = 0.33333f;
+  float cepstral_lifter = 22.0f;
+  float cepstral_scale = 1.0f;
+  bool htk_compat = false;
+  int Dim() const { return num_ceps; }
+};
+
+// PLP features: mel -> equal loudness -> power compression -> IDFT
+// autocorrelation -> Levinson-Durbin LPC -> cepstrum
+// (parity: reference runtime/kaldifeat/csrc/feature-plp.cc:80-175,
+// mel-computations.cc Durbin :235-277 / Lpc2CepstrumInternal :313).
+class PlpComputer {
+ public:
+  explicit PlpComputer(const PlpOptions& opts);
+  int Dim() const { return opts_.Dim(); }
+  std::vector<float> Compute(const std::vector<float>& wave) const;
+
+ private:
+  PlpOptions opts_;
+  FeatureWindow window_;
+  MelBanks mel_;
+  std::vector<float> equal_loudness_;  // [num_bins]
+  std::vector<float> idft_;            // [num_bins+2, lpc_order+1] row-major
+  std::vector<float> lifter_;          // [num_ceps]
+};
+
 // Frame-level energy VAD (parity: runtime/extractor/torch_asv_extractor.cc:14-62).
 struct VadOptions {
   float energy_threshold = 5.5f;

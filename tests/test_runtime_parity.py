@@ -37,6 +37,8 @@ def capi():
     lib.asvtpu_mfcc.restype = ctypes.c_int
     lib.asvtpu_vad.restype = ctypes.c_int
     lib.asvtpu_read_wav.restype = ctypes.c_int
+    lib.asvtpu_spectrogram.restype = ctypes.c_int
+    lib.asvtpu_plp.restype = ctypes.c_int
     return lib
 
 
@@ -76,6 +78,40 @@ class TestParity:
         assert nf > 0
         native = out[: nf * 13].reshape(nf, 13)
         ours = np.asarray(compute_mfcc(jnp.asarray(wave), MfccOptions()))
+        np.testing.assert_allclose(native, ours, rtol=2e-3, atol=2e-3)
+
+    def test_spectrogram_matches_jax(self, capi):
+        from asv_subtools_tpu.features import SpectrogramOptions
+        from asv_subtools_tpu.features.functional import compute_spectrogram
+
+        rng = np.random.default_rng(3)
+        wave = (rng.normal(size=8000) * 1000).astype(np.float32)
+        dim = 257  # 400-sample window padded to 512 -> 257 bins
+        out = np.zeros(100 * dim, np.float32)
+        nf = capi.asvtpu_spectrogram(
+            _f32p(wave), len(wave), ctypes.c_float(16000.0), 1,
+            _f32p(out), len(out),
+        )
+        assert nf > 0
+        native = out[: nf * dim].reshape(nf, dim)
+        ours = np.asarray(compute_spectrogram(jnp.asarray(wave), SpectrogramOptions()))
+        assert ours.shape == native.shape
+        np.testing.assert_allclose(native, ours, rtol=1e-3, atol=1e-3)
+
+    def test_plp_matches_jax(self, capi):
+        from asv_subtools_tpu.features import PlpOptions
+        from asv_subtools_tpu.features.functional import compute_plp
+
+        rng = np.random.default_rng(4)
+        wave = (rng.normal(size=8000) * 1000).astype(np.float32)
+        out = np.zeros(100 * 13, np.float32)
+        nf = capi.asvtpu_plp(
+            _f32p(wave), len(wave), 23, 13, 12, ctypes.c_float(16000.0), 1,
+            _f32p(out), len(out),
+        )
+        assert nf > 0
+        native = out[: nf * 13].reshape(nf, 13)
+        ours = np.asarray(compute_plp(jnp.asarray(wave), PlpOptions()))
         np.testing.assert_allclose(native, ours, rtol=2e-3, atol=2e-3)
 
     def test_vad_matches_jax(self, capi):
