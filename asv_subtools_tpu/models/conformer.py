@@ -36,6 +36,10 @@ class ConformerXvector(nn.Module):
     pooling_params: Any = None
     dropout_rate: float = 0.1
     combiner_type: str = "norm"
+    encoder_params: Any = None  # extra ConformerEncoder kwargs (reference
+    # transformer_params dict, transformer_xvector.py:92-140) — e.g. the
+    # ReConformer set: {"norm_type": "basic_norm", "use_balancer": True,
+    # "re_scale": True, "activation_type": "double_swish"}
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -61,6 +65,7 @@ class ConformerXvector(nn.Module):
             combiner_type=self.combiner_type,
             axis_name=self.axis_name,
             name="transformer",
+            **dict(self.encoder_params or {}),
         )
         h, sub_mask = enc(x, mask=mask, train=train)
 

@@ -14,14 +14,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..norm import BatchNorm
+from .scaling import BasicNorm, activation_balancer
 
 
 class ConvolutionModule(nn.Module):
     kernel_size: int = 15
-    norm_type: str = "batch_norm"  # batch_norm | layer_norm
+    norm_type: str = "batch_norm"  # batch_norm | layer_norm | basic_norm
     causal: bool = False
     momentum: float = 0.1
     axis_name: Optional[str] = None
+    use_balancer: bool = False  # ReConformer (reference convolution.py:77-122)
 
     @nn.compact
     def __call__(
@@ -34,6 +36,10 @@ class ConvolutionModule(nn.Module):
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         h = nn.Conv(2 * d, (1,), name="pointwise1")(x)
+        if self.use_balancer:
+            h = activation_balancer(
+                h, -1, 0.05, 1.0, 0.01, 0.2, 10.0
+            )
         h = nn.glu(h, axis=-1)
         if self.causal:
             pad = [(self.kernel_size - 1, 0)]
@@ -47,8 +53,14 @@ class ConvolutionModule(nn.Module):
             h = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="norm")(
                 h, train=train, mask=mask
             )
-        else:
+        elif self.norm_type == "basic_norm":
+            h = BasicNorm(name="norm")(h)
+        elif self.norm_type == "layer_norm":
             h = nn.LayerNorm(name="norm")(h)
+        else:
+            raise ValueError(f"unknown norm_type {self.norm_type!r}")
+        if self.use_balancer:
+            h = activation_balancer(h, -1, 0.05, 1.0, 0.01, 0.2, 100.0)
         h = h * jax.nn.sigmoid(h)  # swish
         h = nn.Conv(d, (1,), name="pointwise2")(h)
         if mask is not None:

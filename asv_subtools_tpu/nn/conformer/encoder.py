@@ -26,19 +26,35 @@ from .attention import (
 )
 from .convolution import ConvolutionModule
 from .embedding import abs_position_encoding, rel_position_encoding
+from .scaling import BasicNorm, activation_balancer
 from .subsampling import SUBSAMPLINGS
+
+
+def _make_norm(norm_type: str, name: str):
+    """Block-level norm factory (reference encoder_layer.py:180-197:
+    layer_norm -> LayerNorm, anything else -> BasicNorm; the ReConformer
+    configs use norm_type="basic_norm")."""
+    if norm_type == "basic_norm":
+        return BasicNorm(name=name)
+    if norm_type != "layer_norm":
+        raise ValueError(f"unknown norm_type {norm_type!r}")
+    return nn.LayerNorm(name=name)
 
 
 class PositionwiseFeedForward(nn.Module):
     hidden_units: int = 2048
     dropout_rate: float = 0.1
     activation: str = "relu"
+    use_balancer: bool = False  # ReConformer (positionwise_feed_forward.py:26-33)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
         act = get_activation(self.activation)
-        h = act(nn.Dense(self.hidden_units, name="w1")(x))
+        h = nn.Dense(self.hidden_units, name="w1")(x)
+        if self.use_balancer:
+            h = activation_balancer(h)
+        h = act(h)
         if self.dropout_rate > 0 and not deterministic:
             h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
         return nn.Dense(d, name="w2")(h)
@@ -51,12 +67,16 @@ class MultiLayeredConv1d(nn.Module):
     kernel_size: int = 3
     dropout_rate: float = 0.1
     activation: str = "relu"
+    use_balancer: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         d = x.shape[-1]
         act = get_activation(self.activation)
-        h = act(nn.Conv(self.hidden_units, (self.kernel_size,), padding="SAME", name="w1")(x))
+        h = nn.Conv(self.hidden_units, (self.kernel_size,), padding="SAME", name="w1")(x)
+        if self.use_balancer:
+            h = activation_balancer(h)
+        h = act(h)
         if self.dropout_rate > 0 and not deterministic:
             h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
         return nn.Conv(d, (self.kernel_size,), padding="SAME", name="w2")(h)
@@ -102,6 +122,8 @@ class ConformerBlock(nn.Module):
     positionwise_conv_kernel_size: int = 1
     activation_type: str = "swish"
     cnn_norm_type: str = "layer_norm"  # reference cnn_module_norm default
+    norm_type: str = "layer_norm"  # block norms: layer_norm | basic_norm
+    use_balancer: bool = False  # ReConformer ActivationBalancer in ff/conv
     re_scale: bool = False  # learned residual-branch scales (ReConformer)
     causal_conv: bool = False  # causal conv module (streaming chunks)
     axis_name: Optional[str] = None
@@ -137,18 +159,19 @@ class ConformerBlock(nn.Module):
 
         if self.macaron:
             res = x
-            h = nn.LayerNorm(name="norm_ff_macaron")(x) if self.normalize_before else x
+            h = _make_norm(self.norm_type, "norm_ff_macaron")(x) if self.normalize_before else x
             h = pw_cls(
                 hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
-                activation=self.activation_type, name="ff_macaron",
+                activation=self.activation_type,
+                use_balancer=self.use_balancer, name="ff_macaron",
             )(h, deterministic=det)
             x = res + res_scale("scale_ff_macaron") * ff_scale * drop(h)
             if not self.normalize_before:
-                x = nn.LayerNorm(name="norm_ff_macaron")(x)
+                x = _make_norm(self.norm_type, "norm_ff_macaron")(x)
 
         # self-attention
         res = x
-        h = nn.LayerNorm(name="norm_mha")(x) if self.normalize_before else x
+        h = _make_norm(self.norm_type, "norm_mha")(x) if self.normalize_before else x
         att = _make_attention(
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
@@ -165,32 +188,33 @@ class ConformerBlock(nn.Module):
         else:
             x = res + res_scale("scale_mha") * drop(h_att)
         if not self.normalize_before:
-            x = nn.LayerNorm(name="norm_mha")(x)
+            x = _make_norm(self.norm_type, "norm_mha")(x)
 
         if self.use_cnn:
             res = x
-            h = nn.LayerNorm(name="norm_conv")(x) if self.normalize_before else x
+            h = _make_norm(self.norm_type, "norm_conv")(x) if self.normalize_before else x
             h = ConvolutionModule(
                 kernel_size=self.cnn_kernel, norm_type=self.cnn_norm_type,
-                causal=self.causal_conv,
+                causal=self.causal_conv, use_balancer=self.use_balancer,
                 axis_name=self.axis_name, name="conv_module",
             )(h, mask=pad_mask, train=train)
             x = res + res_scale("scale_conv") * drop(h)
             if not self.normalize_before:
-                x = nn.LayerNorm(name="norm_conv")(x)
+                x = _make_norm(self.norm_type, "norm_conv")(x)
 
         res = x
-        h = nn.LayerNorm(name="norm_ff")(x) if self.normalize_before else x
+        h = _make_norm(self.norm_type, "norm_ff")(x) if self.normalize_before else x
         h = pw_cls(
             hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
-            activation=self.activation_type, name="ff",
+            activation=self.activation_type,
+            use_balancer=self.use_balancer, name="ff",
         )(h, deterministic=det)
         x = res + res_scale("scale_ff") * ff_scale * drop(h)
         if not self.normalize_before:
-            x = nn.LayerNorm(name="norm_ff")(x)
+            x = _make_norm(self.norm_type, "norm_ff")(x)
 
         if self.use_cnn and self.normalize_before:
-            x = nn.LayerNorm(name="norm_final")(x)
+            x = _make_norm(self.norm_type, "norm_final")(x)
         return x
 
 
@@ -252,6 +276,8 @@ class ConformerEncoder(nn.Module):
     static_chunk_size: int = 0  # >0: chunk-causal attention (streaming)
     left_chunk_size: int = -1
     re_scale: bool = False  # ReConformer variant (encoder.py:684)
+    norm_type: str = "layer_norm"  # layer_norm | basic_norm (ReConformer)
+    use_balancer: bool = False  # ActivationBalancer in ff/conv (ReConformer)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -307,6 +333,8 @@ class ConformerEncoder(nn.Module):
                 use_cnn=self.use_cnn,
                 cnn_kernel=self.cnn_kernel,
                 cnn_norm_type=self.cnn_norm_type,
+                norm_type=self.norm_type,
+                use_balancer=self.use_balancer,
                 normalize_before=self.normalize_before,
                 positionwise_layer_type=self.positionwise_layer_type,
                 activation_type=self.activation_type,
@@ -328,7 +356,7 @@ class ConformerEncoder(nn.Module):
         else:  # norm
             out = h
         if self.normalize_before and self.combiner_type != "mfa":
-            out = nn.LayerNorm(name="after_norm")(out)
+            out = _make_norm(self.norm_type, "after_norm")(out)
         return out, mask
 
 

@@ -216,3 +216,71 @@ class TestT5BiasWired:
         p2 = {**p2, "t5_bias": {"rel_bias": jnp.full_like(p2["t5_bias"]["rel_bias"], 3.0)}}
         y2, _ = enc_with.apply({"params": p2}, x, train=False)
         assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+class TestReConformer:
+    """ReConformer variant: BasicNorm + ActivationBalancer + DoubleSwish
+    (reference scaling.py / layer_norm.py BasicNorm / encoder re_scale)."""
+
+    def test_balancer_identity_forward_modified_backward(self):
+        from asv_subtools_tpu.nn.conformer.scaling import activation_balancer
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8, 16)),
+                        jnp.float32)
+        # forward is the identity
+        np.testing.assert_array_equal(np.asarray(activation_balancer(x)), np.asarray(x))
+
+        # backward differs from identity when constraints are violated:
+        # make one channel always-negative (proportion_positive = 0)
+        xneg = x.at[..., 0].set(-jnp.abs(x[..., 0]) - 1.0)
+        g_plain = jax.grad(lambda v: jnp.sum(jnp.tanh(v)))(xneg)
+        g_bal = jax.grad(lambda v: jnp.sum(jnp.tanh(activation_balancer(v))))(xneg)
+        assert not np.allclose(np.asarray(g_plain), np.asarray(g_bal))
+        # untouched channels with healthy stats keep gradients closer
+        diff = np.abs(np.asarray(g_plain) - np.asarray(g_bal))
+        assert diff[..., 0].mean() > 0  # violated channel was adjusted
+
+    def test_basic_norm(self):
+        from asv_subtools_tpu.nn.conformer.scaling import BasicNorm
+
+        m = BasicNorm()
+        x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 5, 8)) * 3,
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        # matches the closed form with eps=0.25
+        scales = (np.mean(np.asarray(x) ** 2, axis=-1, keepdims=True) + 0.25) ** -0.5
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x) * scales, rtol=1e-5)
+        assert "eps" in v["params"]
+
+    def test_reconformer_encoder_trains(self):
+        from asv_subtools_tpu.nn.conformer import ConformerEncoder
+
+        enc = ConformerEncoder(
+            attention_dim=32, attention_heads=2, linear_units=64, num_blocks=2,
+            norm_type="basic_norm", use_balancer=True, re_scale=True,
+            activation_type="double_swish", cnn_norm_type="basic_norm",
+        )
+        x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 40, 23)),
+                        jnp.float32)
+        mask = jnp.ones((2, 40), bool)
+        variables = enc.init(jax.random.PRNGKey(0), x, mask=mask, train=False)
+        out, _ = enc.apply(variables, x, mask=mask, train=False)
+        assert np.isfinite(np.asarray(out)).all()
+        # BasicNorm eps params + re_scale scales exist
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        names = ["/".join(str(k.key) for k in path) for path, _ in flat]
+        assert any("after_norm/eps" in n for n in names)
+        assert any("scale_mha" in n for n in names)
+
+        # gradient flows through the balancer path
+        def loss(v):
+            o, _ = enc.apply(
+                v, x, mask=mask, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)},
+            )
+            return jnp.sum(o * o)
+
+        g = jax.grad(loss)(variables)
+        gnorm = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
