@@ -113,6 +113,9 @@ class PjrtEmbedder {
                                        error);
       if (b.handle < 0) return nullptr;
       if (!asvtpu::MaterializeInputs(bundle, &b.inputs, error)) return nullptr;
+      b.persistent.resize(bundle.args.size());
+      for (size_t i = 0; i < bundle.args.size(); ++i)
+        b.persistent[i] = bundle.args[i].baked;
       // locate runtime slots: x is the non-baked rank-3 arg, mask rank-2
       b.x_slot = b.mask_slot = -1;
       for (size_t i = 0; i < bundle.args.size(); ++i) {
@@ -153,7 +156,9 @@ class PjrtEmbedder {
     std::fill(m.data.begin(), m.data.end(), 0);
     std::fill(m.data.begin(), m.data.begin() + use_t, 1);
     std::vector<asvtpu::HostArray> outputs;
-    if (!ex_->ExecuteModule(b->handle, b->inputs, &outputs, error)) return {};
+    if (!ex_->ExecuteModule(b->handle, b->inputs, &outputs, error,
+                            &b->persistent))
+      return {};
     if (outputs.empty() || outputs[0].dtype != "f32") {
       *error = "unexpected output";
       return {};
@@ -170,6 +175,7 @@ class PjrtEmbedder {
   struct Bucket {
     int t = 0, dim = 0, handle = -1, x_slot = -1, mask_slot = -1;
     std::vector<asvtpu::HostArray> inputs;  // baked params + runtime slots
+    std::vector<bool> persistent;  // baked args: upload once, reuse
   };
   std::unique_ptr<asvtpu::PjrtExecutor> ex_;
   std::vector<Bucket> buckets_;  // ascending t

@@ -184,16 +184,20 @@ int main(int argc, char** argv) {
     }
   }
 
+  // Baked (weight) args upload once and stay resident, as in serving.
+  std::vector<bool> persistent(bundle.args.size(), false);
+  for (size_t i = 0; i < bundle.args.size(); ++i)
+    persistent[i] = bundle.args[i].baked;
   std::vector<HostArray> outputs;
   for (int i = 0; i < warmup; ++i) {
-    if (!ex->Execute(inputs, &outputs, &error)) {
+    if (!ex->ExecuteModule(0, inputs, &outputs, &error, &persistent)) {
       std::fprintf(stderr, "execute(warmup): %s\n", error.c_str());
       return 1;
     }
   }
   auto t3 = std::chrono::steady_clock::now();
   for (int i = 0; i < iters; ++i) {
-    if (!ex->Execute(inputs, &outputs, &error)) {
+    if (!ex->ExecuteModule(0, inputs, &outputs, &error, &persistent)) {
       std::fprintf(stderr, "execute: %s\n", error.c_str());
       return 1;
     }

@@ -238,33 +238,54 @@ int PjrtExecutor::CompileModule(const std::string& mlir_module,
 bool PjrtExecutor::ExecuteModule(int handle,
                                  const std::vector<HostArray>& inputs,
                                  std::vector<HostArray>* outputs,
-                                 std::string* error) {
+                                 std::string* error,
+                                 const std::vector<bool>* persistent) {
   if (handle < 0 || static_cast<size_t>(handle) >= executables_.size()) {
     *error = "Execute before Compile / bad module handle";
     return false;
   }
-  PJRT_LoadedExecutable* executable = executables_[handle].executable;
-  const size_t num_outputs = executables_[handle].num_outputs;
+  CompiledModule& module_entry = executables_[handle];
+  PJRT_LoadedExecutable* executable = module_entry.executable;
+  const size_t num_outputs = module_entry.num_outputs;
+  if (module_entry.cached_args.empty())
+    module_entry.cached_args.assign(inputs.size(), nullptr);
+  auto is_persistent = [&](size_t i) {
+    return persistent != nullptr && i < persistent->size() && (*persistent)[i];
+  };
   std::vector<PJRT_Buffer*> arg_buffers(inputs.size(), nullptr);
   std::vector<PJRT_Event*> upload_events(inputs.size(), nullptr);
 
+  auto destroy_buffer = [&](PJRT_Buffer* b) {
+    if (b == nullptr) return;
+    PJRT_Buffer_Destroy_Args dargs;
+    std::memset(&dargs, 0, sizeof(dargs));
+    dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    dargs.buffer = b;
+    api_->PJRT_Buffer_Destroy(&dargs);
+  };
   auto cleanup_buffers = [&](std::vector<PJRT_Buffer*>& bufs) {
-    for (PJRT_Buffer* b : bufs) {
-      if (b == nullptr) continue;
-      PJRT_Buffer_Destroy_Args dargs;
-      std::memset(&dargs, 0, sizeof(dargs));
-      dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-      dargs.buffer = b;
-      api_->PJRT_Buffer_Destroy(&dargs);
+    for (PJRT_Buffer* b : bufs) destroy_buffer(b);
+  };
+  // Destroy only the arg buffers this call created (cached persistent
+  // buffers survive across executes).
+  auto cleanup_args = [&]() {
+    for (size_t i = 0; i < arg_buffers.size(); ++i) {
+      if (is_persistent(i) && arg_buffers[i] == module_entry.cached_args[i])
+        continue;
+      destroy_buffer(arg_buffers[i]);
     }
   };
 
   for (size_t i = 0; i < inputs.size(); ++i) {
+    if (is_persistent(i) && module_entry.cached_args[i] != nullptr) {
+      arg_buffers[i] = module_entry.cached_args[i];
+      continue;
+    }
     const HostArray& in = inputs[i];
     PJRT_Buffer_Type type = DtypeToPjrt(in.dtype);
     if (type == PJRT_Buffer_Type_INVALID) {
       *error = "unsupported input dtype " + in.dtype;
-      cleanup_buffers(arg_buffers);
+      cleanup_args();
       return false;
     }
     PJRT_Client_BufferFromHostBuffer_Args args;
@@ -280,10 +301,11 @@ bool PjrtExecutor::ExecuteModule(int handle,
     args.device = device_;
     if (!Ok(api_, api_->PJRT_Client_BufferFromHostBuffer(&args),
             "BufferFromHostBuffer", error)) {
-      cleanup_buffers(arg_buffers);
+      cleanup_args();
       return false;
     }
     arg_buffers[i] = args.buffer;
+    if (is_persistent(i)) module_entry.cached_args[i] = args.buffer;
     upload_events[i] = args.done_with_host_buffer;
   }
   // Do NOT await the upload events yet: lazy/batching plugins (the axon
@@ -322,7 +344,7 @@ bool PjrtExecutor::ExecuteModule(int handle,
       ok = false;
     }
   }
-  cleanup_buffers(arg_buffers);
+  cleanup_args();
   if (!ok) {
     cleanup_buffers(out_buffers);
     return false;
@@ -385,6 +407,14 @@ bool PjrtExecutor::ExecuteModule(int handle,
 PjrtExecutor::~PjrtExecutor() {
   if (api_ != nullptr) {
     for (const CompiledModule& mod : executables_) {
+      for (PJRT_Buffer* b : mod.cached_args) {
+        if (b == nullptr) continue;
+        PJRT_Buffer_Destroy_Args dargs;
+        std::memset(&dargs, 0, sizeof(dargs));
+        dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        dargs.buffer = b;
+        api_->PJRT_Buffer_Destroy(&dargs);
+      }
       PJRT_LoadedExecutable_Destroy_Args args;
       std::memset(&args, 0, sizeof(args));
       args.struct_size = PJRT_LoadedExecutable_Destroy_Args_STRUCT_SIZE;

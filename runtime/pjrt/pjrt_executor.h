@@ -24,6 +24,7 @@ typedef struct PJRT_Api PJRT_Api;
 typedef struct PJRT_Client PJRT_Client;
 typedef struct PJRT_Device PJRT_Device;
 typedef struct PJRT_LoadedExecutable PJRT_LoadedExecutable;
+typedef struct PJRT_Buffer PJRT_Buffer;
 
 namespace asvtpu {
 
@@ -68,9 +69,13 @@ class PjrtExecutor {
                     const std::string& compile_options, std::string* error);
 
   // Synchronous single-device execute of module `handle`: upload inputs,
-  // run, download outputs.
+  // run, download outputs. `persistent` (optional, per-arg) marks inputs
+  // whose device buffers should be uploaded once and reused across calls
+  // (model weights in a serving loop): the first execute uploads and
+  // caches them; later executes skip the H2D entirely.
   bool ExecuteModule(int handle, const std::vector<HostArray>& inputs,
-                     std::vector<HostArray>* outputs, std::string* error);
+                     std::vector<HostArray>* outputs, std::string* error,
+                     const std::vector<bool>* persistent = nullptr);
 
   // Single-module convenience (used by pjrt_runner).
   bool Compile(const std::string& mlir_module,
@@ -96,6 +101,7 @@ class PjrtExecutor {
   struct CompiledModule {
     PJRT_LoadedExecutable* executable = nullptr;
     size_t num_outputs = 0;
+    std::vector<PJRT_Buffer*> cached_args;  // persistent-arg device buffers
   };
 
   const PJRT_Api* api_ = nullptr;
