@@ -312,3 +312,34 @@ class Launcher:
         out = pipe.run(enroll, test, Trials.read(trials_path), cohort=cohort)
         self.logger.info("scoring: %s", out)
         return out
+
+    def gather_results_from_epochs(
+        self,
+        epochs,
+        train_scp_fmt: str,
+        train_utt2spk: str,
+        enroll_scp_fmt: str,
+        test_scp_fmt: str,
+        trials_path: str,
+        **score_kwargs,
+    ):
+        """Score a range of epoch checkpoints and collect metrics per epoch
+        (parity: gather_results_from_epochs.sh — the reference loops
+        scoreSets.sh over exp/<model>/far_epoch_N vector dirs).
+
+        The *_fmt paths may contain "{epoch}" which is substituted per
+        epoch; pass plain paths to reuse one extraction for all epochs
+        (useful when only the back-end config varies). Returns
+        {epoch: metrics dict} and logs a summary table.
+        """
+        results = {}
+        for epoch in epochs:
+            fmt = lambda s: s.format(epoch=epoch)
+            results[epoch] = self.score(
+                fmt(train_scp_fmt), train_utt2spk,
+                fmt(enroll_scp_fmt), fmt(test_scp_fmt), trials_path,
+                **score_kwargs,
+            )
+        for epoch, m in sorted(results.items()):
+            self.logger.info("epoch %s: %s", epoch, m)
+        return results

@@ -203,3 +203,49 @@ class TestWaveModeExtractStage:
         embs = dict(read_vec_flt_scp(str(tmp_path / "xv.scp")))
         assert len(embs) == 8
         assert all(np.all(np.isfinite(v)) for v in embs.values())
+
+
+class TestGatherResults:
+    def test_gather_results_from_epochs(self, tmp_path):
+        """gather_results_from_epochs: per-epoch scoring loop with {epoch}
+        substitution (gather_results_from_epochs.sh parity)."""
+        from asv_subtools_tpu.io.kaldi import ArkScpWriter
+
+        rng = np.random.default_rng(0)
+        spk_means = rng.normal(size=(4, 16)) * 3
+
+        def write_vecs(path_prefix, n_per_spk, noise):
+            with ArkScpWriter(path_prefix + ".ark", path_prefix + ".scp", matrix=False) as w:
+                for s in range(4):
+                    for i in range(n_per_spk):
+                        v = spk_means[s] + rng.normal(size=16) * noise
+                        w.write(f"spk{s}-u{i}", v.astype(np.float32))
+
+        trials = tmp_path / "trials"
+        lines = []
+        for s in range(4):
+            lines.append(f"spk{s}-u0 spk{s}-u1 target")
+            lines.append(f"spk{s}-u0 spk{(s + 1) % 4}-u1 nontarget")
+        trials.write_text("\n".join(lines) + "\n")
+        u2s = tmp_path / "utt2spk"
+        u2s.write_text(
+            "\n".join(f"spk{s}-u{i} spk{s}" for s in range(4) for i in range(4))
+            + "\n"
+        )
+        write_vecs(str(tmp_path / "train"), 4, 0.5)
+        # two "epochs" with different noise: epoch 2 should score better
+        write_vecs(str(tmp_path / "eval_epoch1"), 2, 3.0)
+        write_vecs(str(tmp_path / "eval_epoch2"), 2, 0.2)
+
+        launcher = Launcher({"exp_dir": str(tmp_path / "exp")})
+        results = launcher.gather_results_from_epochs(
+            [1, 2],
+            str(tmp_path / "train.scp"),
+            str(u2s),
+            str(tmp_path / "eval_epoch{epoch}.scp"),
+            str(tmp_path / "eval_epoch{epoch}.scp"),
+            str(trials),
+            classifier="cosine",
+        )
+        assert set(results) == {1, 2}
+        assert results[2]["eer"] <= results[1]["eer"]
