@@ -21,6 +21,7 @@ from .framework import (
     l2_norm,
 )
 from .multitask import (
+    DALRegularizer,
     FDXvector,
     MultiTaskXvector,
     fd_adversarial_loss,

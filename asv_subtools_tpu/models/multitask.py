@@ -88,19 +88,41 @@ def phone_frame_loss(
     return jnp.mean(nll)
 
 
-class FDXvector(nn.Module):
-    """Feature-decomposition x-vector (snowdar-xvector-FD-AL.py).
+class DALRegularizer(nn.Module):
+    """Decoupling (DAL) regularizer: learned bias-free projections of the
+    two decomposed embeddings, squared mean cosine between them.
 
-    Two parallel encoders split the input representation into a speaker
-    part and a residual ("content") part; `__call__` returns both pooled
-    embeddings. Adversarial training minimizes the speaker loss on the
-    speaker branch while PENALIZING cosine similarity between the two
-    branch embeddings (`fd_adversarial_loss`), with the reference's
-    two-optimizer alternation approximated by a gradient-reversal weight.
+    Parity: DAL_regularizer (snowdar-xvector-FD-AL.py:62-76). The
+    projections are trained ADVERSARIALLY (they seek residual correlation)
+    while the trunk minimizes what they find — see train/fd.py.
+    """
+
+    @nn.compact
+    def __call__(self, content_emb: jax.Array, spk_emb: jax.Array) -> jax.Array:
+        d = spk_emb.shape[-1]
+        n = nn.Dense(d, use_bias=False, name="w_noise")(content_emb)
+        i = nn.Dense(d, use_bias=False, name="w_id")(spk_emb)
+        i = i / jnp.maximum(jnp.linalg.norm(i, axis=-1, keepdims=True), 1e-12)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        cos = jnp.mean(jnp.sum(i * n, axis=-1))
+        return cos**2
+
+
+class FDXvector(nn.Module):
+    """Feature-decomposition x-vector (snowdar-xvector-FD-AL.py:79-292).
+
+    Reference architecture: ONE shared x-vector trunk to the second
+    segment layer (tdnn7), then an SE sigmoid gate `scale = att(e)` splits
+    the embedding into a domain/noise part `e * scale` and a speaker part
+    `e * (1 - scale)` (FD-AL forward :287-292). The speaker loss trains
+    the (1-scale) part, an auxiliary classifier (reference loss2, 9
+    classes) trains the scale part, and the DAL regularizer decouples
+    them (train/fd.py wires all three).
     """
 
     num_frame_channels: int = 512
     embd_dim: int = 512
+    se_ratio: int = 8
     momentum: float = 0.1
     axis_name: Optional[str] = None
 
@@ -115,18 +137,28 @@ class FDXvector(nn.Module):
         c = self.num_frame_channels
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
 
-        def branch(name):
-            h = x
-            for i, ctx in enumerate([(-2, -1, 0, 1, 2), (-2, 0, 2), (0,)]):
-                h = ReluBatchNormTdnnLayer(
-                    c, context=ctx, name=f"{name}_tdnn{i + 1}", **common
-                )(h, train=train, mask=mask)
-            stats = StatisticsPooling(name=f"{name}_stats")(h, mask=mask)
-            z = nn.Dense(self.embd_dim, name=f"{name}_fc")(stats)
-            return z
+        h = x
+        for i, ctx in enumerate([(-2, -1, 0, 1, 2), (-2, 0, 2), (-3, 0, 3), (0,), (0,)]):
+            h = ReluBatchNormTdnnLayer(
+                c, context=ctx, name=f"tdnn{i + 1}", **common
+            )(h, train=train, mask=mask)
+        stats = StatisticsPooling(name="stats")(h, mask=mask)
+        e = ReluBatchNormTdnnLayer(self.embd_dim, name="tdnn6", **common)(
+            stats[:, None, :], train=train
+        )[:, 0, :]
+        e = ReluBatchNormTdnnLayer(self.embd_dim, name="tdnn7", **common)(
+            e[:, None, :], train=train
+        )[:, 0, :]
 
-        spk = branch("speaker")
-        content = branch("content")
+        # SE gate (reference att = SEBlock(512), FD-AL :224): sigmoid
+        # channel weights split the embedding into domain vs speaker parts
+        g = nn.Dense(self.embd_dim // self.se_ratio, name="content_gate_fc1")(e)
+        g = jax.nn.relu(g)
+        scale = jax.nn.sigmoid(
+            nn.Dense(self.embd_dim, name="content_gate_fc2")(g)
+        )
+        content = e * scale          # y: domain/noise part (loss2 input)
+        spk = e * (1.0 - scale)      # x: speaker part (main loss input)
         return spk, content
 
 

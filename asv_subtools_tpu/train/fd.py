@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from ..models.multitask import FDXvector, fd_adversarial_loss
+from ..models.multitask import DALRegularizer, FDXvector
 from ..nn.loss import LOSSES, accuracy as compute_accuracy
 from .trainer import TrainState, TrainStepConfig
 
@@ -45,7 +45,7 @@ class FDSpeakerNet(nn.Module):
         aux_loss, _ = LOSSES["softmax"](
             num_targets=self.num_aux_targets, name="loss2"
         )(content_emb, aux_targets, train=train)
-        adv = fd_adversarial_loss(spk_emb, content_emb)
+        adv = DALRegularizer(name="dal")(content_emb, spk_emb)
         return spk_loss, aux_loss, adv, logits
 
 
@@ -53,7 +53,7 @@ def _is_adversary(path) -> bool:
     """Content/DAL branch params — the adversary partition."""
     for p in path:
         key = getattr(p, "key", "")
-        if isinstance(key, str) and key.startswith("content"):
+        if isinstance(key, str) and (key.startswith("content") or key == "dal"):
             return True
     return False
 
