@@ -272,3 +272,44 @@ def spec_augment(
             start = int(rng.integers(d - width))
             out[:, start : start + width] = 0.0
     return out
+
+def prepare_speechaug_csv(
+    wav_dir: str,
+    out_csv: str,
+    *,
+    extensions=(".wav",),
+    sample_rate_hint: int = 16000,
+) -> int:
+    """Scan a noise/RIR corpus directory tree into a NoiseManifest CSV
+    (parity: pipeline/onestep/prepare_speechaug_csv.py — builds the
+    MUSAN/RIRS manifests preprocess_wav_egs.sh feeds to SpeechAug).
+    Columns: id,duration,wav. Returns the number of rows written.
+    """
+    import csv as _csv
+    import os
+    import wave as _wave
+
+    rows = []
+    for root, _dirs, files in os.walk(wav_dir):
+        for name in sorted(files):
+            if not name.lower().endswith(tuple(extensions)):
+                continue
+            path = os.path.join(root, name)
+            try:
+                with _wave.open(path, "rb") as w:
+                    dur = w.getnframes() / float(w.getframerate())
+            except Exception:
+                from ..io.wav import read_wav
+
+                try:
+                    wav, sr = read_wav(path)
+                    dur = len(wav) / float(sr or sample_rate_hint)
+                except Exception:
+                    continue
+            rows.append((os.path.splitext(name)[0], dur, path))
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with open(out_csv, "w", newline="") as f:
+        writer = _csv.writer(f)
+        writer.writerow(["id", "duration", "wav"])
+        writer.writerows(rows)
+    return len(rows)

@@ -83,6 +83,41 @@ def tar_shard_source(shard_list: Sequence[str]) -> Iterator[Sample]:
                     yield entry
 
 
+def write_tar_shards(
+    entries,
+    out_dir: str,
+    *,
+    num_per_shard: int = 1000,
+    prefix: str = "shards",
+):
+    """Pack (key, wav_path, label) entries into wenet-style tar shards
+    readable by tar_shard_source (parity: pipeline make_shard_list.py —
+    the online-egs shard packer). Returns the list of shard paths.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    entries = list(entries)
+    shard_paths = []
+    for si in range(0, len(entries), num_per_shard):
+        path = os.path.join(
+            out_dir, f"{prefix}_{si // num_per_shard:06d}.tar"
+        )
+        with tarfile.open(path, "w") as tf:
+            for key, wav_path, label in entries[si : si + num_per_shard]:
+                tf.add(wav_path, arcname=f"{key}.wav")
+                data = str(label).encode()
+                info = tarfile.TarInfo(f"{key}.spk")
+                info.size = len(data)
+                import io
+
+                tf.addfile(info, io.BytesIO(data))
+        shard_paths.append(path)
+    with open(os.path.join(out_dir, "shard_list.txt"), "w") as f:
+        f.write("\n".join(shard_paths) + "\n")
+    return shard_paths
+
+
 # -- stages -----------------------------------------------------------------
 
 

@@ -281,3 +281,11 @@ def cut_utt_random(
         else:
             out[k] = v
     return out
+
+def utt2num_frames_from_vad(vad_scp: str) -> Dict[str, int]:
+    """get_utt2num_frames_from_vad.sh: frame counts from the VAD ark
+    (the VAD vector has one entry per frame)."""
+    from .io.kaldi import read_vec_flt_scp
+
+    return {k: int(v.shape[0]) for k, v in read_vec_flt_scp(vad_scp)}
+

@@ -336,3 +336,61 @@ class TestOfflineEgs:
         egs.set_epoch(1)
         batch2 = next(iter(egs))
         assert batch["keys"] != batch2["keys"] or not np.allclose(batch["x"], batch2["x"])
+
+
+class TestShardWriterAndCsv:
+    def test_write_and_read_tar_shards(self, tmp_path):
+        import wave as wavemod
+
+        from asv_subtools_tpu.data.processor import (
+            Pipeline, parse_raw, tar_shard_source, write_tar_shards,
+        )
+
+        rng = np.random.default_rng(0)
+        entries = []
+        for i in range(5):
+            pcm = (rng.normal(size=1600) * 3000).astype(np.int16)
+            p = tmp_path / f"u{i}.wav"
+            with wavemod.open(str(p), "wb") as w:
+                w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            entries.append((f"u{i}", str(p), f"spk{i % 2}"))
+
+        shards = write_tar_shards(entries, str(tmp_path / "shards"),
+                                  num_per_shard=2)
+        assert len(shards) == 3  # 2+2+1
+        out = list(Pipeline(tar_shard_source(shards), [parse_raw]))
+        assert sorted(s["key"] for s in out) == [f"u{i}" for i in range(5)]
+        assert all(s["label"] in ("spk0", "spk1") for s in out)
+        assert all(s["wav"].shape == (1600,) for s in out)
+
+    def test_prepare_speechaug_csv(self, tmp_path):
+        import wave as wavemod
+
+        from asv_subtools_tpu.data.augment import NoiseManifest, prepare_speechaug_csv
+
+        sub = tmp_path / "musan" / "noise"
+        sub.mkdir(parents=True)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            pcm = (rng.normal(size=8000) * 3000).astype(np.int16)
+            with wavemod.open(str(sub / f"n{i}.wav"), "wb") as w:
+                w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+        csv_path = str(tmp_path / "csv" / "noise.csv")
+        n = prepare_speechaug_csv(str(tmp_path / "musan"), csv_path)
+        assert n == 3
+        man = NoiseManifest.from_csv(csv_path)
+        assert len(man.items) == 3
+        assert abs(man.items[0][1] - 0.5) < 1e-6  # 8000/16000 s
+
+    def test_utt2num_frames_from_vad(self, tmp_path):
+        from asv_subtools_tpu.datadir import utt2num_frames_from_vad
+        from asv_subtools_tpu.io.kaldi import ArkScpWriter
+
+        with ArkScpWriter(str(tmp_path / "vad.ark"), str(tmp_path / "vad.scp"),
+                          matrix=False) as w:
+            w.write("u1", np.ones(37, np.float32))
+            w.write("u2", np.zeros(11, np.float32))
+        counts = utt2num_frames_from_vad(str(tmp_path / "vad.scp"))
+        assert counts == {"u1": 37, "u2": 11}
