@@ -163,12 +163,15 @@ def export_pjrt_embed_bundles(
     bucket_lengths: Sequence[int] = (200, 400, 800, 1600, 3200),
     compute_dtype=None,
     platform: str = "tpu",
+    batch: int = 1,
 ) -> Dict[int, str]:
     """Export the embedding head as one PJRT bundle per bucket length for
     the native extractor (runtime/bin/asv_extractor_main --pjrt_plugin).
 
-    Each bundle computes `embed(variables, x [1, T, D] f32, mask [1, T]
-    pred) -> [1, E] f32` with the variables baked into params.bin
+    Each bundle computes `embed(variables, x [B, T, D] f32, mask [B, T]
+    pred) -> [B, E] f32` (B = `batch`, default 1; when B > 1 the C++
+    extractor automatically groups utterances per execute) with the variables raveled
+    into one flat vector baked into params.bin
     (bf16-cast when compute_dtype is bfloat16 — the serving configuration
     that bench.py validates at <1e-2 cosine distance from f32).
     """
@@ -198,8 +201,8 @@ def export_pjrt_embed_bundles(
 
     paths: Dict[int, str] = {}
     for t in bucket_lengths:
-        x = jnp.zeros((1, int(t), feat_dim), jnp.float32)
-        m = jnp.ones((1, int(t)), bool)
+        x = jnp.zeros((int(batch), int(t), feat_dim), jnp.float32)
+        m = jnp.ones((int(batch), int(t)), bool)
         d = os.path.join(out_dir, f"t{t}")
         export_pjrt_bundle(
             embed,

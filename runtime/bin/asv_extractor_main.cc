@@ -19,6 +19,7 @@
 #include <cstring>
 #include <fstream>
 #include <iostream>
+#include <map>
 #include <memory>
 #include <sstream>
 #include <string>
@@ -78,6 +79,12 @@ static std::vector<float> RemoteEmbed(int fd, const std::vector<float>& feats,
 // features zero-padded with a matching boolean mask.
 class PjrtEmbedder {
  public:
+  struct Bucket {
+    int t = 0, dim = 0, batch = 1, handle = -1, x_slot = -1, mask_slot = -1;
+    std::vector<asvtpu::HostArray> inputs;  // baked params + runtime slots
+    std::vector<bool> persistent;  // baked args: upload once, reuse
+  };
+
   static std::unique_ptr<PjrtEmbedder> Create(
       const std::string& plugin, const std::string& bundles_dir,
       const std::vector<asvtpu::ClientOption>& opts, std::string* error) {
@@ -128,33 +135,46 @@ class PjrtEmbedder {
         return nullptr;
       }
       b.dim = int(bundle.args[b.x_slot].dims[2]);
+      b.batch = int(bundle.args[b.x_slot].dims[0]);
       e->buckets_.push_back(std::move(b));
     }
     return e;
   }
 
-  // feats: [t, dim] row-major; returns embedding or empty on error.
-  std::vector<float> Embed(const std::vector<float>& feats, int t, int dim,
-                           std::string* error) {
-    Bucket* b = nullptr;
+  Bucket* BucketFor(int t) {
     for (auto& cand : buckets_) {
-      if (cand.t >= t) {
-        b = &cand;
-        break;
-      }
+      if (cand.t >= t) return &cand;
     }
-    if (b == nullptr) b = &buckets_.back();  // truncate to largest bucket
-    int use_t = std::min(t, b->t);
+    return &buckets_.back();  // truncate to largest bucket
+  }
+  int batch_capacity() const {
+    return buckets_.empty() ? 1 : buckets_[0].batch;
+  }
+
+  // One utterance per bucket row. items: (feats [t*dim], t). Returns one
+  // embedding per item (empty vector overall on error).
+  std::vector<std::vector<float>> EmbedBatch(
+      Bucket* b, const std::vector<std::pair<const std::vector<float>*, int>>& items,
+      int dim, std::string* error) {
     if (dim != b->dim) {
       *error = "feat dim mismatch";
+      return {};
+    }
+    if (int(items.size()) > b->batch) {
+      *error = "batch overflow";
       return {};
     }
     asvtpu::HostArray& x = b->inputs[b->x_slot];
     asvtpu::HostArray& m = b->inputs[b->mask_slot];
     std::fill(x.data.begin(), x.data.end(), 0);
-    std::memcpy(x.data.data(), feats.data(), size_t(use_t) * dim * 4);
     std::fill(m.data.begin(), m.data.end(), 0);
-    std::fill(m.data.begin(), m.data.begin() + use_t, 1);
+    size_t row_floats = size_t(b->t) * dim;
+    for (size_t r = 0; r < items.size(); ++r) {
+      int use_t = std::min(items[r].second, b->t);
+      std::memcpy(x.data.data() + r * row_floats * 4,
+                  items[r].first->data(), size_t(use_t) * dim * 4);
+      std::fill(m.data.begin() + r * b->t, m.data.begin() + r * b->t + use_t, 1);
+    }
     std::vector<asvtpu::HostArray> outputs;
     if (!ex_->ExecuteModule(b->handle, b->inputs, &outputs, error,
                             &b->persistent))
@@ -164,7 +184,29 @@ class PjrtEmbedder {
       return {};
     }
     const float* p = reinterpret_cast<const float*>(outputs[0].data.data());
-    return std::vector<float>(p, p + outputs[0].num_elements());
+    size_t e_dim = outputs[0].num_elements() / size_t(b->batch);
+    std::vector<std::vector<float>> out(items.size());
+    for (size_t r = 0; r < items.size(); ++r)
+      out[r].assign(p + r * e_dim, p + (r + 1) * e_dim);
+    return out;
+  }
+
+  // feats: [t, dim] row-major; returns embedding or empty on error.
+  std::vector<float> Embed(const std::vector<float>& feats, int t, int dim,
+                           std::string* error) {
+    Bucket* b = BucketFor(t);
+    auto out = EmbedBatch(b, {{&feats, t}}, dim, error);
+    return out.empty() ? std::vector<float>() : std::move(out[0]);
+  }
+
+  // Run one dummy execute per bucket so the backend's lazy first-execute
+  // codegen cost is paid up front, not on the first utterance.
+  bool Warmup(std::string* error) {
+    for (auto& b : buckets_) {
+      std::vector<float> zeros(size_t(b.t) * b.dim, 0.0f);
+      if (EmbedBatch(&b, {{&zeros, b.t}}, b.dim, error).empty()) return false;
+    }
+    return true;
   }
 
   const std::string& platform() const { return ex_->platform_name(); }
@@ -172,11 +214,6 @@ class PjrtEmbedder {
 
  private:
   PjrtEmbedder() = default;
-  struct Bucket {
-    int t = 0, dim = 0, handle = -1, x_slot = -1, mask_slot = -1;
-    std::vector<asvtpu::HostArray> inputs;  // baked params + runtime slots
-    std::vector<bool> persistent;  // baked args: upload once, reuse
-  };
   std::unique_ptr<asvtpu::PjrtExecutor> ex_;
   std::vector<Bucket> buckets_;  // ascending t
 };
@@ -189,6 +226,55 @@ struct ClientOptionStub {
 };
 #endif  // ASVTPU_WITH_PJRT
 
+// wav path -> VAD-selected, submeaned features [kept, dim-1].
+static bool ComputeSelectedFeats(const std::string& path,
+                                 const FbankComputer& computer,
+                                 const VadOptions& vad_opts, bool do_vad,
+                                 bool do_submean, std::vector<float>* selected,
+                                 int* kept_out, int* total_out,
+                                 double* wav_s_out) {
+  WavReader reader(path);
+  std::vector<float> wav = reader.Channel(0);
+  *wav_s_out = double(wav.size()) / reader.sample_rate();
+  std::vector<float> feats = computer.Compute(wav);  // [T, 1+bins]
+  int dim = computer.Dim();
+  int t_frames = int(feats.size()) / dim;
+  std::vector<float> log_e(t_frames);
+  for (int t = 0; t < t_frames; ++t) log_e[t] = feats[size_t(t) * dim];
+  std::vector<uint8_t> voiced = do_vad
+                                    ? ComputeVadEnergy(vad_opts, log_e)
+                                    : std::vector<uint8_t>(t_frames, 1);
+  int kept = 0;
+  selected->clear();
+  selected->reserve(feats.size());
+  for (int t = 0; t < t_frames; ++t) {
+    if (!voiced[t]) continue;
+    for (int dd = 1; dd < dim; ++dd)
+      selected->push_back(feats[size_t(t) * dim + dd]);
+    ++kept;
+  }
+  int fdim = dim - 1;
+  if (kept == 0) {  // fall back to all frames
+    for (int t = 0; t < t_frames; ++t)
+      for (int dd = 1; dd < dim; ++dd)
+        selected->push_back(feats[size_t(t) * dim + dd]);
+    kept = t_frames;
+  }
+  if (do_submean && kept > 0) {
+    for (int dd = 0; dd < fdim; ++dd) {
+      double mean = 0;
+      for (int t = 0; t < kept; ++t)
+        mean += (*selected)[size_t(t) * fdim + dd];
+      mean /= kept;
+      for (int t = 0; t < kept; ++t)
+        (*selected)[size_t(t) * fdim + dd] -= float(mean);
+    }
+  }
+  *kept_out = kept;
+  *total_out = t_frames;
+  return true;
+}
+
 int main(int argc, char** argv) {
   std::string wav_scp, out_path, host = "127.0.0.1";
   std::string pjrt_plugin, pjrt_bundles;
@@ -200,6 +286,7 @@ int main(int argc, char** argv) {
   std::vector<Opt> pjrt_opts;
   int port = 0, num_bins = 80;
   bool do_vad = true, do_submean = true, axon_defaults = false;
+  bool pjrt_warmup = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
@@ -213,6 +300,7 @@ int main(int argc, char** argv) {
     else if (a == "--pjrt_plugin") pjrt_plugin = next();
     else if (a == "--pjrt_bundles") pjrt_bundles = next();
     else if (a == "--pjrt_axon") axon_defaults = true;
+    else if (a == "--pjrt_warmup") pjrt_warmup = true;
     else if (a == "--pjrt_opt" || a == "--pjrt_iopt") {
       bool is_int = (a == "--pjrt_iopt");
       std::string kv = next();
@@ -287,7 +375,18 @@ int main(int argc, char** argv) {
       return 1;
     }
     std::cerr << "pjrt: platform=" << pjrt->platform() << " buckets="
-              << pjrt->num_buckets() << "\n";
+              << pjrt->num_buckets() << " batch=" << pjrt->batch_capacity()
+              << "\n";
+    if (pjrt_warmup) {
+      auto tw = Clock::now();
+      if (!pjrt->Warmup(&error)) {
+        std::cerr << "pjrt warmup: " << error << "\n";
+        return 1;
+      }
+      std::cerr << "pjrt: warmup done ("
+                << std::chrono::duration<double>(Clock::now() - tw).count()
+                << " s)\n";
+    }
 #endif  // ASVTPU_WITH_PJRT
   } else {
     fd = ::socket(AF_INET, SOCK_STREAM, 0);
@@ -313,6 +412,75 @@ int main(int argc, char** argv) {
   std::ofstream out;
   if (!out_path.empty()) out.open(out_path);
 
+#ifdef ASVTPU_WITH_PJRT
+  if (use_pjrt && pjrt->batch_capacity() > 1) {
+    // Batched mode (bundles exported with batch > 1): compute features for
+    // all utterances, group by bucket, flush full batches per execute.
+    auto t_all = Clock::now();
+    struct Item {
+      std::string key;
+      std::vector<float> feats;
+      int kept = 0, total = 0;
+    };
+    std::vector<Item> items;
+    double total_wav_s = 0;
+    int failures = 0;
+    std::string line;
+    while (std::getline(scp, line)) {
+      std::istringstream iss(line);
+      Item it;
+      std::string path;
+      if (!(iss >> it.key >> path)) continue;
+      double wav_s = 0;
+      if (!ComputeSelectedFeats(path, computer, vad_opts, do_vad, do_submean,
+                                &it.feats, &it.kept, &it.total, &wav_s)) {
+        std::cerr << it.key << " FAILED frontend\n";
+        ++failures;
+        continue;
+      }
+      total_wav_s += wav_s;
+      items.push_back(std::move(it));
+    }
+    int fdim = computer.Dim() - 1;
+    // group indices by chosen bucket
+    std::map<int, std::vector<size_t>> by_bucket;
+    for (size_t i = 0; i < items.size(); ++i)
+      by_bucket[pjrt->BucketFor(items[i].kept)->t].push_back(i);
+    int done = 0;
+    for (auto& [bt, idxs] : by_bucket) {
+      auto* bucket = pjrt->BucketFor(bt);
+      for (size_t start = 0; start < idxs.size();
+           start += size_t(bucket->batch)) {
+        size_t end = std::min(idxs.size(), start + size_t(bucket->batch));
+        std::vector<std::pair<const std::vector<float>*, int>> batch_items;
+        for (size_t j = start; j < end; ++j)
+          batch_items.push_back({&items[idxs[j]].feats, items[idxs[j]].kept});
+        std::string error;
+        auto embs = pjrt->EmbedBatch(bucket, batch_items, fdim, &error);
+        if (embs.empty()) {
+          std::cerr << "batch FAILED " << error << "\n";
+          failures += int(end - start);
+          continue;
+        }
+        for (size_t j = start; j < end; ++j) {
+          const Item& it = items[idxs[j]];
+          if (out.is_open()) {
+            out << it.key;
+            for (float v : embs[j - start]) out << " " << v;
+            out << "\n";
+          }
+          ++done;
+        }
+      }
+    }
+    double dt = std::chrono::duration<double>(Clock::now() - t_all).count();
+    std::cout << "TOTAL utts=" << done << " failures=" << failures
+              << " wav_s=" << total_wav_s << " elapsed_s=" << dt
+              << " RTF=" << (total_wav_s > 0 ? dt / total_wav_s : 0) << "\n";
+    return failures == 0 ? 0 : 2;
+  }
+#endif  // ASVTPU_WITH_PJRT
+
   double total_wav_s = 0, total_s = 0;
   std::string line;
   int n = 0, failures = 0;
@@ -321,44 +489,12 @@ int main(int argc, char** argv) {
     std::string key, path;
     if (!(iss >> key >> path)) continue;
     auto t0 = Clock::now();
-    WavReader reader(path);
-    std::vector<float> wav = reader.Channel(0);
-    double wav_s = double(wav.size()) / reader.sample_rate();
-    std::vector<float> feats = computer.Compute(wav);  // [T, 1+bins]
-    int dim = computer.Dim();
-    int t_frames = int(feats.size()) / dim;
-
-    // energy VAD on column 0, then drop the energy column
-    std::vector<float> log_e(t_frames);
-    for (int t = 0; t < t_frames; ++t) log_e[t] = feats[size_t(t) * dim];
-    std::vector<uint8_t> voiced =
-        do_vad ? ComputeVadEnergy(vad_opts, log_e)
-               : std::vector<uint8_t>(t_frames, 1);
-    int kept = 0;
     std::vector<float> selected;
-    selected.reserve(feats.size());
-    for (int t = 0; t < t_frames; ++t) {
-      if (!voiced[t]) continue;
-      for (int dd = 1; dd < dim; ++dd)
-        selected.push_back(feats[size_t(t) * dim + dd]);
-      ++kept;
-    }
-    int fdim = dim - 1;
-    if (kept == 0) {  // fall back to all frames
-      for (int t = 0; t < t_frames; ++t)
-        for (int dd = 1; dd < dim; ++dd)
-          selected.push_back(feats[size_t(t) * dim + dd]);
-      kept = t_frames;
-    }
-    if (do_submean && kept > 0) {
-      for (int dd = 0; dd < fdim; ++dd) {
-        double mean = 0;
-        for (int t = 0; t < kept; ++t) mean += selected[size_t(t) * fdim + dd];
-        mean /= kept;
-        for (int t = 0; t < kept; ++t)
-          selected[size_t(t) * fdim + dd] -= float(mean);
-      }
-    }
+    int kept = 0, t_frames = 0;
+    double wav_s = 0;
+    ComputeSelectedFeats(path, computer, vad_opts, do_vad, do_submean,
+                         &selected, &kept, &t_frames, &wav_s);
+    int fdim = computer.Dim() - 1;
 
     std::string embed_error;
 #ifdef ASVTPU_WITH_PJRT
