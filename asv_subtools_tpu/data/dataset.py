@@ -83,22 +83,26 @@ class WavEgs:
         self.shards = DistributedShardList(
             entries, seed=seed, rank=rank, world_size=world_size
         )
+        self.epoch_state = P.EpochState()
+        ep = self.epoch_state
         stages: List[Callable] = [P.parse_raw, P.resample()]
         if speed_perturb:
             stages.append(
-                P.speed_perturb_stage(expand_labels=True, num_spks=num_spks, seed=seed)
+                P.speed_perturb_stage(
+                    expand_labels=True, num_spks=num_spks, seed=seed, epoch=ep
+                )
             )
-        stages.append(P.random_chunk(chunk_seconds, seed=seed))
+        stages.append(P.random_chunk(chunk_seconds, seed=seed, epoch=ep))
         if aug is not None:
-            stages.append(P.speech_aug_stage(aug, seed=seed))
+            stages.append(P.speech_aug_stage(aug, seed=seed, epoch=ep))
         key = "wav"
         if compute_feat:
             stages.append(P.compute_feats(feat_opts))
             key = "feat"
             if spec_aug:
-                stages.append(P.spec_aug_stage(seed=seed))
+                stages.append(P.spec_aug_stage(seed=seed, epoch=ep))
         stages += [
-            P.shuffle(shuffle_buffer, seed=seed),
+            P.shuffle(shuffle_buffer, seed=seed, epoch=ep),
             P.static_batch(batch_size, drop_last=drop_last),
             P.pad_batch(key=key),
         ]
@@ -106,6 +110,7 @@ class WavEgs:
 
     def set_epoch(self, epoch: int) -> None:
         self.shards.set_epoch(epoch)
+        self.epoch_state.epoch = epoch
 
     def __iter__(self):
         return iter(P.Pipeline(self.shards, self.stages))

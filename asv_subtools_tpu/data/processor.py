@@ -13,9 +13,31 @@ from __future__ import annotations
 import math
 import random
 import tarfile
+import zlib
 from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+
+class EpochState:
+    """Mutable epoch holder shared by the random stages so per-utterance RNG
+    re-randomizes every epoch (the reference re-seeds dataloader workers per
+    epoch via set_epoch, egs_online.py:125-128). `WavEgs.set_epoch` updates
+    this in place; stages fold `.epoch` into their per-sample seed."""
+
+    def __init__(self, epoch: int = 0):
+        self.epoch = epoch
+
+
+def _sample_seed(seed: int, key: str, epoch: Optional[EpochState] = None) -> int:
+    """Stable per-(utterance, epoch) seed.
+
+    crc32 instead of str.__hash__: the latter is salted per process, which
+    makes augmentation irreproducible across runs/hosts; crc32 is stable.
+    The epoch is mixed with a golden-ratio constant so consecutive epochs
+    draw independent augmentations."""
+    ep = epoch.epoch if epoch is not None else 0
+    return (seed + zlib.crc32(key.encode()) + ep * 0x9E3779B1) % (2**31)
 
 from ..io.kaldi import read_mat
 from ..io.wav import read_wav
@@ -186,26 +208,42 @@ def speed_perturb_stage(
     expand_labels: bool = False,
     num_spks: int = 0,
     seed: int = 1024,
+    epoch: Optional[EpochState] = None,
 ):
     """Random speed perturbation; optionally expands speaker labels 3-way
-    (PreSpeedPerturb processor.py:177-218: label' = label + idx*num_spks)."""
+    (PreSpeedPerturb processor.py:177-218: label' = label + offset*num_spks).
+
+    Label offsets are keyed by SPEED VALUE, not list position: clean 1.0x
+    keeps the base label (offset 0) and each non-clean speed gets 1..n in
+    listed order — mirroring _speed_to_speaker (speech_augment.py:1280-1290,
+    speed==100 -> offset 0) regardless of where 1.0 sits in `speeds`."""
     from .augment import SpeedPerturb
 
     sp = SpeedPerturb(speeds)
+    offsets: List[int] = []
+    next_off = 1
+    for v in speeds:
+        if abs(v - 1.0) < 1e-9:
+            offsets.append(0)
+        else:
+            offsets.append(next_off)
+            next_off += 1
 
     def stage(samples):
-        for i, s in enumerate(samples):
-            rng = np.random.default_rng((seed + hash(s["key"])) % (2**31))
+        for s in samples:
+            rng = np.random.default_rng(_sample_seed(seed, s["key"], epoch))
             wav, idx = sp(s["wav"], rng)
             s["wav"] = wav
-            if expand_labels and idx != 0 and isinstance(s.get("label"), int):
-                s["label"] = s["label"] + idx * num_spks
+            off = offsets[idx]
+            if expand_labels and off != 0 and isinstance(s.get("label"), int):
+                s["label"] = s["label"] + off * num_spks
             yield s
 
     return stage
 
 
-def random_chunk(chunk_seconds: float = 2.015, seed: int = 1024):
+def random_chunk(chunk_seconds: float = 2.015, seed: int = 1024,
+                 epoch: Optional[EpochState] = None):
     """Random fixed-length chunk with repeat-padding for short utterances
     (processor.py:219-246)."""
 
@@ -214,7 +252,7 @@ def random_chunk(chunk_seconds: float = 2.015, seed: int = 1024):
             sr = s.get("sample_rate", 16000)
             n = int(chunk_seconds * sr)
             wav = s["wav"]
-            rng = np.random.default_rng((seed + hash(s["key"])) % (2**31))
+            rng = np.random.default_rng(_sample_seed(seed, s["key"], epoch))
             if len(wav) >= n:
                 start = int(rng.integers(len(wav) - n + 1))
                 s["wav"] = wav[start : start + n]
@@ -226,12 +264,13 @@ def random_chunk(chunk_seconds: float = 2.015, seed: int = 1024):
     return stage
 
 
-def speech_aug_stage(aug: SpeechAug, seed: int = 1024):
+def speech_aug_stage(aug: SpeechAug, seed: int = 1024,
+                     epoch: Optional[EpochState] = None):
     """Waveform augmentation (processor.py:340-386)."""
 
     def stage(samples):
         for s in samples:
-            rng = np.random.default_rng((seed + hash(s["key"])) % (2**31))
+            rng = np.random.default_rng(_sample_seed(seed, s["key"], epoch))
             s["wav"] = aug(s["wav"], rng)
             yield s
 
@@ -269,12 +308,13 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
 def spec_aug_stage(
     num_t_mask: int = 1, num_f_mask: int = 1, max_t: int = 50, max_f: int = 10,
     seed: int = 1024,
+    epoch: Optional[EpochState] = None,
 ):
     """(processor.py:469-494)."""
 
     def stage(samples):
         for s in samples:
-            rng = np.random.default_rng((seed + hash(s["key"])) % (2**31))
+            rng = np.random.default_rng(_sample_seed(seed, s["key"], epoch))
             s["feat"] = spec_augment(
                 s["feat"], rng, num_t_mask, num_f_mask, max_t, max_f
             )
@@ -283,11 +323,12 @@ def spec_aug_stage(
     return stage
 
 
-def shuffle(buffer_size: int = 1000, seed: int = 1024):
+def shuffle(buffer_size: int = 1000, seed: int = 1024,
+            epoch: Optional[EpochState] = None):
     """Reservoir shuffle (processor.py:495-520)."""
 
     def stage(samples):
-        rng = random.Random(seed)
+        rng = random.Random(seed + (epoch.epoch if epoch is not None else 0))
         buf: List[Sample] = []
         for s in samples:
             buf.append(s)

@@ -203,9 +203,15 @@ def make_train_step(
         finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
         # clip by global norm = the reference's max_change semantics
         scale = jnp.minimum(1.0, config.max_change / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree_util.tree_map(lambda g: g * scale * lr_scale, grads)
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        # Plateau lr_scale must scale the STEP, not the gradients: Adam-family
+        # optimizers are invariant to uniform gradient scaling, so scaling
+        # grads would make ReduceOnPlateau a no-op (advisor r1, high). Scaling
+        # the post-optimizer updates is exactly an lr multiplier for every
+        # optax transform.
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
 
         if config.use_semi_orth:
@@ -370,8 +376,12 @@ class Trainer:
         agg = {"loss": 0.0, "accuracy": 0.0, "n": 0}
         metrics = {}
         t0 = time.time()
+        # Track the step counter on host: device_get(state.step) every
+        # iteration would block on the previous step and serialize
+        # host/device work, defeating the Prefetcher overlap (advisor r1).
+        host_step = int(jax.device_get(state.step))
         for i, batch in enumerate(data_iter):
-            step_idx = int(jax.device_get(state.step))
+            step_idx = host_step + i
             if self.margin_warm is not None:
                 moff, lam = self.margin_warm.step(step_idx)
             else:

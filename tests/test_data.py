@@ -201,6 +201,53 @@ class TestPipeline:
         assert keys0 != keys1
         assert sorted(keys0) == sorted(keys1)
 
+    def test_speed_perturb_label_offsets_by_speed_value(self):
+        """Clean 1.0x must keep the base label regardless of its position in
+        `speeds` (speech_augment.py:1280-1290: speed==100 -> offset 0)."""
+        sr = 16000
+        num_spks = 7
+        for speeds in [(0.9, 1.0, 1.1), (1.0, 0.9, 1.1), (1.1, 0.9, 1.0)]:
+            stage = P.speed_perturb_stage(
+                speeds=speeds, expand_labels=True, num_spks=num_spks, seed=3
+            )
+            base_len = sr // 2
+            samples = [
+                {"key": f"u{i}", "wav": np.random.randn(base_len).astype(np.float32),
+                 "sample_rate": sr, "label": 2}
+                for i in range(60)
+            ]
+            seen = {}
+            for s in stage(iter(samples)):
+                # recover which speed was applied from the output length
+                ratio = base_len / len(s["wav"])
+                speed = min(speeds, key=lambda v: abs(v - ratio))
+                seen.setdefault(speed, set()).add(s["label"])
+            assert seen[1.0] == {2}, f"clean kept base label, speeds={speeds}"
+            noncleans = [v for v in speeds if v != 1.0]
+            expected = {2 + (k + 1) * num_spks for k in range(len(noncleans))}
+            got = set().union(*(seen.get(v, set()) for v in noncleans))
+            assert got <= expected and got, f"non-clean offsets wrong: {got}"
+
+    def test_stage_rng_rerandomizes_per_epoch_and_is_stable(self):
+        """Chunk positions must differ across epochs (reference re-seeds per
+        epoch) and be identical across runs for the same epoch (crc32, not
+        salted hash)."""
+        sr = 16000
+        wav = np.arange(sr * 2, dtype=np.float32)
+
+        def chunks(epoch_val):
+            ep = P.EpochState(epoch_val)
+            stage = P.random_chunk(0.5, seed=7, epoch=ep)
+            outs = list(stage(iter(
+                [{"key": f"u{i}", "wav": wav.copy(), "sample_rate": sr}
+                 for i in range(8)]
+            )))
+            return [int(o["wav"][0]) for o in outs]
+
+        e0a, e0b, e1 = chunks(0), chunks(0), chunks(1)
+        assert e0a == e0b  # reproducible
+        assert e0a != e1  # re-randomized per epoch
+
     def test_rank_sharding_partitions(self, wav_dir):
         spk2int = build_spk2int(str(wav_dir / "utt2spk"))
         seen = []

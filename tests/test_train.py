@@ -140,6 +140,32 @@ class TestTrainStep:
         )
         assert max(jax.tree_util.tree_leaves(d)) < 0.05
 
+    def test_plateau_lr_scale_shrinks_adam_step(self):
+        """lr_scale must scale the applied update even for Adam (which is
+        invariant to gradient scaling) — advisor r1 medium finding."""
+        net = tiny_net()
+        tx = get_optimizer("adamW", learning_rate=1e-2)
+        step = jax.jit(
+            make_train_step(net, tx, config=TrainStepConfig(compute_dtype=jnp.float32))
+        )
+        batch = batch_of()
+        s0 = init_train_state(net, KEY, batch, tx)
+        s_full, _ = step(s0, batch, KEY, 1.0, 0.0, 1.0)
+        s_half, _ = step(s0, batch, KEY, 1.0, 0.0, 0.5)
+
+        def delta(a, b):
+            return max(
+                jax.tree_util.tree_leaves(
+                    jax.tree_util.tree_map(
+                        lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b
+                    )
+                )
+            )
+
+        d_full = delta(s_full.params, s0.params)
+        d_half = delta(s_half.params, s0.params)
+        assert d_half < d_full * 0.75, (d_full, d_half)
+
     def test_nonfinite_grads_skipped(self):
         net = tiny_net()
         tx = get_optimizer("sgd", learning_rate=1e-2)
