@@ -149,7 +149,9 @@ class EcapaAttentiveStatsPool(nn.Module):
     bottleneck: int = 128
     time_attention: bool = True
     norm_type: str = "batch_norm"  # batch_norm | layer_norm (transformer uses LN)
-    momentum: float = 0.5
+    # torch-default BN momentum: the reference never passes its bn_params
+    # into this pooling's BatchNorm1d (ecapa_tdnn_xvector.py:164-171)
+    momentum: float = 0.1
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -158,14 +160,18 @@ class EcapaAttentiveStatsPool(nn.Module):
     ) -> jax.Array:
         d = x.shape[-1]
         if self.time_attention:
+            # global std uses the UNBIASED variance (ddof=1): the reference's
+            # torch.var default (ecapa_tdnn_xvector.py:176-178)
             if mask is not None:
                 m = mask.astype(x.dtype)[..., None]
                 count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
                 mean = jnp.sum(x * m, axis=-2, keepdims=True) / count
-                var = jnp.sum((x - mean) ** 2 * m, axis=-2, keepdims=True) / count
+                var = jnp.sum(
+                    (x - mean) ** 2 * m, axis=-2, keepdims=True
+                ) / jnp.maximum(count - 1.0, 1.0)
             else:
                 mean = jnp.mean(x, axis=-2, keepdims=True)
-                var = jnp.var(x, axis=-2, keepdims=True)
+                var = jnp.var(x, axis=-2, keepdims=True, ddof=1)
             std = jnp.sqrt(var + 1e-5)
             x_in = jnp.concatenate(
                 [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
@@ -243,11 +249,15 @@ class EcapaTdnn(nn.Module):
 
         pp = dict(self.pooling_params or {})
         if self.pooling == "ecpa-attentive":
+            # NOTE: momentum deliberately not forwarded — the reference
+            # builds the pooling's internal BN with torch defaults
+            # (momentum 0.1), not the ecapa-wide bn_params
+            # (ecapa_tdnn_xvector.py:276-285: bn dict never passed).
             stats = EcapaAttentiveStatsPool(
                 bottleneck=pp.get("hidden_size", 128),
                 time_attention=pp.get("time_attention", True),
                 name="stats",
-                **common,
+                axis_name=self.axis_name,
             )(y, train=train, mask=mask)
         else:
             pool_cls = POOLINGS[self.pooling]

@@ -30,7 +30,7 @@ class _EmbeddingHead(nn.Module):
     pooling: str = "statistics"
     pooling_params: Any = None
     fc1: bool = False
-    momentum: float = 0.1
+    momentum: float = 0.5  # reference norm_layer_params/bn_params default (resnet_xvector.py:37,57)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -73,7 +73,7 @@ class ResNetXvector(nn.Module):
     pooling: str = "statistics"
     pooling_params: Any = None
     fc1: bool = False
-    momentum: float = 0.1
+    momentum: float = 0.5  # reference norm_layer_params/bn_params default (resnet_xvector.py:37,57)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -122,7 +122,7 @@ class RepVggXvector(nn.Module):
     embd_dim: int = 512
     pooling: str = "statistics"
     pooling_params: Any = None
-    momentum: float = 0.1
+    momentum: float = 0.5  # reference norm_layer_params/bn_params default (resnet_xvector.py:37,57)
     axis_name: Optional[str] = None
 
     @nn.compact

@@ -86,6 +86,12 @@ def _normalize(x, axis=-1, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
+def _at_least_f32(x):
+    """fp32 island for margin trig (reference loss.py:300,654) — but keep
+    f64 untouched so float64 parity tests stay f64 end-to-end."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 class MarginSoftmaxLoss(nn.Module):
     """AM/AAM/SM1/SM2/SM3 margin softmax with the reference's extras.
 
@@ -122,8 +128,8 @@ class MarginSoftmaxLoss(nn.Module):
         c = self.num_targets
         weight = self.param("weight", nn.initializers.normal(0.01), (c, d))
 
-        x32 = embeddings.astype(jnp.float32)
-        w32 = weight.astype(jnp.float32)
+        x32 = _at_least_f32(embeddings)
+        w32 = _at_least_f32(weight)
         cos = _normalize(x32) @ _normalize(w32).T  # [B, C] fp32 on MXU
 
         if self.feature_normalize:

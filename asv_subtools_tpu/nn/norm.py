@@ -17,6 +17,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _at_least_f32(x: jax.Array) -> jax.Array:
+    """Upcast low-precision inputs to f32 for the statistics; keep f64
+    untouched (float64 parity tests under jax_enable_x64)."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 class BatchNorm(nn.Module):
     """Masked BatchNorm over all axes except the last (features).
 
@@ -45,10 +51,10 @@ class BatchNorm(nn.Module):
         )
 
         if train:
-            xf = x.astype(jnp.float32)
+            xf = _at_least_f32(x)
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is not None:
-                m = mask.astype(jnp.float32)[..., None]
+                m = mask.astype(xf.dtype)[..., None]
                 count = jnp.sum(m)
                 s1 = jnp.sum(xf * m, axis=reduce_axes)
                 s2 = jnp.sum(xf * xf * m, axis=reduce_axes)
@@ -72,7 +78,7 @@ class BatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (_at_least_f32(x) - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
             y = y * scale

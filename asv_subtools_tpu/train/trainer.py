@@ -201,8 +201,9 @@ def make_train_step(
 
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(gnorm) & jnp.isfinite(loss)
-        # clip by global norm = the reference's max_change semantics
-        scale = jnp.minimum(1.0, config.max_change / jnp.maximum(gnorm, 1e-12))
+        # clip by global norm = the reference's max_change semantics;
+        # denominator (gnorm + 1e-6) matches torch clip_grad_norm_ exactly
+        scale = jnp.minimum(1.0, config.max_change / (gnorm + 1e-6))
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

@@ -1,0 +1,245 @@
+"""One-step TRAINING parity vs the reference torch stack (VERDICT r1 #1).
+
+Forward parity (test_convert_parity.py) cannot catch deviations in loss/BN/
+clip/optimizer-step semantics; this harness can. It instantiates a reference
+model (torch CPU, train mode, AAM margin loss active), converts the weights,
+runs ONE plain-SGD optimization step in both frameworks on the identical
+batch, and asserts:
+
+  * loss allclose                  (loss semantics: margin penalty, CE mean)
+  * clipped grad global-norm close (backward + max_change clip semantics,
+                                    reference trainer_online.py:218-327)
+  * every updated parameter close  (optimizer step + lr semantics)
+  * every updated BN running stat close (momentum + unbiased-var semantics)
+
+The torch-updated state_dict is re-converted after opt.step() so the
+comparison covers the WHOLE tree leaf-by-leaf, not a sample of tensors.
+
+Both sides run in FLOAT64 (torch .double() + jax.experimental.enable_x64):
+in f32 the train-mode bn_stats layer z-scores pooled statistics across a
+batch of 4 near-identical samples, amplifying conv-algorithm rounding noise
+to ~1e-2 and masking real semantic bugs. In f64 the comparison is tight
+(1e-6) so any deviation in loss/BN/clip/step semantics fails loudly.
+"""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from asv_subtools_tpu.convert import (
+    convert_ecapa_state_dict,
+    convert_resnet_state_dict,
+)
+from asv_subtools_tpu.models import EcapaTdnn, ResNetXvector
+from asv_subtools_tpu.models.framework import SpeakerNet
+from asv_subtools_tpu.train.trainer import (
+    TrainState,
+    TrainStepConfig,
+    make_train_step,
+)
+
+LR = 0.05
+N_TARGETS = 20
+# "s" left to its default (30) on both sides: the reference's
+# assign_params_dict type-checks float-vs-int on overrides.
+MARGIN = {"method": "aam", "m": 0.2}
+
+
+def _load_ref_module(path, name):
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference model: {e}")
+    return mod
+
+
+def _torch_sgd_step(ref, x_bdt, y, max_change, forward_fn=None):
+    """loss -> backward -> clip_grad_norm_(max_change) -> SGD step
+    (trainer_online.py:263-305 + modify_grad :315-327)."""
+    ref.train()
+    opt = torch.optim.SGD(ref.parameters(), lr=LR)
+    opt.zero_grad()
+    fwd = forward_fn or ref.forward
+    out = fwd(torch.from_numpy(x_bdt).double())
+    loss = ref.get_loss(out, torch.from_numpy(y))
+    loss.backward()
+    gnorm = torch.nn.utils.clip_grad_norm_(ref.parameters(), max_change)
+    opt.step()
+    return float(loss.detach()), float(gnorm)
+
+
+def _to_f64(tree):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a), jnp.float64), tree
+    )
+
+
+def _jax_sgd_step(net, params, batch_stats, x_btd, y, max_change):
+    with jax.enable_x64():
+        params = _to_f64(params)
+        batch_stats = _to_f64(batch_stats)
+        tx = optax.sgd(LR)
+        step = make_train_step(
+            net, tx,
+            config=TrainStepConfig(
+                max_change=max_change, compute_dtype=jnp.float64,
+                skip_nonfinite=False,
+            ),
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+        )
+        batch = {
+            "x": jnp.asarray(x_btd, jnp.float64),
+            "y": jnp.asarray(y, jnp.int32),
+        }
+        new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+        new_state = jax.device_get(new_state)
+        metrics = jax.device_get(metrics)
+    return new_state, metrics
+
+
+def _assert_tree_close(ours, ref_tree, rtol, atol, what):
+    flat_o, _ = jax.tree_util.tree_flatten_with_path(ours)
+    flat_r = jax.tree_util.tree_leaves(ref_tree)
+    assert len(flat_o) == len(flat_r)
+    for (path, o), r in zip(flat_o, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), rtol=rtol, atol=atol,
+            err_msg=f"{what} mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
+                forward_fn=None):
+    ref.double()
+    params_bb, stats_bb = convert_fn(ref.state_dict())
+    loss_w = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
+    params = {"backbone": params_bb, "loss": {"weight": loss_w}}
+    batch_stats = {"backbone": stats_bb}
+
+    new_state, metrics = _jax_sgd_step(
+        net, params, batch_stats, x_btd, y, max_change
+    )
+    x_bdt = np.ascontiguousarray(np.transpose(x_btd, (0, 2, 1)))
+    ref_loss, ref_gnorm = _torch_sgd_step(
+        ref, x_bdt, y, max_change, forward_fn=forward_fn
+    )
+
+    if expect_clipped:
+        assert ref_gnorm > max_change, "clip did not engage; test is vacuous"
+
+    # f64 on both sides: only op-ordering rounding remains. The trainer
+    # reports the loss metric rounded to f32, hence 1e-6 instead of 1e-12.
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics["grad_norm"]), ref_gnorm, rtol=1e-6
+    )
+
+    # Re-convert the torch-updated weights: leaf-by-leaf comparison of the
+    # full updated tree (params AND BN running stats).
+    params_bb2, stats_bb2 = convert_fn(ref.state_dict())
+    loss_w2 = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
+    _assert_tree_close(
+        new_state.params["backbone"], params_bb2, 1e-6, 1e-8, "param"
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.params["loss"]["weight"]), loss_w2,
+        rtol=1e-6, atol=1e-8, err_msg="loss weight mismatch",
+    )
+    _assert_tree_close(
+        new_state.batch_stats["backbone"], stats_bb2, 1e-6, 1e-8, "bn stat"
+    )
+
+
+class TestEcapaTrainParity:
+    @pytest.fixture(scope="class")
+    def ref_mod(self):
+        return _load_ref_module(
+            "/root/reference/pytorch/model/ecapa_tdnn_xvector.py", "ecapa_tref"
+        )
+
+    def _make(self, ref_mod, seed=0):
+        torch.manual_seed(seed)
+        feat, channels, embd, mfa = 30, 64, 16, 96
+        ref = ref_mod.ECAPA_TDNN(
+            feat, N_TARGETS, training=True,
+            ecapa_params={"channels": channels, "embd_dim": embd,
+                          "mfa_conv": mfa},
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=EcapaTdnn(channels=channels, embd_dim=embd, mfa_conv=mfa),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        return ref, net, x, y
+
+    def test_one_step_no_clip(self, ref_mod):
+        ref, net, x, y = self._make(ref_mod, seed=0)
+        _run_parity(ref, net, convert_ecapa_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False)
+
+    def test_one_step_clip_engaged(self, ref_mod):
+        """max_change below the natural grad norm: certifies that both sides
+        scale by max_change/gnorm identically."""
+        ref, net, x, y = self._make(ref_mod, seed=1)
+        _run_parity(ref, net, convert_ecapa_state_dict, x, y,
+                    max_change=0.25, expect_clipped=True)
+
+
+class TestResnetTrainParity:
+    def test_one_step(self):
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/resnet_xvector.py", "resnet_tref"
+        )
+        torch.manual_seed(0)
+        feat = 24
+        ref = ref_mod.ResNetXvector(
+            feat, N_TARGETS, training=True,
+            resnet_params={"planes": [8, 16, 32, 64], "layers": [1, 1, 1, 1]},
+            fc1=False, fc1_params={},
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        embd = ref.state_dict()["fc2.affine.weight"].shape[0]
+        freq_out = -(-feat // 8)
+        net = SpeakerNet(
+            backbone=ResNetXvector(base_planes=8, layers=(1, 1, 1, 1),
+                                   embd_dim=embd),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 64, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+
+        def conv(sd):
+            return convert_resnet_state_dict(sd, freq_out)
+
+        # reference forward() has a `self.self.cmvn_` typo
+        # (resnet_xvector.py:152); extract_embedding_jit(near) is the same
+        # graph (cmvn=Identity, dropouts off) and is what the runtime uses.
+        _run_parity(
+            ref, net, conv, x, y, max_change=1e4, expect_clipped=False,
+            forward_fn=lambda t: ref.extract_embedding_jit(t, "near"),
+        )
