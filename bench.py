@@ -1,16 +1,23 @@
-"""Benchmark: embedding-extraction throughput (audio-seconds/s/chip).
+"""Benchmark: extraction AND training throughput (audio-seconds/s/chip).
 
-Runs the full on-device pipeline — Kaldi-compatible fbank (GEMM DFT on the
-MXU) + CMVN + ECAPA-TDNN C1024 embedding — on batches of 10 s utterances,
-and reports steady-state audio-seconds processed per wall-clock second on
+Extraction: the full on-device pipeline — Kaldi-compatible fbank (GEMM DFT
+on the MXU) + CMVN + ECAPA-TDNN C1024 embedding — on batches of 10 s
+utterances; steady-state audio-seconds processed per wall-clock second on
 one chip.
 
-Baseline anchor: the reference's only published speed number for this model
-is the LibTorch C++ runtime RTF of 0.071 for ECAPA C1024 on one Xeon
-thread (recipe/voxcelebSRC/README.md:51-57) = 14.08 audio-s/s.
-`vs_baseline` = our audio-s/s per chip / 14.08.
+Training: the full jitted train step — fused fbank from raw waveforms
+(wave_input), ECAPA C1024 forward in bf16, AAM sub-center top-k margin loss
+over 5994 VoxCeleb2 classes, backward, clip, adamW update — on B=128 x 2 s
+chunks (the voxcelebSRC recipe configuration).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline anchors: extraction = the reference's LibTorch C++ runtime RTF of
+0.071 for ECAPA C1024 on one Xeon thread (recipe/voxcelebSRC/README.md:51-57)
+= 14.08 audio-s/s. Training cost anchor: reference README.md:502 (ECAPA
+C1024 voxceleb2 epoch times on 2 GPUs).
+
+Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "train_value", "train_unit",
+ "train_step_ms"}.
 """
 
 from __future__ import annotations
@@ -21,6 +28,68 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def bench_train():
+    """Jitted train-step throughput: audio-s/s and ms/step on one chip."""
+    import optax
+
+    from asv_subtools_tpu.models import EcapaTdnn
+    from asv_subtools_tpu.models.framework import SpeakerNet
+    from asv_subtools_tpu.train.trainer import (
+        TrainStepConfig,
+        init_train_state,
+        make_train_step,
+    )
+
+    sample_rate = 16000
+    chunk_seconds = 2.0
+    batch = 128
+    num_targets = 5994  # VoxCeleb2 dev
+    samples = int(sample_rate * chunk_seconds)
+
+    net = SpeakerNet(
+        backbone=EcapaTdnn(channels=1024, embd_dim=192),
+        loss_name="margin_softmax_v1",
+        loss_params={"method": "aam", "m": 0.2, "sub_k": 2,
+                     "adapt_method": "topk", "topk": 5},
+        num_targets=num_targets,
+    )
+    tx = optax.adamw(1e-3)
+    step = jax.jit(
+        make_train_step(
+            net, tx,
+            config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True),
+        ),
+        donate_argnums=(0,),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    wave = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, samples)) * 1000.0,
+        jnp.float32,
+    )
+    y = jnp.asarray(np.random.default_rng(1).integers(0, num_targets, batch))
+
+    from asv_subtools_tpu.features import FbankOptions
+    from asv_subtools_tpu.features.pallas_fbank import fused_fbank
+
+    feats0, _ = fused_fbank(wave[:2], FbankOptions())
+    state = init_train_state(net, rng, {"x": feats0, "y": y[:2]}, tx)
+
+    batch_d = {"x": wave, "y": y}
+    state, m = step(state, batch_d, rng)  # compile
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch_d, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * batch * chunk_seconds
+    return audio_seconds / dt, dt / iters * 1000.0
 
 
 def main():
@@ -68,6 +137,8 @@ def main():
     audio_seconds = iters * batch * utt_seconds
     throughput = audio_seconds / dt  # audio-s per wall-s per chip
     baseline = 1.0 / 0.071  # reference C++ runtime, 1 CPU thread
+
+    train_tp, step_ms = bench_train()
     print(
         json.dumps(
             {
@@ -75,6 +146,9 @@ def main():
                 "value": round(throughput, 1),
                 "unit": "audio_seconds_per_second_per_chip",
                 "vs_baseline": round(throughput / baseline, 1),
+                "train_value": round(train_tp, 1),
+                "train_unit": "train_audio_seconds_per_second_per_chip",
+                "train_step_ms": round(step_ms, 2),
             }
         )
     )
