@@ -221,7 +221,14 @@ def convert_resnet_state_dict(
             b += 1
         layer_sizes.append(b)
 
-    # head: permute fc rows from channel-major [C, F'] to freq-major [F', C]
+    hp, hs = _convert_channelmajor_head(sd, freq_out)
+    params["head"], stats["head"] = hp, hs
+    return params, stats
+
+
+def _convert_channelmajor_head(sd: Dict, freq_out: int) -> Tuple[Dict, Dict]:
+    """Head fc layers after a 2D trunk: permute fc rows from the reference's
+    channel-major [C, F'] flatten to our freq-major [F', C]."""
     first_fc = "fc1" if "fc1.affine.weight" in sd else "fc2"
     w = sd[f"{first_fc}.affine.weight"]
     if w.ndim == 3:
@@ -237,7 +244,8 @@ def convert_resnet_state_dict(
     perm[half:] = perm[:half] + half
     w_perm = w[:, perm]
 
-    hp, hs = params["head"], stats["head"]
+    hp: Dict = {}
+    hs: Dict = {}
     hp[f"{first_fc}_affine"] = {
         "kernel": np.transpose(w_perm, (1, 0)),
         "bias": np.asarray(sd[f"{first_fc}.affine.bias"], np.float32),
@@ -249,6 +257,120 @@ def convert_resnet_state_dict(
             "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
         }
         hp["fc2_bn"], hs["fc2_bn"] = _bn(sd, "fc2.batchnorm")
+    return hp, hs
+
+
+def convert_repvgg_state_dict(
+    sd: Dict,
+    freq_out: int,
+    num_blocks=(2, 4, 14, 1),
+) -> Tuple[Dict, Dict]:
+    """ASV-Subtools RepVggXvector state_dict -> (params, batch_stats) for
+    models.RepVggXvector (both RepSPK and plain RepVGG blocks; train-shape
+    OR deploy-shape rbr_reparam checkpoints).
+
+    Reference layout (repvgg_xvector.py:93 + libs/nnet/repvgg.py): blocks
+    `repvgg.stage0` and `repvgg.stage{1..4}.{b}` with branches
+    rbr_dense.conv/bn, rbr_1x1.conv/bn (vgg) or rbr_dense_dilation.conv/bn
+    (spk), rbr_identity BN, or a single rbr_reparam conv when deployed.
+    """
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {"repvgg": {}, "head": {}}
+    stats: Dict = {"repvgg": {}, "head": {}}
+    rp, rs = params["repvgg"], stats["repvgg"]
+
+    def one_block(tprefix: str, name: str):
+        blk_p: Dict = {}
+        blk_s: Dict = {}
+        if f"{tprefix}.rbr_reparam.weight" in sd:  # deploy checkpoint
+            blk_p["reparam"] = {
+                "kernel": _conv2d_kernel(sd[f"{tprefix}.rbr_reparam.weight"]),
+                "bias": np.asarray(sd[f"{tprefix}.rbr_reparam.bias"], np.float32),
+            }
+        else:
+            blk_p["dense_conv"] = {
+                "kernel": _conv2d_kernel(sd[f"{tprefix}.rbr_dense.conv.weight"])
+            }
+            blk_p["dense_bn"], blk_s["dense_bn"] = _bn(sd, f"{tprefix}.rbr_dense.bn")
+            if f"{tprefix}.rbr_dense_dilation.conv.weight" in sd:  # RepSPK
+                blk_p["dil_conv"] = {
+                    "kernel": _conv2d_kernel(
+                        sd[f"{tprefix}.rbr_dense_dilation.conv.weight"]
+                    )
+                }
+                blk_p["dil_bn"], blk_s["dil_bn"] = _bn(
+                    sd, f"{tprefix}.rbr_dense_dilation.bn"
+                )
+            else:
+                blk_p["one_conv"] = {
+                    "kernel": _conv2d_kernel(sd[f"{tprefix}.rbr_1x1.conv.weight"])
+                }
+                blk_p["one_bn"], blk_s["one_bn"] = _bn(sd, f"{tprefix}.rbr_1x1.bn")
+            if f"{tprefix}.rbr_identity.running_mean" in sd:
+                blk_p["id_bn"], blk_s["id_bn"] = _bn(sd, f"{tprefix}.rbr_identity")
+        rp[name] = blk_p
+        if blk_s:
+            rs[name] = blk_s
+
+    one_block("repvgg.stage0", "stage0")
+    for stage in range(4):
+        for b in range(num_blocks[stage]):
+            one_block(f"repvgg.stage{stage + 1}.{b}", f"stage{stage + 1}_{b}")
+
+    params["head"], stats["head"] = _convert_channelmajor_head(sd, freq_out)
+    return params, stats
+
+
+def convert_ftdnn_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """ASV-Subtools factored x-vector (F-TDNN) state_dict -> (params,
+    batch_stats) for models.FactoredXvector.
+
+    Reference layout (pytorch/model/factored_xvector.py:31-52 +
+    components.py FTdnnBlock :168-215): layer01/layer10 are
+    ReluBatchNormTdnnLayer; layer02-09 are FTdnnBlocks whose `factor` stores
+    a masked full-width kernel over context [-c, 0] (valid taps {0, c}) and
+    `affine` over [0, c]; embedding1/2 are 1x1 TdnnAffine + BN.
+    """
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    params["layer01"], stats["layer01"] = _tdnn_layer(sd, "layer01")
+
+    # (layer index, context size) — the reference plan
+    plan = [(2, 2), (3, 0), (4, 3), (5, 0), (6, 3), (7, 3), (8, 3), (9, 0)]
+    for idx, ctx in plan:
+        prefix = f"layer{idx:02d}"
+        taps = (0, ctx) if ctx > 0 else (0,)
+        bn_p, bn_s = _bn(sd, f"{prefix}.bn")
+        params[prefix] = {
+            "factor1": {
+                "conv": {
+                    "kernel": _conv_kernel(sd[f"{prefix}.factor.weight"], taps)
+                }
+            },
+            "factor2": {
+                "conv": {
+                    "kernel": _conv_kernel(sd[f"{prefix}.affine.weight"], taps),
+                    "bias": np.asarray(sd[f"{prefix}.affine.bias"], np.float32),
+                }
+            },
+            "bn": bn_p,
+        }
+        stats[prefix] = {"bn": bn_s}
+
+    params["layer10"], stats["layer10"] = _tdnn_layer(sd, "layer10")
+
+    for i in (1, 2):
+        params[f"embed{i}_affine"] = {
+            "kernel": _dense_kernel(sd[f"embedding{i}.affine.weight"]),
+            "bias": np.asarray(sd[f"embedding{i}.affine.bias"], np.float32),
+        }
+        params[f"embed{i}_bn"], stats[f"embed{i}_bn"] = _bn(
+            sd, f"embedding{i}.batchnorm"
+        )
     return params, stats
 
 

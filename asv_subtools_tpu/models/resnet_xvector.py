@@ -112,14 +112,19 @@ class ResNetXvector(nn.Module):
 
 
 class RepVggXvector(nn.Module):
-    """RepVGG x-vector (reference pytorch/model/repvgg_xvector.py:14-658)."""
+    """RepVGG x-vector (reference pytorch/model/repvgg_xvector.py:14-658).
+
+    Defaults mirror the reference default_repvgg_config: RepSPK blocks,
+    base_width 32, width_multiplier (1, 1, 1, 2.5), embd_dim 256.
+    """
 
     num_blocks: Sequence[int] = (2, 4, 14, 1)
-    width_multiplier: Sequence[float] = (0.75, 0.75, 0.75, 2.5)
+    width_multiplier: Sequence[float] = (1.0, 1.0, 1.0, 2.5)
     base_channels: int = 32
+    block: str = "spk"  # spk (RepSPKBlock, reference default) | vgg
     deploy: bool = False
     use_se: bool = False
-    embd_dim: int = 512
+    embd_dim: int = 256
     pooling: str = "statistics"
     pooling_params: Any = None
     momentum: float = 0.5  # reference norm_layer_params/bn_params default (resnet_xvector.py:37,57)
@@ -137,6 +142,7 @@ class RepVggXvector(nn.Module):
             num_blocks=self.num_blocks,
             width_multiplier=self.width_multiplier,
             base_channels=self.base_channels,
+            block=self.block,
             deploy=self.deploy,
             use_se=self.use_se,
             momentum=self.momentum,

@@ -176,14 +176,19 @@ class ExtendedXvector(SnowdarXvector):
 class FactoredXvector(nn.Module):
     """Factored TDNN (F-TDNN) x-vector with semi-orthogonal constraint.
 
-    Parity: pytorch/model/factored_xvector.py:14-210: stacked FTdnnBlocks
-    with skip connections; the semi-orth step is applied out-of-band via
-    nn.tdnn.apply_semi_orth_constraint on the param pytree every 4 steps
-    (reference components.py:218-226).
+    Parity: pytorch/model/factored_xvector.py:14-120 — the EXACT reference
+    topology so reference checkpoints convert directly: layer01 (5-tap),
+    layer02-09 FTdnnBlocks with the reference's (context, bypass) plan and
+    the two concat skips (layer07 <- cat(x2, x4), layer09 <- cat(x4, x6,
+    x8)), layer10, stats pooling, embedding1/embedding2. The semi-orth step
+    is applied out-of-band via nn.tdnn.apply_semi_orth_constraint on the
+    param pytree every 4 steps (reference components.py:218-226).
+
+    `width` scales every hidden dim (1.0 = the reference's 512/1024/256/
+    2048 sizes; smaller for tests).
     """
 
-    num_frame_channels: int = 725
-    bottleneck_dim: int = 180
+    width: float = 1.0
     embd_dim: int = 512
     pooling: str = "statistics"
     pooling_params: Any = None
@@ -198,25 +203,36 @@ class FactoredXvector(nn.Module):
         train: bool = True,
         position: str = "near",
     ) -> jax.Array:
-        c, b = self.num_frame_channels, self.bottleneck_dim
+        w = self.width
+        frame = int(512 * w)
+        block = int(1024 * w)
+        bneck = int(256 * w)
+        final = int(2048 * w)
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
-        x = ReluBatchNormTdnnLayer(
-            c, context=(-2, -1, 0, 1, 2), name="frame1", **common
+
+        def ftdnn(name, ctx, bypass):
+            return FTdnnBlock(
+                block, bneck, context_size=ctx, bypass_scale=bypass,
+                name=name, **common,
+            )
+
+        x1 = ReluBatchNormTdnnLayer(
+            frame, context=(-2, -1, 0, 1, 2), name="layer01", **common
         )(x, train=train, mask=mask)
-
-        # (context_size, skip_from) per block — the kaldi F-TDNN recipe shape
-        plan = [(1, None), (1, None), (2, 0), (1, None), (2, 1), (1, 3), (2, 2), (2, 4)]
-        outs = []
-        h = x
-        for i, (ctx_size, skip) in enumerate(plan):
-            inp = h if skip is None else h + outs[skip]
-            h = FTdnnBlock(
-                c, b, context_size=ctx_size, name=f"ftdnn{i + 2}", **common
-            )(inp, train=train, mask=mask)
-            outs.append(h)
-
-        h = ReluBatchNormTdnnLayer(1500, name="frame10", **common)(
-            h, train=train, mask=mask
+        x2 = ftdnn("layer02", 2, 0.0)(x1, train=train, mask=mask)
+        x3 = ftdnn("layer03", 0, 0.66)(x2, train=train, mask=mask)
+        x4 = ftdnn("layer04", 3, 0.66)(x3, train=train, mask=mask)
+        x5 = ftdnn("layer05", 0, 0.66)(x3, train=train, mask=mask)
+        x6 = ftdnn("layer06", 3, 0.66)(x5, train=train, mask=mask)
+        x7 = ftdnn("layer07", 3, 0.0)(
+            jnp.concatenate([x2, x4], axis=-1), train=train, mask=mask
+        )
+        x8 = ftdnn("layer08", 3, 0.66)(x7, train=train, mask=mask)
+        x9 = ftdnn("layer09", 0, 0.0)(
+            jnp.concatenate([x4, x6, x8], axis=-1), train=train, mask=mask
+        )
+        h = ReluBatchNormTdnnLayer(final, name="layer10", **common)(
+            x9, train=train, mask=mask
         )
         stats = _pool(self.pooling, self.pooling_params, h, mask, train)
 

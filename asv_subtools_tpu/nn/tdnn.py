@@ -189,16 +189,20 @@ class ReluBatchNormTdnnLayer(nn.Module):
 
 
 class FTdnnBlock(nn.Module):
-    """Factorized TDNN block: bottleneck affine -> affine + ReLU + BN.
+    """Factorized TDNN block: bottleneck affine -> affine + ReLU + BN
+    (+ scaled identity bypass).
 
-    Parity: FTdnnBlock (reference components.py:218-263). The first factor
+    Parity: FTdnnBlock (reference components.py:168-215). The first factor
     carries the semi-orthogonal constraint, applied out-of-band via
-    `semi_orth_step` on the parameter pytree.
+    `apply_semi_orth_constraint` on the parameter pytree. `bypass_scale`
+    adds `scale * input` after the BN (components.py:208-211) — only valid
+    when input_dim == output_dim.
     """
 
     output_dim: int
     bottleneck_dim: int
     context_size: int = 0  # 0 => context [0]; else [-c, 0] then [0, c]
+    bypass_scale: float = 0.0
     momentum: float = 0.1
     axis_name: Optional[str] = None
 
@@ -206,6 +210,7 @@ class FTdnnBlock(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
     ) -> jax.Array:
+        identity = x
         c = self.context_size
         ctx1 = (-c, 0) if c > 0 else (0,)
         ctx2 = (0, c) if c > 0 else (0,)
@@ -214,9 +219,12 @@ class FTdnnBlock(nn.Module):
         )(x)
         x = TdnnAffine(self.output_dim, context=ctx2, use_bias=True, name="factor2")(x)
         x = jax.nn.relu(x)
-        return BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn")(
+        x = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn")(
             x, train=train, mask=mask
         )
+        if self.bypass_scale != 0.0:
+            x = x + self.bypass_scale * identity
+        return x
 
 
 def semi_orth_objective(kernel: jax.Array) -> jax.Array:

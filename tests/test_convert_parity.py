@@ -217,6 +217,80 @@ class TestConformerParity:
 
 
 @pytest.fixture(scope="module")
+def reference_ftdnn():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "ftdnn_ref", "/root/reference/pytorch/model/factored_xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference factored xvector: {e}")
+    return mod
+
+
+class TestFtdnnParity:
+    def test_embeddings_allclose(self, reference_ftdnn):
+        """Full-width F-TDNN (the reference hardcodes 512/1024/256/2048):
+        converted semi-orth factorized weights -> identical embeddings."""
+        from asv_subtools_tpu.convert import convert_ftdnn_state_dict
+        from asv_subtools_tpu.models import FactoredXvector
+
+        torch.manual_seed(0)
+        feat = 30
+        ref = reference_ftdnn.Xvector(feat, 50, training=False)
+        ref.eval()
+        params, stats = convert_ftdnn_state_dict(ref.state_dict())
+        ours = FactoredXvector(width=1.0, embd_dim=512)
+        variables = {"params": params, "batch_stats": stats}
+
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 40, feat)),
+            train=False,
+        )
+        shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+        assert shapes(init_v["batch_stats"]) == shapes(variables["batch_stats"])
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 80, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.forward(torch.from_numpy(np.transpose(x, (0, 2, 1))))
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
+    def test_far_position_allclose(self, reference_ftdnn):
+        """'far' (embedding1 affine) — the reference's default extraction
+        position for this model (factored_xvector.py:18)."""
+        from asv_subtools_tpu.convert import convert_ftdnn_state_dict
+        from asv_subtools_tpu.models import FactoredXvector
+
+        torch.manual_seed(1)
+        feat = 30
+        ref = reference_ftdnn.Xvector(feat, 50, training=False,
+                                      extracted_embedding="far")
+        ref.eval()
+        params, stats = convert_ftdnn_state_dict(ref.state_dict())
+        ours = FactoredXvector(width=1.0, embd_dim=512)
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(90, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding(torch.from_numpy(x)).numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x)[None], train=False,
+                       position="far")
+        )[0]
+        np.testing.assert_allclose(our_emb, ref_emb, rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
 def reference_snowdar():
     sys.path.insert(0, "/root/reference/pytorch")
     sys.path.insert(0, "/root/reference/pytorch/libs")
