@@ -282,24 +282,49 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
     on host->device (KaldiFeature processor.py:387-466). For the training
     path prefer fusing feature computation into the jitted train step
     (features.compute_fbank on the waveform batch) — this stage exists for
-    host-side pipelines and extraction parity."""
+    host-side pipelines and extraction parity.
+
+    feat_type: fbank | mfcc | fbank_pitch | mfcc_pitch. The *_pitch
+    variants append the 3-dim Kaldi pitch feature (reference
+    makeFeatures.sh:36-45 -> make_fbank_pitch.sh: paste-feats of the base
+    matrix with process-pitch-feats output); CMVN runs over the
+    concatenated matrix like apply-cmvn on the full dim.
+    """
     import jax.numpy as jnp
 
-    from ..features import FbankOptions, MfccOptions, cmvn_utterance, compute_fbank, compute_mfcc
+    from ..features import (
+        FbankOptions,
+        MfccOptions,
+        cmvn_utterance,
+        compute_fbank,
+        compute_mfcc,
+    )
 
+    base_type = feat_type.replace("_pitch", "")
+    with_pitch = feat_type.endswith("_pitch")
     if opts is None:
-        opts = FbankOptions() if feat_type == "fbank" else MfccOptions()
+        opts = FbankOptions() if base_type == "fbank" else MfccOptions()
 
     def stage(samples):
         for s in samples:
             wav = jnp.asarray(s["wav"], jnp.float32)
-            if feat_type == "fbank":
+            if base_type == "fbank":
                 f = compute_fbank(wav, opts)
             else:
                 f = compute_mfcc(wav, opts)
+            f = np.asarray(f)
+            if with_pitch:
+                from ..features import PitchOptions, compute_and_process_pitch
+
+                popts = PitchOptions(samp_freq=float(s.get("sample_rate", 16000)))
+                p = compute_and_process_pitch(
+                    np.asarray(s["wav"], np.float64), popts
+                )
+                n = min(len(f), len(p))
+                f = np.concatenate([f[:n], p[:n]], axis=1)
             if cmvn:
-                f = cmvn_utterance(f)
-            s["feat"] = np.asarray(f)
+                f = np.asarray(cmvn_utterance(jnp.asarray(f)))
+            s["feat"] = f
             yield s
 
     return stage

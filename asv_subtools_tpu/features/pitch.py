@@ -109,9 +109,10 @@ def _viterbi_lags(
     if t == 0:
         return np.zeros(0, int)
     log_lag = np.log(lags)
-    # transition cost [L, L]
+    # transition cost [L, L]: the paper's octave-jump penalty
+    # penalty_factor * log(lag_i/lag_j)^2 (Ghahremani 2014, eq. 3)
     diff = log_lag[:, None] - log_lag[None, :]
-    trans = opts.penalty_factor * (diff / opts.delta_pitch) ** 2 * 1e-2
+    trans = opts.penalty_factor * diff**2
     # local cost with the soft-min-f0 lag penalty (paper eq. 2:
     # 1 - nccf * (1 - soft_min_f0 * lag)) — breaks subharmonic ties toward
     # the shorter lag, since integer multiples of the period correlate too

@@ -1,17 +1,104 @@
-"""Pitch tracker tests on synthetic tones: F0 accuracy, octave stability,
-voicing discrimination, fbank frame alignment."""
+"""Pitch tracker tests: golden float64 loop-transcription gates on every
+stage (NCCF, Viterbi, POV, post-processing) plus behavioral tests on
+synthetic tones (F0 accuracy, octave stability, voicing discrimination,
+fbank frame alignment)."""
 
 import numpy as np
 import pytest
 
 from asv_subtools_tpu.features.pitch import (
     PitchOptions,
+    _candidate_lags,
+    _nccf,
+    _nccf_to_pov_feature,
+    _viterbi_lags,
     compute_and_process_pitch,
     compute_kaldi_pitch,
     nccf_to_pov,
+    process_pitch,
+)
+
+from golden_pitch import (
+    golden_candidate_lags,
+    golden_nccf,
+    golden_pov,
+    golden_pov_feature,
+    golden_process,
+    golden_viterbi,
 )
 
 SR = 16000
+
+
+def speechy_signal(seconds=0.6, sr=4000, seed=0):
+    """Voiced tone segments + silence + noise at the NCCF working rate —
+    exercises ballast, voicing transitions, and octave ties."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds / 3)) / sr
+    seg_v = sum(np.sin(2 * np.pi * 130.0 * (h + 1) * t) / (h + 1) for h in range(3))
+    seg_s = np.zeros_like(t)
+    seg_n = rng.normal(size=len(t)) * 0.3
+    return np.concatenate([seg_v * 0.8, seg_s, seg_n]).astype(np.float64)
+
+
+class TestGoldenGates:
+    def test_candidate_lags_match(self):
+        opts = PitchOptions()
+        ours = _candidate_lags(opts)
+        gold = golden_candidate_lags(opts.min_f0, opts.max_f0, opts.delta_pitch)
+        np.testing.assert_allclose(ours, gold, rtol=1e-12)
+
+    def test_nccf_matches_golden(self):
+        opts = PitchOptions()
+        wave = speechy_signal()
+        lags = np.unique(
+            np.round(_candidate_lags(opts) * opts.resample_freq).astype(int)
+        )
+        ours_b, ours_nb = _nccf(wave, opts, lags)
+        gold_b, gold_nb = golden_nccf(
+            wave, lags, opts.resample_freq, opts.frame_shift_ms,
+            opts.frame_length_ms, opts.nccf_ballast,
+        )
+        assert ours_b.shape == gold_b.shape and ours_b.shape[0] > 10
+        np.testing.assert_allclose(ours_b, gold_b, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(ours_nb, gold_nb, rtol=1e-9, atol=1e-12)
+
+    def test_viterbi_matches_golden(self):
+        opts = PitchOptions()
+        wave = speechy_signal(seed=1)
+        lags = np.unique(
+            np.round(_candidate_lags(opts) * opts.resample_freq).astype(int)
+        )
+        lags_sec = lags / opts.resample_freq
+        nccf_b, _ = _nccf(wave, opts, lags)
+        ours = _viterbi_lags(nccf_b, lags_sec, opts)
+        gold = golden_viterbi(
+            nccf_b, lags_sec, opts.penalty_factor, opts.soft_min_f0
+        )
+        np.testing.assert_array_equal(ours, gold)
+
+    def test_pov_functions_match_golden(self):
+        nccf = np.linspace(-1.1, 1.0, 97)
+        np.testing.assert_allclose(
+            _nccf_to_pov_feature(nccf), golden_pov_feature(nccf), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            nccf_to_pov(nccf), golden_pov(nccf), rtol=1e-12
+        )
+
+    def test_process_pitch_matches_golden(self):
+        opts = PitchOptions()
+        rng = np.random.default_rng(2)
+        t = 200
+        nccf = np.clip(rng.normal(0.5, 0.3, t), -1.0, 1.0)
+        pitch = np.exp(rng.normal(np.log(150.0), 0.2, t))
+        raw = np.stack([nccf, pitch], axis=1).astype(np.float64)
+        ours = process_pitch(raw, opts)
+        gold = golden_process(
+            nccf, pitch, opts.pov_scale, opts.normalization_window,
+            opts.delta_window,
+        )
+        np.testing.assert_allclose(ours, gold, rtol=1e-5, atol=1e-6)
 
 
 def tone(f0, seconds=1.0, sr=SR, harmonics=3):
@@ -63,6 +150,24 @@ class TestPitchTracking:
         assert np.all(np.isfinite(pf))
         # normalized log pitch of a steady tone ~ 0 after mean subtraction
         assert abs(np.median(pf[20:-20, 1])) < 0.05
+
+    def test_fbank_pitch_preset_in_pipeline(self):
+        """feat_type='fbank_pitch' yields [T, 80+3] features (reference
+        makeFeatures.sh fbank_pitch config)."""
+        from asv_subtools_tpu.data import processor as P
+        from asv_subtools_tpu.features import FbankOptions
+
+        wave = tone(180.0, seconds=0.5)
+        stage = P.compute_feats(feat_type="fbank_pitch")
+        out = list(stage(iter([{"key": "u1", "wav": wave, "sample_rate": SR}])))
+        f = out[0]["feat"]
+        assert f.shape[1] == FbankOptions().mel_opts.num_bins + 3
+        assert np.all(np.isfinite(f))
+        from asv_subtools_tpu.features import MfccOptions
+
+        stage_m = P.compute_feats(feat_type="mfcc_pitch")
+        out_m = list(stage_m(iter([{"key": "u1", "wav": wave, "sample_rate": SR}])))
+        assert out_m[0]["feat"].shape[1] == MfccOptions().num_ceps + 3
 
     def test_changing_pitch_tracks(self):
         """Glide 100->200 Hz: tracked pitch must increase monotonically-ish."""
