@@ -103,13 +103,17 @@ def asnorm_device(
     enroll_cohort: jnp.ndarray,
     test_cohort: jnp.ndarray,
     top_n: int = 300,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Jittable AS-norm: top-k on device, shardable over trial rows.
+    """Jittable AS-norm: top-k on device, sharded over trial rows.
 
-    For vox1-E/H-scale tasks the [E, C]/[T, C] cohort matrices and the
-    top-k reduce ride the mesh (shard E and T over the data axis with
-    jax.sharding; C stays replicated) — the scale the reference's pandas
-    implementation could not reach (gather_results_from_epochs.sh:31-33).
+    With `mesh`, the [E, T] trial matrix and both cohort matrices are
+    sharded row-wise over the mesh's data axis (C replicated): each device
+    computes top-k cohort stats for its slice of enroll rows, and XLA
+    all-gathers only the tiny [T] test-side stat vectors — vox1-E/H scale
+    (581k trials x 6k cohort) that the reference's pandas implementation
+    cannot reach (ScoreNormalization.py:109-179,
+    gather_results_from_epochs.sh:31-33). Without `mesh`, plain jit.
     """
 
     def stats(mat):
@@ -119,12 +123,47 @@ def asnorm_device(
         var = jnp.sum((top - mean[:, None]) ** 2, axis=1) / jnp.maximum(k - 1, 1)
         return mean, jnp.sqrt(jnp.maximum(var, 1e-12))
 
-    em, es = stats(jnp.asarray(enroll_cohort, jnp.float32))
-    tm, ts = stats(jnp.asarray(test_cohort, jnp.float32))
+    def compute(raw, ec, tc):
+        em, es = stats(ec)
+        tm, ts = stats(tc)
+        return 0.5 * (
+            (raw - em[:, None]) / es[:, None] + (raw - tm[None, :]) / ts[None, :]
+        )
+
     raw = jnp.asarray(raw, jnp.float32)
-    return 0.5 * (
-        (raw - em[:, None]) / es[:, None] + (raw - tm[None, :]) / ts[None, :]
+    ec = jnp.asarray(enroll_cohort, jnp.float32)
+    tc = jnp.asarray(test_cohort, jnp.float32)
+    if mesh is None:
+        return jax.jit(compute)(raw, ec, tc)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n_data = mesh.shape[DATA_AXIS]
+    e, t = raw.shape
+
+    def pad_rows(m, target):
+        return jnp.pad(m, [(0, target - m.shape[0]), (0, 0)])
+
+    e_pad = -(-e // n_data) * n_data
+    t_pad = -(-t // n_data) * n_data
+    raw_p = jnp.pad(raw, [(0, e_pad - e), (0, t_pad - t)])
+    ec_p = pad_rows(ec, e_pad)
+    tc_p = pad_rows(tc, t_pad)
+
+    rows = NamedSharding(mesh, P(DATA_AXIS, None))
+    fn = jax.jit(
+        compute,
+        in_shardings=(rows, rows, rows),
+        out_shardings=rows,
     )
+    out = fn(
+        jax.device_put(raw_p, rows),
+        jax.device_put(ec_p, rows),
+        jax.device_put(tc_p, rows),
+    )
+    return out[:e, :t]
 
 
 def cosine_score_matrix(

@@ -66,6 +66,9 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "use_semi_orth": False,
         "report_interval": 100,
         "margin_warm": None,  # {"start_epoch", "end_epoch", "offset_margin", "init_lambda"}
+        # mesh model-axis size (>1 shards the margin-loss classifier rows
+        # over the model axis via classifier_partition_rules)
+        "num_model": 1,
     },
     # extraction: mode "feature" (host fbank) or "wave" (on-chip fused fbank)
     "extract": {
@@ -97,7 +100,8 @@ class Launcher:
                 }
         self.logger = init_logger()
         set_all_seed(self.params["seed"])
-        self.mesh = mesh if mesh is not None else make_mesh()
+        num_model = int(self.params["train"].get("num_model", 1))
+        self.mesh = mesh if mesh is not None else make_mesh(num_model=num_model)
         self.spk2int: Optional[Dict] = None
         self.net: Optional[SpeakerNet] = None
         self.state = None
@@ -179,6 +183,11 @@ class Launcher:
             margin_warm = MarginWarm(**t["margin_warm"])
 
         dtype = jnp.bfloat16 if t["compute_dtype"] == "bfloat16" else jnp.float32
+        partition_rules = None
+        if self.mesh.shape.get("model", 1) > 1:
+            from .parallel.mesh import classifier_partition_rules
+
+            partition_rules = classifier_partition_rules
         trainer = Trainer(
             self.net,
             tx,
@@ -193,6 +202,7 @@ class Launcher:
             margin_warm=margin_warm,
             report_interval=t["report_interval"],
             reporter=Reporter(log_dir=os.path.join(self.params["exp_dir"], "log")),
+            partition_rules=partition_rules,
         )
         example = next(iter(egs))
         rng = jax.random.PRNGKey(self.params["seed"])

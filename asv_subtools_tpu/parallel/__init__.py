@@ -3,9 +3,12 @@
 from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
+    classifier_partition_rules,
     host_local_slice,
     initialize_multihost,
     make_mesh,
+    opt_state_shardings,
+    partition_params,
     replicate,
     shard_batch,
 )

@@ -70,6 +70,55 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def classifier_partition_rules(path, leaf) -> P:
+    """Default model-axis partition rules: row-parallel margin-loss
+    classifier (class rows sharded over MODEL_AXIS); everything else
+    replicated. The classifier weight [num_targets, embd] is the one
+    parameter that grows with the speaker inventory (5994 VoxCeleb2, 10k+
+    LID), so sharding its rows is where the model axis pays."""
+    keys = [getattr(p, "key", "") for p in path]
+    if "loss" in keys and keys[-1] == "weight" and getattr(leaf, "ndim", 0) == 2:
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def partition_params(mesh: Mesh, params: Any, rules=classifier_partition_rules) -> Any:
+    """NamedSharding tree for a param pytree from `rules(path, leaf) -> P`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, rules(path, leaf)), params
+    )
+
+
+def opt_state_shardings(
+    mesh: Mesh, opt_state: Any, params: Any, param_shardings: Any
+) -> Any:
+    """Give optimizer-state leaves the sharding of the same-shaped param.
+
+    optax states mirror the param tree (adam mu/nu etc.) but with extra
+    wrapper nodes, so we match by array shape: a shape that maps to exactly
+    one param sharding inherits it; ambiguous or unknown shapes stay
+    replicated (safe — XLA inserts resharding where needed)."""
+    shape_to_sharding = {}
+    ambiguous = set()
+    for p, s in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(param_shardings),
+    ):
+        sh = tuple(p.shape)
+        if sh in shape_to_sharding and shape_to_sharding[sh].spec != s.spec:
+            ambiguous.add(sh)
+        shape_to_sharding[sh] = s
+    rep = NamedSharding(mesh, P())
+
+    def pick(x):
+        sh = tuple(getattr(x, "shape", ()))
+        if sh in shape_to_sharding and sh not in ambiguous:
+            return shape_to_sharding[sh]
+        return rep
+
+    return jax.tree_util.tree_map(pick, opt_state)
+
+
 def host_local_slice(num_items: int, *, epoch: int = 0, shuffle_seed: int = 1024):
     """Deterministic per-host partition of a global index set.
 

@@ -36,6 +36,8 @@ from ..nn.loss import accuracy as compute_accuracy
 from ..parallel.mesh import (
     batch_sharding,
     make_mesh,
+    opt_state_shardings,
+    partition_params,
     replicate,
     replicated_sharding,
     shard_batch,
@@ -327,6 +329,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         reporter=None,
         nan_debug_dir: Optional[str] = None,
+        partition_rules: Optional[Callable] = None,
     ):
         self.net = net
         self.tx = tx
@@ -339,31 +342,60 @@ class Trainer:
         self.checkpoint_dir = checkpoint_dir
         self.reporter = reporter
         self.nan_debug_dir = nan_debug_dir
+        # model-axis param partitioning: rules(path, leaf) -> PartitionSpec
+        # (e.g. parallel.mesh.classifier_partition_rules). None = replicate.
+        self.partition_rules = partition_rules
 
-        step_fn = make_train_step(net, tx, lr_schedule, config)
+        self._step_fn = make_train_step(net, tx, lr_schedule, config)
+        self._build_jits(replicated_sharding(self.mesh))
+        self._eval_step = jax.jit(make_eval_step(net))
+
+    def _build_jits(self, state_shardings) -> None:
+        """(Re)build the jitted train steps for the given TrainState
+        shardings (a prefix pytree — a single sharding replicates all)."""
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         self._train_step = jax.jit(
-            step_fn,
+            self._step_fn,
             in_shardings=(
-                rep,
+                state_shardings,
                 {"x": data, "y": data, "mask": data},
                 rep, rep, rep, rep,
             ),
-            out_shardings=(rep, rep),
+            out_shardings=(state_shardings, rep),
             donate_argnums=(0,),
         )
         self._train_step_nomask = jax.jit(
-            step_fn,
-            in_shardings=(rep, {"x": data, "y": data}, rep, rep, rep, rep),
-            out_shardings=(rep, rep),
+            self._step_fn,
+            in_shardings=(
+                state_shardings, {"x": data, "y": data}, rep, rep, rep, rep
+            ),
+            out_shardings=(state_shardings, rep),
             donate_argnums=(0,),
         )
-        self._eval_step = jax.jit(make_eval_step(net))
 
     def init_state(self, rng, example_batch) -> TrainState:
         state = init_train_state(self.net, rng, example_batch, self.tx)
-        return replicate(self.mesh, state)
+        if self.partition_rules is None:
+            return replicate(self.mesh, state)
+        rep = replicated_sharding(self.mesh)
+        p_sh = partition_params(self.mesh, state.params, self.partition_rules)
+        o_sh = opt_state_shardings(self.mesh, state.opt_state, state.params, p_sh)
+        state_shardings = TrainState(
+            step=rep,
+            params=p_sh,
+            batch_stats=jax.tree_util.tree_map(lambda _: rep, state.batch_stats),
+            opt_state=o_sh,
+        )
+        self._build_jits(state_shardings)
+        return TrainState(
+            step=jax.device_put(state.step, rep),
+            params=jax.device_put(state.params, p_sh),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.tree_util.tree_map(
+                jax.device_put, state.opt_state, o_sh
+            ),
+        )
 
     def run_epoch(
         self,

@@ -79,6 +79,37 @@ state, m = step(state, gbatch, rng)
 loss = float(jax.device_get(m["loss"]))
 assert np.isfinite(loss)
 print(f"RANK{rank} OK loss={loss:.4f}")
+
+# checkpoint save on rank 0 / restore on BOTH ranks, then resume training
+ckpt_dir = sys.argv[4]
+from jax.experimental import multihost_utils as mhu
+from asv_subtools_tpu.train import save_checkpoint, load_checkpoint
+
+if rank == 0:
+    save_checkpoint(ckpt_dir, state, 1)
+mhu.sync_global_devices("ckpt_saved")
+
+# fresh differently-seeded state as the restore template
+state2 = init_train_state(
+    net, jax.random.PRNGKey(7),
+    {k: jnp.asarray(v) for k, v in host_batch.items()}, tx,
+)
+state2 = load_checkpoint(
+    os.path.join(ckpt_dir, "1.params"), state2, restore_optimizer=True
+)
+state2 = replicate(mesh, state2)
+diff = jax.tree_util.tree_map(
+    lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params, state2.params
+)
+maxd = max(jax.tree_util.tree_leaves(diff))
+assert maxd == 0.0, f"restored params differ: {maxd}"
+assert int(jax.device_get(state2.step)) == int(jax.device_get(state.step))
+
+# resume: one more global step from the restored state
+state2, m2 = step(state2, gbatch, rng)
+loss2 = float(jax.device_get(m2["loss"]))
+assert np.isfinite(loss2)
+print(f"RANK{rank} CKPT loss2={loss2:.4f}")
 """
 
 
@@ -91,11 +122,12 @@ def test_two_process_mesh(tmp_path):
     coordinator = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
+    ckpt_dir = str(tmp_path / "ckpt")
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # keep axon sitecustomize out of workers
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coordinator, str(rank), repo],
+            [sys.executable, str(script), coordinator, str(rank), repo, ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         )
         for rank in range(2)
@@ -107,7 +139,10 @@ def test_two_process_mesh(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         assert f"RANK{rank} OK" in out
-    # both ranks must compute the SAME global loss
-    l0 = [l for l in outs[0].splitlines() if "OK loss=" in l][0].split("loss=")[1]
-    l1 = [l for l in outs[1].splitlines() if "OK loss=" in l][0].split("loss=")[1]
-    assert l0 == l1
+        assert f"RANK{rank} CKPT" in out
+    # both ranks must compute the SAME global loss, before and after the
+    # checkpoint save/restore round-trip
+    for marker in ("OK loss=", "CKPT loss2="):
+        l0 = [l for l in outs[0].splitlines() if marker in l][0].split("=")[1]
+        l1 = [l for l in outs[1].splitlines() if marker in l][0].split("=")[1]
+        assert l0 == l1, (marker, l0, l1)
