@@ -216,6 +216,38 @@ class TestConformerParity:
         np.testing.assert_allclose(our_emb, ref_np, rtol=3e-3, atol=3e-3)
 
 
+class TestFullSizeEcapaParity:
+    def test_c1024_full_size_conversion(self, reference_ecapa):
+        """Full production-size ECAPA C1024/embd-192/mfa-1536 conversion —
+        the reduced-width tests cannot catch size-dependent converter bugs
+        (tap selection at other dilations, head dims)."""
+        torch.manual_seed(2)
+        ref = reference_ecapa.ECAPA_TDNN(
+            80, 100, training=False,
+            ecapa_params={"channels": 1024, "embd_dim": 192,
+                          "mfa_conv": 1536},
+        )
+        ref.eval()
+        params, stats = convert_ecapa_state_dict(ref.state_dict())
+        ours = EcapaTdnn(channels=1024, embd_dim=192, mfa_conv=1536)
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 60, 80)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = (
+            ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3
+            else ref_emb.numpy()
+        )
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape == (1, 192)
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
+
 @pytest.fixture(scope="module")
 def reference_ftdnn():
     sys.path.insert(0, "/root/reference/pytorch")
