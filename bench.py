@@ -56,12 +56,9 @@ def bench_train():
         num_targets=num_targets,
     )
     tx = optax.adamw(1e-3)
-    step = jax.jit(
-        make_train_step(
-            net, tx,
-            config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True),
-        ),
-        donate_argnums=(0,),
+    step_fn = make_train_step(
+        net, tx,
+        config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True),
     )
 
     rng = jax.random.PRNGKey(0)
@@ -78,15 +75,39 @@ def bench_train():
     state = init_train_state(net, rng, {"x": feats0, "y": y[:2]}, tx)
 
     batch_d = {"x": wave, "y": y}
-    state, m = step(state, batch_d, rng)  # compile
-    jax.block_until_ready(m["loss"])
+    iters = 8
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch_d, rng)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    # scanned multi-step + differential timing (see extraction bench note)
+    def make_multi(n):
+        @jax.jit
+        def multi_step(state, batch, key):
+            def body(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, m = step_fn(st, batch, sub)
+                return (st, k), m["loss"]
+
+            (st, _), losses = jax.lax.scan(
+                body, (state, key), None, length=n
+            )
+            return st, losses
+
+        return multi_step
+
+    def timed(jfn):
+        st, losses = jfn(state, batch_d, rng)  # compile + warm
+        jax.device_get(losses)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            st2, losses = jfn(state, batch_d, rng)
+            jax.device_get(losses)  # D2H: true completion barrier on axon
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make_multi(iters))
+    t2 = timed(make_multi(2 * iters))
+    dt = max(t2 - t1, 1e-9)
 
     audio_seconds = iters * batch * chunk_seconds
     return audio_seconds / dt, dt / iters * 1000.0
@@ -117,22 +138,47 @@ def main():
         variables,
     )
 
-    @jax.jit
     def extract(w):
         f, _energy = fused_fbank(w, opts)  # fused Pallas framing+DFT+mel
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 
-    # warmup / compile
-    out = extract(wave)
-    jax.block_until_ready(out)
+    # MEASUREMENT NOTE: the iterations run inside ONE jitted lax.scan with
+    # a per-iteration salt on the input, and the wall time is taken through
+    # jax.device_get of the scalar result. The axon relay (a) caches
+    # byte-identical repeated executes and (b) resolves block_until_ready
+    # at journal-flush rather than device completion — naive same-input
+    # loops "measure" thousands of TFLOP/s.
+    # Differential timing cancels the tunnel's ~30 ms fixed round-trip:
+    # per-iter = (T(2K) - T(K)) / K.
+    iters = 16
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = extract(wave)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    def make_scan(n):
+        @jax.jit
+        def extract_scan(salt, w):
+            def body(carry, i):
+                emb = extract(
+                    w * (1.0 + 1e-6 * (salt + i.astype(jnp.float32)))
+                )
+                return carry + jnp.sum(emb.astype(jnp.float32)), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+            return total
+
+        return extract_scan
+
+    def timed(jfn):
+        float(jax.device_get(jfn(jnp.float32(0), wave)))  # compile + warm
+        best = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            float(jax.device_get(jfn(jnp.float32(1000 * (rep + 1)), wave)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make_scan(iters))
+    t2 = timed(make_scan(2 * iters))
+    dt = max(t2 - t1, 1e-9)
 
     audio_seconds = iters * batch * utt_seconds
     throughput = audio_seconds / dt  # audio-s per wall-s per chip
