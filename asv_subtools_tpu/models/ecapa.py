@@ -138,6 +138,32 @@ class SERes2Block(nn.Module):
         return y + residual
 
 
+class _SplitGlobalConv(nn.Module):
+    """conv1x1 over [x; mean; std] without materializing the concat.
+
+    Owns a kernel [1, 3C, F] + bias — byte-identical param tree to
+    nn.Conv(features, (1,)) applied to the concatenation, so converted
+    reference checkpoints load unchanged. The matmul is split blockwise:
+    y = x @ Wx + (mean @ Wm + std @ Ws) + b, with the global terms staying
+    [B, 1, F] until the broadcast add.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=-2, out_axis=-1),
+            (1, 3 * d, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kx, km, ks = kernel[0, :d], kernel[0, d : 2 * d], kernel[0, 2 * d :]
+        glob = mean @ km + std @ ks + bias  # [B, 1, F]
+        return x @ kx + glob
+
+
 class EcapaAttentiveStatsPool(nn.Module):
     """ECAPA channel-wise attentive stats pooling with global-context input.
 
@@ -173,13 +199,18 @@ class EcapaAttentiveStatsPool(nn.Module):
                 mean = jnp.mean(x, axis=-2, keepdims=True)
                 var = jnp.var(x, axis=-2, keepdims=True, ddof=1)
             std = jnp.sqrt(var + 1e-5)
-            x_in = jnp.concatenate(
-                [x, jnp.broadcast_to(mean, x.shape), jnp.broadcast_to(std, x.shape)],
-                axis=-1,
-            )
+            # HBM-traffic optimization: conv1x1([x; mean; std]) would
+            # materialize a [B, T, 3C] tensor (2/3 of this kernel's HBM
+            # bytes — it runs at ~90% of the bandwidth roof). The same
+            # linear map splits into x @ Wx + (mean @ Wm + std @ Ws) where
+            # the mean/std terms are [B, 1, bottleneck] broadcasts. The
+            # param layout stays nn.Conv-compatible ({kernel [1, 3C, F],
+            # bias}) for the checkpoint converter.
+            a = _SplitGlobalConv(
+                features=self.bottleneck, name="att1"
+            )(x, mean, std)
         else:
-            x_in = x
-        a = nn.Conv(self.bottleneck, (1,), name="att1")(x_in)
+            a = nn.Conv(self.bottleneck, (1,), name="att1")(x)
         a = jax.nn.relu(a)
         if self.norm_type == "batch_norm":
             a = BatchNorm(
