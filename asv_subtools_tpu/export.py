@@ -67,6 +67,7 @@ _PJRT_DTYPES = {
     "int64": "s64",
     "uint8": "u8",
     "uint32": "u32",
+    "int8": "s8",
     "bool": "pred",
 }
 
@@ -164,6 +165,7 @@ def export_pjrt_embed_bundles(
     compute_dtype=None,
     platform: str = "tpu",
     batch: int = 1,
+    feats_dtype=None,
 ) -> Dict[int, str]:
     """Export the embedding head as one PJRT bundle per bucket length for
     the native extractor (runtime/bin/asv_extractor_main --pjrt_plugin).
@@ -174,6 +176,22 @@ def export_pjrt_embed_bundles(
     into one flat vector baked into params.bin
     (bf16-cast when compute_dtype is bfloat16 — the serving configuration
     that bench.py validates at <1e-2 cosine distance from f32).
+
+    `feats_dtype=jnp.bfloat16` makes the exported module take the feature
+    batch `x` as bf16 instead of f32. The C++ extractor converts its f32
+    features to bf16 (round-to-nearest-even) at pack time — halving the
+    per-request H2D bytes, which is the measured ceiling of the serving
+    path over bandwidth-limited transports (see runtime/README.md
+    breakdown). The model casts to compute_dtype internally anyway, so a
+    bf16 wire format loses nothing the bf16 compute path hadn't already.
+
+    `feats_dtype="int8"` goes further: the module takes `x_q` s8 [B, T, D]
+    plus a per-utterance per-channel `scale` f32 [B, D] runtime arg and
+    dequantizes on device (x = x_q * scale[:, None, :]) before the normal
+    embed graph — a 4x smaller wire format (~48 dB feature SNR; embedding
+    cosine vs the f32 wire validated on real audio in runtime/README.md).
+    The C++ extractor detects the s8 arg and quantizes symmetrically
+    (scale = max|x[:, d]| / 127) at pack time.
     """
     import jax.tree_util as jtu
     from jax.flatten_util import ravel_pytree
@@ -192,6 +210,8 @@ def export_pjrt_embed_bundles(
     # PJRT transports hit wire limits).
     flat_v, unravel = ravel_pytree(variables)
 
+    int8_wire = isinstance(feats_dtype, str) and feats_dtype == "int8"
+
     def embed(flat, x, mask):
         v = unravel(flat)
         if compute_dtype is not None:
@@ -199,19 +219,37 @@ def export_pjrt_embed_bundles(
         out = model.apply(v, x, mask=mask, method=model.embed)
         return out.astype(jnp.float32)
 
+    def embed_q(flat, x_q, scale, mask):
+        dq = compute_dtype if compute_dtype is not None else jnp.float32
+        x = x_q.astype(dq) * scale[:, None, :].astype(dq)
+        return embed(flat, x, mask)
+
+    x_dtype = jnp.float32 if feats_dtype is None or int8_wire else feats_dtype
     paths: Dict[int, str] = {}
     for t in bucket_lengths:
-        x = jnp.zeros((int(batch), int(t), feat_dim), jnp.float32)
         m = jnp.ones((int(batch), int(t)), bool)
         d = os.path.join(out_dir, f"t{t}")
-        export_pjrt_bundle(
-            embed,
-            (flat_v, x, m),
-            d,
-            baked=[True, False, False],
-            platform=platform,
-            params_ref="../params.bin",  # identical blob shared across buckets
-        )
+        if int8_wire:
+            x_q = jnp.zeros((int(batch), int(t), feat_dim), jnp.int8)
+            scale = jnp.ones((int(batch), feat_dim), jnp.float32)
+            export_pjrt_bundle(
+                embed_q,
+                (flat_v, x_q, scale, m),
+                d,
+                baked=[True, False, False, False],
+                platform=platform,
+                params_ref="../params.bin",
+            )
+        else:
+            x = jnp.zeros((int(batch), int(t), feat_dim), x_dtype)
+            export_pjrt_bundle(
+                embed,
+                (flat_v, x, m),
+                d,
+                baked=[True, False, False],
+                platform=platform,
+                params_ref="../params.bin",  # identical blob shared across buckets
+            )
         paths[int(t)] = d
     return paths
 

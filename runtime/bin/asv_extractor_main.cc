@@ -14,7 +14,9 @@
 #include <unistd.h>
 
 #include <algorithm>
+#include <atomic>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <fstream>
@@ -23,10 +25,12 @@
 #include <memory>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "frontend/feature.h"
 #include "frontend/wav.h"
+#include "utils/blocking_queue.h"
 #ifdef ASVTPU_WITH_PJRT
 #include "pjrt/bundle.h"
 #include "pjrt/pjrt_executor.h"
@@ -81,6 +85,7 @@ class PjrtEmbedder {
  public:
   struct Bucket {
     int t = 0, dim = 0, batch = 1, handle = -1, x_slot = -1, mask_slot = -1;
+    int scale_slot = -1;  // int8-wire bundles: per-row per-channel scales
     std::vector<asvtpu::HostArray> inputs;  // baked params + runtime slots
     std::vector<bool> persistent;  // baked args: upload once, reuse
   };
@@ -123,12 +128,16 @@ class PjrtEmbedder {
       b.persistent.resize(bundle.args.size());
       for (size_t i = 0; i < bundle.args.size(); ++i)
         b.persistent[i] = bundle.args[i].baked;
-      // locate runtime slots: x is the non-baked rank-3 arg, mask rank-2
-      b.x_slot = b.mask_slot = -1;
+      // locate runtime slots: x is the non-baked rank-3 arg; rank-2 pred
+      // is the mask; rank-2 f32 (int8-wire bundles) is the dequant scale
+      b.x_slot = b.mask_slot = b.scale_slot = -1;
       for (size_t i = 0; i < bundle.args.size(); ++i) {
         if (bundle.args[i].baked) continue;
         if (bundle.args[i].dims.size() == 3) b.x_slot = int(i);
-        if (bundle.args[i].dims.size() == 2) b.mask_slot = int(i);
+        if (bundle.args[i].dims.size() == 2) {
+          if (bundle.args[i].dtype == "pred") b.mask_slot = int(i);
+          else b.scale_slot = int(i);
+        }
       }
       if (b.x_slot < 0 || b.mask_slot < 0) {
         *error = dir + ": no runtime feats/mask args";
@@ -169,10 +178,63 @@ class PjrtEmbedder {
     std::fill(x.data.begin(), x.data.end(), 0);
     std::fill(m.data.begin(), m.data.end(), 0);
     size_t row_floats = size_t(b->t) * dim;
+    // Compact wire formats halve/quarter the per-request H2D bytes — the
+    // serving ceiling on bandwidth-limited transports:
+    //   bf16 (feats_dtype=bfloat16): round-to-nearest-even truncation
+    //   s8 (feats_dtype="int8"): symmetric per-row per-channel quant,
+    //     scale[r,d] = max|x[:,d]|/127 fed via the bundle's scale arg
+    const bool x_bf16 = (x.dtype == "bf16");
+    const bool x_s8 = (x.dtype == "s8");
+    float* scales = nullptr;
+    if (x_s8) {
+      if (b->scale_slot < 0) {
+        *error = "s8 bundle without scale arg";
+        return {};
+      }
+      asvtpu::HostArray& s = b->inputs[b->scale_slot];
+      std::fill(s.data.begin(), s.data.end(), 0);
+      scales = reinterpret_cast<float*>(s.data.data());
+    }
     for (size_t r = 0; r < items.size(); ++r) {
       int use_t = std::min(items[r].second, b->t);
-      std::memcpy(x.data.data() + r * row_floats * 4,
-                  items[r].first->data(), size_t(use_t) * dim * 4);
+      const float* src = items[r].first->data();
+      size_t n = size_t(use_t) * dim;
+      if (x_s8) {
+        float* row_scale = scales + r * dim;
+        for (int t = 0; t < use_t; ++t) {
+          const float* fr = src + size_t(t) * dim;
+          for (int dch = 0; dch < dim; ++dch) {
+            float a = std::fabs(fr[dch]);
+            if (a > row_scale[dch]) row_scale[dch] = a;
+          }
+        }
+        // precompute reciprocals so the quantize pass is one fma per element
+        std::vector<float> inv(dim);
+        for (int dch = 0; dch < dim; ++dch) {
+          row_scale[dch] = std::max(row_scale[dch], 1e-12f) / 127.0f;
+          inv[dch] = 1.0f / row_scale[dch];
+        }
+        int8_t* dst = reinterpret_cast<int8_t*>(x.data.data()) + r * row_floats;
+        for (int t = 0; t < use_t; ++t) {
+          const float* fr = src + size_t(t) * dim;
+          int8_t* dr = dst + size_t(t) * dim;
+          for (int dch = 0; dch < dim; ++dch) {
+            float v = fr[dch] * inv[dch];
+            dr[dch] = int8_t(v >= 0 ? v + 0.5f : v - 0.5f);
+          }
+        }
+      } else if (x_bf16) {
+        uint16_t* dst =
+            reinterpret_cast<uint16_t*>(x.data.data()) + r * row_floats;
+        for (size_t k = 0; k < n; ++k) {
+          uint32_t bits;
+          std::memcpy(&bits, &src[k], 4);
+          bits += 0x7FFFu + ((bits >> 16) & 1u);  // RNE
+          dst[k] = uint16_t(bits >> 16);
+        }
+      } else {
+        std::memcpy(x.data.data() + r * row_floats * 4, src, n * 4);
+      }
       std::fill(m.data.begin() + r * b->t, m.data.begin() + r * b->t + use_t, 1);
     }
     std::vector<asvtpu::HostArray> outputs;
@@ -211,6 +273,7 @@ class PjrtEmbedder {
 
   const std::string& platform() const { return ex_->platform_name(); }
   size_t num_buckets() const { return buckets_.size(); }
+  const asvtpu::ExecStats& stats() const { return ex_->last_stats(); }
 
  private:
   PjrtEmbedder() = default;
@@ -284,7 +347,7 @@ int main(int argc, char** argv) {
   using Opt = ClientOptionStub;
 #endif
   std::vector<Opt> pjrt_opts;
-  int port = 0, num_bins = 80;
+  int port = 0, num_bins = 80, frontend_threads = 8;
   bool do_vad = true, do_submean = true, axon_defaults = false;
   bool pjrt_warmup = false;
   for (int i = 1; i < argc; ++i) {
@@ -301,6 +364,7 @@ int main(int argc, char** argv) {
     else if (a == "--pjrt_bundles") pjrt_bundles = next();
     else if (a == "--pjrt_axon") axon_defaults = true;
     else if (a == "--pjrt_warmup") pjrt_warmup = true;
+    else if (a == "--threads") frontend_threads = std::stoi(next());
     else if (a == "--pjrt_opt" || a == "--pjrt_iopt") {
       bool is_int = (a == "--pjrt_iopt");
       std::string kv = next();
@@ -414,69 +478,130 @@ int main(int argc, char** argv) {
 
 #ifdef ASVTPU_WITH_PJRT
   if (use_pjrt && pjrt->batch_capacity() > 1) {
-    // Batched mode (bundles exported with batch > 1): compute features for
-    // all utterances, group by bucket, flush full batches per execute.
+    // Batched pipelined mode (bundles exported with batch > 1): N frontend
+    // worker threads (wav decode + fbank + VAD + submean) feed a bounded
+    // BlockingQueue; the consumer flushes a device execute whenever a
+    // bucket fills. Host feature work overlaps device execution — the
+    // producer/consumer architecture the reference's streaming runtime
+    // (feature_pipeline.h + blocking_queue.h) uses, applied to bulk
+    // extraction. A per-stage breakdown is printed at the end.
     auto t_all = Clock::now();
     struct Item {
       std::string key;
       std::vector<float> feats;
       int kept = 0, total = 0;
-    };
-    std::vector<Item> items;
-    double total_wav_s = 0;
-    int failures = 0;
-    std::string line;
-    while (std::getline(scp, line)) {
-      std::istringstream iss(line);
-      Item it;
-      std::string path;
-      if (!(iss >> it.key >> path)) continue;
       double wav_s = 0;
-      if (!ComputeSelectedFeats(path, computer, vad_opts, do_vad, do_submean,
-                                &it.feats, &it.kept, &it.total, &wav_s)) {
-        std::cerr << it.key << " FAILED frontend\n";
-        ++failures;
-        continue;
+    };
+    // read the scp upfront (cheap), workers pull entries by atomic index
+    std::vector<std::pair<std::string, std::string>> entries;
+    {
+      std::string line;
+      while (std::getline(scp, line)) {
+        std::istringstream iss(line);
+        std::string key, path;
+        if (iss >> key >> path) entries.emplace_back(key, path);
       }
-      total_wav_s += wav_s;
-      items.push_back(std::move(it));
     }
-    int fdim = computer.Dim() - 1;
-    // group indices by chosen bucket
-    std::map<int, std::vector<size_t>> by_bucket;
-    for (size_t i = 0; i < items.size(); ++i)
-      by_bucket[pjrt->BucketFor(items[i].kept)->t].push_back(i);
-    int done = 0;
-    for (auto& [bt, idxs] : by_bucket) {
-      auto* bucket = pjrt->BucketFor(bt);
-      for (size_t start = 0; start < idxs.size();
-           start += size_t(bucket->batch)) {
-        size_t end = std::min(idxs.size(), start + size_t(bucket->batch));
-        std::vector<std::pair<const std::vector<float>*, int>> batch_items;
-        for (size_t j = start; j < end; ++j)
-          batch_items.push_back({&items[idxs[j]].feats, items[idxs[j]].kept});
-        std::string error;
-        auto embs = pjrt->EmbedBatch(bucket, batch_items, fdim, &error);
-        if (embs.empty()) {
-          std::cerr << "batch FAILED " << error << "\n";
-          failures += int(end - start);
+    std::atomic<size_t> next_entry{0};
+    std::atomic<int> fe_failures{0};
+    std::atomic<long> fe_nanos{0};  // summed frontend thread time
+    BlockingQueue<Item> queue(size_t(std::max(1, frontend_threads)) * 8);
+    auto worker = [&]() {
+      // each worker owns a computer (FbankComputer keeps scratch state)
+      FbankComputer wcomputer(opts);
+      while (true) {
+        size_t i = next_entry.fetch_add(1);
+        if (i >= entries.size()) break;
+        auto t0 = Clock::now();
+        Item it;
+        it.key = entries[i].first;
+        if (!ComputeSelectedFeats(entries[i].second, wcomputer, vad_opts,
+                                  do_vad, do_submean, &it.feats, &it.kept,
+                                  &it.total, &it.wav_s)) {
+          std::cerr << it.key << " FAILED frontend\n";
+          fe_failures.fetch_add(1);
           continue;
         }
-        for (size_t j = start; j < end; ++j) {
-          const Item& it = items[idxs[j]];
+        fe_nanos.fetch_add(
+            std::chrono::duration_cast<std::chrono::nanoseconds>(
+                Clock::now() - t0)
+                .count());
+        queue.Push(std::move(it));
+      }
+    };
+    std::vector<std::thread> workers;
+    for (int i = 0; i < std::max(1, frontend_threads); ++i)
+      workers.emplace_back(worker);
+    std::thread closer([&]() {
+      for (auto& w : workers) w.join();
+      queue.Finish();
+    });
+
+    // consumer: accumulate per-bucket, flush full batches while the
+    // frontend keeps producing
+    int fdim = computer.Dim() - 1;
+    std::map<int, std::vector<Item>> pending;  // bucket t -> items
+    double total_wav_s = 0, pack_execute_s = 0, enqueue_s = 0, device_s = 0,
+           download_s = 0;
+    size_t upload_bytes = 0;
+    int done = 0, failures = 0, n_exec = 0, rows = 0;
+    auto flush = [&](int bucket_t, std::vector<Item>& items_vec) {
+      if (items_vec.empty()) return;
+      auto* bucket = pjrt->BucketFor(bucket_t);
+      std::vector<std::pair<const std::vector<float>*, int>> batch_items;
+      for (auto& it : items_vec)
+        batch_items.push_back({&it.feats, it.kept});
+      std::string error;
+      auto tf0 = Clock::now();
+      auto embs = pjrt->EmbedBatch(bucket, batch_items, fdim, &error);
+      pack_execute_s +=
+          std::chrono::duration<double>(Clock::now() - tf0).count();
+      const auto& st = pjrt->stats();
+      enqueue_s += st.enqueue_s;
+      device_s += st.execute_s;
+      download_s += st.download_s;
+      upload_bytes += st.upload_bytes;
+      ++n_exec;
+      rows += int(items_vec.size());
+      if (embs.empty()) {
+        std::cerr << "batch FAILED " << error << "\n";
+        failures += int(items_vec.size());
+      } else {
+        for (size_t j = 0; j < items_vec.size(); ++j) {
           if (out.is_open()) {
-            out << it.key;
-            for (float v : embs[j - start]) out << " " << v;
+            out << items_vec[j].key;
+            for (float v : embs[j]) out << " " << v;
             out << "\n";
           }
           ++done;
         }
       }
+      items_vec.clear();
+    };
+    while (auto item = queue.Pop()) {
+      total_wav_s += item->wav_s;
+      int bt = pjrt->BucketFor(item->kept)->t;
+      auto& vec = pending[bt];
+      vec.push_back(std::move(*item));
+      if (int(vec.size()) >= pjrt->BucketFor(bt)->batch) flush(bt, vec);
     }
+    for (auto& [bt, vec] : pending) flush(bt, vec);
+    closer.join();
+    failures += fe_failures.load();
+
     double dt = std::chrono::duration<double>(Clock::now() - t_all).count();
+    double fe_s = double(fe_nanos.load()) * 1e-9;
     std::cout << "TOTAL utts=" << done << " failures=" << failures
               << " wav_s=" << total_wav_s << " elapsed_s=" << dt
               << " RTF=" << (total_wav_s > 0 ? dt / total_wav_s : 0) << "\n";
+    std::cout << "BREAKDOWN threads=" << std::max(1, frontend_threads)
+              << " frontend_cpu_s=" << fe_s
+              << " pack_execute_s=" << pack_execute_s
+              << " (enqueue_s=" << enqueue_s << " device_s=" << device_s
+              << " download_s=" << download_s << ")"
+              << " n_exec=" << n_exec << " rows=" << rows
+              << " upload_mb=" << double(upload_bytes) / 1e6
+              << " audio_s_per_s=" << (dt > 0 ? total_wav_s / dt : 0) << "\n";
     return failures == 0 ? 0 : 2;
   }
 #endif  // ASVTPU_WITH_PJRT

@@ -2,6 +2,7 @@
 
 #include <dlfcn.h>
 
+#include <chrono>
 #include <cstring>
 
 #include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
@@ -58,6 +59,7 @@ PJRT_Buffer_Type DtypeToPjrt(const std::string& dtype) {
   if (dtype == "s32") return PJRT_Buffer_Type_S32;
   if (dtype == "s64") return PJRT_Buffer_Type_S64;
   if (dtype == "u8") return PJRT_Buffer_Type_U8;
+  if (dtype == "s8") return PJRT_Buffer_Type_S8;
   if (dtype == "u32") return PJRT_Buffer_Type_U32;
   if (dtype == "pred") return PJRT_Buffer_Type_PRED;
   return PJRT_Buffer_Type_INVALID;
@@ -67,6 +69,7 @@ std::string PjrtToDtype(PJRT_Buffer_Type t) {
   switch (t) {
     case PJRT_Buffer_Type_F32: return "f32";
     case PJRT_Buffer_Type_BF16: return "bf16";
+    case PJRT_Buffer_Type_S8: return "s8";
     case PJRT_Buffer_Type_F16: return "f16";
     case PJRT_Buffer_Type_F64: return "f64";
     case PJRT_Buffer_Type_S32: return "s32";
@@ -84,7 +87,7 @@ size_t DtypeBytes(const std::string& dtype) {
   if (dtype == "f64" || dtype == "s64") return 8;
   if (dtype == "f32" || dtype == "s32" || dtype == "u32") return 4;
   if (dtype == "bf16" || dtype == "f16") return 2;
-  return 1;  // u8 / pred
+  return 1;  // u8 / s8 / pred
 }
 
 std::unique_ptr<PjrtExecutor> PjrtExecutor::Create(
@@ -254,6 +257,12 @@ bool PjrtExecutor::ExecuteModule(int handle,
   };
   std::vector<PJRT_Buffer*> arg_buffers(inputs.size(), nullptr);
   std::vector<PJRT_Event*> upload_events(inputs.size(), nullptr);
+  last_stats_ = ExecStats();
+  auto now = [] { return std::chrono::steady_clock::now(); };
+  auto secs = [](auto a, auto b) {
+    return std::chrono::duration<double>(b - a).count();
+  };
+  auto t_enq0 = now();
 
   auto destroy_buffer = [&](PJRT_Buffer* b) {
     if (b == nullptr) return;
@@ -307,7 +316,9 @@ bool PjrtExecutor::ExecuteModule(int handle,
     arg_buffers[i] = args.buffer;
     if (is_persistent(i)) module_entry.cached_args[i] = args.buffer;
     upload_events[i] = args.done_with_host_buffer;
+    last_stats_.upload_bytes += in.data.size();
   }
+  last_stats_.enqueue_s = secs(t_enq0, now());
   // Do NOT await the upload events yet: lazy/batching plugins (the axon
   // frontend journals ops and flushes at a barrier) may only complete
   // host-buffer transfers once an execute forces a flush — awaiting here
@@ -334,9 +345,11 @@ bool PjrtExecutor::ExecuteModule(int handle,
   eargs.output_lists = &out_list;
   eargs.device_complete_events = &done_event;
 
+  auto t_exec0 = now();
   bool ok = Ok(api_, api_->PJRT_LoadedExecutable_Execute(&eargs), "Execute",
                error);
   if (ok) ok = AwaitEvent(api_, done_event, "execute-done", error);
+  last_stats_.execute_s = secs(t_exec0, now());
   for (size_t i = 0; i < upload_events.size(); ++i) {
     std::string upload_error;
     if (!AwaitEvent(api_, upload_events[i], "upload", &upload_error) && ok) {
@@ -352,6 +365,7 @@ bool PjrtExecutor::ExecuteModule(int handle,
 
   outputs->clear();
   outputs->resize(num_outputs);
+  auto t_dl0 = now();
   for (size_t i = 0; i < num_outputs; ++i) {
     HostArray& out = (*outputs)[i];
     {
@@ -399,7 +413,9 @@ bool PjrtExecutor::ExecuteModule(int handle,
       cleanup_buffers(out_buffers);
       return false;
     }
+    last_stats_.download_bytes += out.data.size();
   }
+  last_stats_.download_s = secs(t_dl0, now());
   cleanup_buffers(out_buffers);
   return true;
 }

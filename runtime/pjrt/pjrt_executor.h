@@ -30,7 +30,7 @@ namespace asvtpu {
 
 // Host-side array: dense row-major buffer + shape + dtype tag.
 struct HostArray {
-  std::string dtype;  // "f32" | "bf16" | "f16" | "s32" | "s64" | "u8" | "pred"
+  std::string dtype;  // "f32" | "bf16" | "f16" | "s32" | "s64" | "u8" | "s8" | "pred"
   std::vector<int64_t> dims;
   std::vector<uint8_t> data;
 
@@ -49,6 +49,18 @@ struct ClientOption {
   bool is_string = true;
   std::string str_value;
   int64_t int_value = 0;
+};
+
+// Per-execute stage timing (filled by ExecuteModule; read via last_stats()).
+// With lazy/batching plugins the H2D transfer is flushed by the execute
+// barrier, so `enqueue_s` is the host-side BufferFromHostBuffer cost and
+// `execute_s` includes the flushed upload + device compute.
+struct ExecStats {
+  double enqueue_s = 0;   // BufferFromHostBuffer calls (host enqueue)
+  double execute_s = 0;   // Execute + execute-done await (incl. lazy H2D)
+  double download_s = 0;  // ToHostBuffer + await
+  size_t upload_bytes = 0;    // non-cached args enqueued this call
+  size_t download_bytes = 0;  // outputs copied back
 };
 
 class PjrtExecutor {
@@ -88,6 +100,8 @@ class PjrtExecutor {
                          outputs, error);
   }
 
+  const ExecStats& last_stats() const { return last_stats_; }
+
   const std::string& platform_name() const { return platform_name_; }
   const std::string& platform_version() const { return platform_version_; }
   int num_devices() const { return num_devices_; }
@@ -104,6 +118,7 @@ class PjrtExecutor {
     std::vector<PJRT_Buffer*> cached_args;  // persistent-arg device buffers
   };
 
+  ExecStats last_stats_;
   const PJRT_Api* api_ = nullptr;
   void* dl_handle_ = nullptr;
   PJRT_Client* client_ = nullptr;

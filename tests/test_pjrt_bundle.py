@@ -141,3 +141,80 @@ def test_export_pjrt_embed_bundles_roundtrip(tmp_path):
 
     got = embed(flat_v, xv, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def _tiny_net():
+    from asv_subtools_tpu.models import SpeakerNet, Xvector
+
+    net = SpeakerNet(
+        backbone=Xvector(num_frame_channels=16, embd_dim=8),
+        loss_name="softmax",
+        loss_params={},
+        num_targets=4,
+    )
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 64, 16), jnp.float32)
+    variables = net.init(
+        rng, x0, jnp.zeros((1,), jnp.int32), mask=jnp.ones((1, 64), bool),
+        train=False,
+    )
+    return net, {
+        "params": variables["params"],
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+
+def test_export_embed_bundles_bf16_wire(tmp_path):
+    """feats_dtype=bfloat16 halves the per-request H2D bytes: the runtime
+    x arg must be declared bf16 in the manifest (the C++ extractor keys its
+    RNE float->bf16 pack on that dtype tag, asv_extractor_main.cc)."""
+    net, variables = _tiny_net()
+    out = str(tmp_path / "embb")
+    export_pjrt_embed_bundles(
+        net, variables, 16, out, bucket_lengths=(64,), platform="cpu",
+        feats_dtype=jnp.bfloat16,
+    )
+    _, args = _parse_manifest(os.path.join(out, "t64", "manifest.txt"))
+    assert len(args) == 3
+    assert args[1][1] == "bf16" and args[1][2] == "runtime"
+    assert args[1][4] == 64 * 16 * 2  # half of f32
+    assert args[1][5] == [1, 64, 16]
+
+
+def test_export_embed_bundles_int8_wire(tmp_path):
+    """feats_dtype="int8": 4 args (flat params, s8 x, f32 per-row
+    per-channel scale, pred mask) and the on-device dequant must reproduce
+    the f32-wire embedding when fed the C++ extractor's symmetric
+    quantization (scale = max|x[:, d]|/127, round-half-away-from-zero)."""
+    net, variables = _tiny_net()
+    out = str(tmp_path / "embq")
+    export_pjrt_embed_bundles(
+        net, variables, 16, out, bucket_lengths=(64,), platform="cpu",
+        feats_dtype="int8",
+    )
+    _, args = _parse_manifest(os.path.join(out, "t64", "manifest.txt"))
+    assert len(args) == 4
+    assert args[1][1] == "s8" and args[1][5] == [1, 64, 16]
+    assert args[2][1] == "f32" and args[2][5] == [1, 16]  # dequant scales
+    assert args[3][1] == "pred" and args[3][5] == [1, 64]
+
+    # numerics: quantize exactly as the C++ pack loop does, apply the
+    # embed_q dequant contract export.py compiles, compare vs the f32 path
+    xv = np.random.default_rng(1).normal(size=(1, 64, 16)).astype(np.float32)
+    amax = np.abs(xv).max(axis=1)  # [B, D]
+    scale = np.maximum(amax, 1e-12) / 127.0
+    q = xv / scale[:, None, :]
+    xq = np.where(q >= 0, q + 0.5, q - 0.5).astype(np.int8)
+    mask = np.ones((1, 64), bool)
+
+    dq = jnp.asarray(xq, jnp.float32) * jnp.asarray(scale)[:, None, :]
+    got = net.apply(variables, dq, mask=jnp.asarray(mask), method=net.embed)
+    ref = net.apply(variables, jnp.asarray(xv), mask=jnp.asarray(mask),
+                    method=net.embed)
+    got, ref = np.asarray(got).ravel(), np.asarray(ref).ravel()
+    cos = float(
+        np.dot(got, ref) / (np.linalg.norm(got) * np.linalg.norm(ref))
+    )
+    assert cos > 0.999, cos
+    # and the quantization error itself is bounded: one LSB per channel
+    assert np.abs(dq - xv).max() <= (scale.max() * 0.5 + 1e-6)
