@@ -102,6 +102,7 @@ def _kernel(
     remove_dc: bool,
     use_log: bool,
     use_power: bool,
+    dft_bf16: bool,
 ):
     # row offset of this tile: TILE*shift samples = TILE*shift/128 rows
     rows0 = pl.program_id(1) * (TILE * shift // 128)
@@ -124,12 +125,22 @@ def _kernel(
         frames = jnp.where(valid, frames - preemph * prev, 0.0)
     frames = frames * win_ref[0][None, :]
 
-    # 3. power spectrum on the MXU (float32 passes: bf16 is too coarse in
-    # the log of near-silent mel bins)
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+    # 3. power spectrum on the MXU. Default float32 (golden parity); the
+    # production extraction path passes dft_bf16=True: the DFT tables are
+    # shipped as bf16 and frames are rounded to bf16 just for the two
+    # GEMMs (f32 accumulate), quadrupling MXU throughput on the kernel's
+    # dominant cost. Feature error is ~2^-8 relative per spectral bin,
+    # below the bf16 backbone's own activation rounding (embedding cosine
+    # vs the f32 front-end validated on chip; cf. the int8 serving wire at
+    # cosine 0.99998 with only 8-bit features).
+    fr = frames.astype(jnp.bfloat16) if dft_bf16 else frames
+    # HIGHEST asks Mosaic for an fp32 contract, which rejects bf16 operands
+    prec = (jax.lax.Precision.DEFAULT if dft_bf16
+            else jax.lax.Precision.HIGHEST)
+    re = jnp.dot(fr, cos_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
+    im = jnp.dot(fr, sin_ref[:], preferred_element_type=jnp.float32,
+                 precision=prec)
     power = re * re + im * im
     if not use_power:
         power = jnp.sqrt(power)
@@ -142,17 +153,22 @@ def _kernel(
     out_ref[0, :, 1:] = mel
 
 
-@functools.partial(jax.jit, static_argnames=("opts", "interpret"))
+@functools.partial(jax.jit, static_argnames=("opts", "interpret", "dft_dtype"))
 def fused_fbank(
     wave: jax.Array,
     opts: FbankOptions = FbankOptions(),
     interpret: Optional[bool] = None,
+    dft_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """wave [B, S] -> (log-mel [B, T, num_bins], log-energy [B, T]).
 
     snip_edges=True, dither=0 semantics (the extraction path). The kernel
     computes ceil(T/128)*128 frames; the result is sliced to the Kaldi
     frame count T.
+
+    dft_dtype=jnp.bfloat16 runs the two DFT GEMMs (the kernel's dominant
+    cost) at bf16 MXU rate with f32 accumulation — the production
+    extraction/training default; keep f32 for golden-parity work.
     """
     if interpret is None:
         # pallas compiles only for TPU; CPU (tests, virtual mesh) interprets
@@ -197,6 +213,7 @@ def fused_fbank(
             remove_dc=fo.remove_dc_offset,
             use_log=opts.use_log_fbank,
             use_power=opts.use_power,
+            dft_bf16=dft_dtype == jnp.bfloat16,
         ),
         grid=(b, tiles),
         in_specs=[
@@ -215,8 +232,8 @@ def fused_fbank(
         interpret=interpret,
     )(
         wave_p,
-        jnp.asarray(c),
-        jnp.asarray(si),
+        jnp.asarray(c, dft_dtype),
+        jnp.asarray(si, dft_dtype),
         jnp.asarray(mel),
         jnp.asarray(win)[None, :],
     )

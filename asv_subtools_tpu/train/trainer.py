@@ -86,7 +86,12 @@ def make_train_step(
             from ..features.pallas_fbank import fused_fbank
 
             opts = config.fbank_opts or FbankOptions()
-            feats, _energy = fused_fbank(x, opts)
+            # feature DFT precision follows the training compute dtype:
+            # bf16 training tolerates bf16 spectra (leakage ~2^-9 of frame
+            # peak, far under the augmentation noise floor); f32 runs keep
+            # the golden-parity front-end
+            feats, _energy = fused_fbank(x, opts,
+                                         dft_dtype=config.compute_dtype)
             if mask is not None:
                 shift, win = opts.frame_opts.window_shift, opts.frame_opts.window_size
                 n_samples = jnp.sum(mask, axis=1)

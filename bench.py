@@ -139,7 +139,8 @@ def main():
     )
 
     def extract(w):
-        f, _energy = fused_fbank(w, opts)  # fused Pallas framing+DFT+mel
+        # fused Pallas framing+DFT+mel, bf16 DFT (serving configuration)
+        f, _energy = fused_fbank(w, opts, dft_dtype=jnp.bfloat16)
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 

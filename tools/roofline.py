@@ -122,13 +122,21 @@ def main():
     )
     audio_s = batch * utt_s
 
-    # 1. fused fbank + CMVN (the f32 front-end)
+    # 1. fused fbank + CMVN: f32 golden front-end and the production
+    # bf16-DFT variant (DFT GEMMs at bf16 MXU rate, f32 accumulate)
     def front(salt, w):
         f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts)
         return cmvn_utterance(f).astype(jnp.bfloat16)
 
+    def front_bf16(salt, w):
+        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts,
+                           dft_dtype=jnp.bfloat16)
+        return cmvn_utterance(f).astype(jnp.bfloat16)
+
     rows.append(report("fused_fbank+cmvn(f32)", front, wave,
                        flops_dtype="f32", audio_seconds=audio_s))
+    rows.append(report("fused_fbank+cmvn(bf16 DFT)", front_bf16, wave,
+                       audio_seconds=audio_s))
 
     feats = jax.jit(front)(jnp.float32(0), wave)
     t_frames = feats.shape[1]
@@ -159,7 +167,8 @@ def main():
     )
 
     def extract(salt, w):
-        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts)
+        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts,
+                           dft_dtype=jnp.bfloat16)
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 
