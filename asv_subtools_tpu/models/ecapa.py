@@ -179,12 +179,55 @@ class EcapaAttentiveStatsPool(nn.Module):
     # into this pooling's BatchNorm1d (ecapa_tdnn_xvector.py:164-171)
     momentum: float = 0.1
     axis_name: Optional[str] = None
+    # inference: optionally fuse the whole pooling into one two-stream
+    # Pallas kernel (nn/pallas_att_pooling.py). Measured on v5e at
+    # B=128 T=998 C=1536: the op is VPU-elementwise-bound (exp + three
+    # full-size multiply-reduces), so the two-stream kernel (6.7 ms) does
+    # NOT beat XLA's fused loops (5.4 ms, ~89% of the HBM roof) despite
+    # 5x fewer HBM bytes — XLA stays the default (None/False); True keeps
+    # the verified kernel reachable for narrower-C models where the
+    # VPU/byte balance differs.
+    fused_inference: Optional[bool] = None
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
     ) -> jax.Array:
         d = x.shape[-1]
+        fused = (
+            self.time_attention
+            and self.norm_type == "batch_norm"
+            and not train
+            and not self.is_initializing()
+            and d % 128 == 0
+            and bool(self.fused_inference)
+        )
+        if fused:
+            from ..nn.pallas_att_pooling import fused_attentive_stats_pool
+
+            p1 = self.get_variable("params", "att1")
+            pbn = self.get_variable("params", "att_bn")
+            sbn = self.get_variable("batch_stats", "att_bn")
+            p2 = self.get_variable("params", "att2")
+            k = p1["kernel"][0]  # [3C, K] (_SplitGlobalConv layout)
+            inv = jax.lax.rsqrt(sbn["var"].astype(jnp.float32) + 1e-5)
+            bn_s = pbn["scale"].astype(jnp.float32) * inv
+            bn_t = (
+                pbn["bias"].astype(jnp.float32)
+                - sbn["mean"].astype(jnp.float32) * bn_s
+            )
+            return fused_attentive_stats_pool(
+                x,
+                k[:d],
+                k[d : 2 * d],
+                k[2 * d :],
+                p1["bias"],
+                bn_s,
+                bn_t,
+                p2["kernel"][0],  # nn.Conv kernel [1, K, C]
+                p2["bias"],
+                mask=mask,
+            ).astype(x.dtype)
         if self.time_attention:
             # global std uses the UNBIASED variance (ddof=1): the reference's
             # torch.var default (ecapa_tdnn_xvector.py:176-178)

@@ -30,8 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_train():
-    """Jitted train-step throughput: audio-s/s and ms/step on one chip."""
+def bench_train(with_cost=False):
+    """Jitted train-step throughput: audio-s/s and ms/step on one chip.
+
+    with_cost=True also returns the XLA cost analysis of one step (FLOPs,
+    bytes) for the tools/roofline.py training-MFU row."""
     import optax
 
     from asv_subtools_tpu.models import EcapaTdnn
@@ -110,6 +113,11 @@ def bench_train():
     dt = max(t2 - t1, 1e-9)
 
     audio_seconds = iters * batch * chunk_seconds
+    if with_cost:
+        from asv_subtools_tpu.utils.profiling import flops_estimate
+
+        cost = flops_estimate(step_fn, state, batch_d, rng)
+        return audio_seconds / dt, dt / iters * 1000.0, cost
     return audio_seconds / dt, dt / iters * 1000.0
 
 

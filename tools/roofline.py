@@ -149,11 +149,17 @@ def main():
         lambda salt, a: sp.apply({}, a * (1.0 + 1e-6 * salt)), y,
     ))
 
-    att = EcapaAttentiveStatsPool()
+    att = EcapaAttentiveStatsPool(fused_inference=False)
     att_v = att.init({"params": rng}, y, train=False)
     rows.append(report(
         "ecapa_attentive_pooling",
         lambda salt, v, a: att.apply(v, a * (1.0 + 1e-6 * salt), train=False),
+        att_v, y,
+    ))
+    att_f = EcapaAttentiveStatsPool(fused_inference=True)
+    rows.append(report(
+        "ecapa_attentive_pooling(fused pallas)",
+        lambda salt, v, a: att_f.apply(v, a * (1.0 + 1e-6 * salt), train=False),
         att_v, y,
     ))
 
@@ -183,6 +189,38 @@ def main():
         ),
         feats, audio_seconds=audio_s,
     ))
+
+    # 5. full training step (bench.py configuration): fwd+bwd+optimizer MFU.
+    # bench_train already uses the salted-scan + device_get protocol and
+    # carries the state through the scan (so the optimizer update is live,
+    # not DCE'd); here we just pair its ms/step with XLA's step cost.
+    import bench as bench_mod
+
+    tp, step_ms, cost = bench_mod.bench_train(with_cost=True)
+    dt = step_ms / 1e3
+    tflops = cost["flops"] / dt / 1e12
+    gbs = cost["bytes_accessed"] / dt / 1e9
+    intensity = cost["flops"] / max(cost["bytes_accessed"], 1.0)
+    row = {
+        "kernel": "ecapa_c1024_train_step(fwd+bwd+adamw)",
+        "ms": round(step_ms, 3),
+        "gflops": round(cost["flops"] / 1e9, 2),
+        "tflops_s": round(tflops, 1),
+        "hbm_gbs": round(gbs, 1),
+        "intensity_flops_per_byte": round(intensity, 1),
+        "bound": "compute" if intensity >= 240 else "memory",
+        "pct_of_compute_peak": round(100.0 * tflops / PEAK_TFLOPS_BF16, 1),
+        "pct_of_hbm_peak": round(100.0 * gbs / PEAK_HBM_GBS, 1),
+        "pct_of_roof": round(
+            100.0 * tflops / PEAK_TFLOPS_BF16
+            if intensity >= 240
+            else 100.0 * gbs / PEAK_HBM_GBS,
+            1,
+        ),
+        "audio_s_per_s": round(tp, 0),
+    }
+    print(json.dumps(row), flush=True)
+    rows.append(row)
 
     with open("PERF_rows.json", "w") as f:
         json.dump(rows, f, indent=1)
