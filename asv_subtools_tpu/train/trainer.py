@@ -63,6 +63,14 @@ class TrainStepConfig:
     # fbank + CMVN run INSIDE the jitted step (no host feature stage)
     wave_input: bool = False
     fbank_opts: Any = None
+    # rematerialization of the forward for the backward pass: the measured
+    # v5e train step is HBM-saturated (PERF.md) while the MXU sits at ~50%,
+    # so trading activation reads for recompute FLOPs can win.
+    #   None   - store all activations (XLA default)
+    #   "dots" - keep matmul/conv outputs, recompute elementwise/norms
+    #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    #   "full" - store nothing, recompute the whole forward
+    remat: Optional[str] = None
 
 
 def make_train_step(
@@ -147,6 +155,15 @@ def make_train_step(
         acc = compute_accuracy(logits, y)
         return loss.astype(jnp.float32), (mut["batch_stats"], acc)
 
+    if config.remat == "full":
+        loss_fn = jax.checkpoint(loss_fn)
+    elif config.remat == "dots":
+        loss_fn = jax.checkpoint(
+            loss_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif config.remat is not None:
+        raise ValueError(f"unknown remat policy {config.remat!r}")
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(state, batch, rng, lambda_m=1.0, margin_offset=0.0, lr_scale=1.0):

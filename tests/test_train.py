@@ -140,6 +140,30 @@ class TestTrainStep:
         )
         assert max(jax.tree_util.tree_leaves(d)) < 0.05
 
+    def test_remat_matches_no_remat(self):
+        """remat='dots'/'full' recompute the forward for the backward; the
+        optimization step must match the stored-activations path (tiny
+        reassociation drift only)."""
+        net = tiny_net()
+        tx = get_optimizer("sgd", learning_rate=1e-2, weight_decay=0.0)
+        batch = batch_of(b=8)
+        s0 = init_train_state(net, KEY, batch, tx)
+        ref, _ = jax.jit(
+            make_train_step(net, tx, config=TrainStepConfig(
+                compute_dtype=jnp.float32))
+        )(s0, batch, KEY)
+        for policy in ("dots", "full"):
+            st, m = jax.jit(
+                make_train_step(net, tx, config=TrainStepConfig(
+                    compute_dtype=jnp.float32, remat=policy))
+            )(s0, batch, KEY)
+            assert np.isfinite(m["loss"])
+            d = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                ref.params, st.params,
+            )
+            assert max(jax.tree_util.tree_leaves(d)) < 1e-4, policy
+
     def test_plateau_lr_scale_shrinks_adam_step(self):
         """lr_scale must scale the applied update even for Adam (which is
         invariant to gradient scaling) — advisor r1 medium finding."""
