@@ -49,7 +49,14 @@ class DistributedShardList:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(idx)
         for i in idx[self.rank :: self.world_size]:
-            yield self.items[int(i)]
+            item = self.items[int(i)]
+            # pipeline stages mutate samples in place (parse_raw decodes
+            # into s["wav"], speed_perturb_stage offsets s["label"], ...);
+            # hand each epoch a fresh copy or the mutations accumulate
+            # across iterations (a second pass re-offsets already-offset
+            # labels beyond num_targets -> on TPU the out-of-bounds CE
+            # gather is NaN and every step gets skip_nonfinite'd)
+            yield dict(item) if isinstance(item, dict) else item
 
 
 class WavEgs:

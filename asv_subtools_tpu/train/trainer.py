@@ -427,8 +427,11 @@ class Trainer:
         epoch: int = 0,
         valid_iter: Optional[Callable] = None,
     ) -> Tuple[TrainState, Dict]:
-        """One epoch over `data_iter` of host batches; returns final state."""
-        agg = {"loss": 0.0, "accuracy": 0.0, "n": 0}
+        """One epoch over `data_iter` of host batches; returns final state
+        plus EPOCH-MEAN metrics (skipped = total skipped steps). The means
+        accumulate as lazy device scalars — no per-step device_get blocking
+        (advisor r1) — and are fetched once at epoch end."""
+        agg = {"loss": None, "accuracy": None, "skipped": None, "n": 0}
         metrics = {}
         t0 = time.time()
         # Track the step counter on host: device_get(state.step) every
@@ -453,6 +456,8 @@ class Trainer:
                 jnp.asarray(lr_scale, jnp.float32),
             )
             agg["n"] += 1
+            for k in ("loss", "accuracy", "skipped"):
+                agg[k] = metrics[k] if agg[k] is None else agg[k] + metrics[k]
             if self.nan_debug_dir is not None and float(
                 jax.device_get(metrics["skipped"])
             ) > 0:
@@ -473,8 +478,15 @@ class Trainer:
                 if valid_iter is not None and self.plateau is not None:
                     vloss = self.validate(state, valid_iter())
                     self.plateau.update(vloss["loss"])
-        final_metrics = jax.device_get(metrics) if agg["n"] else {}  # noqa
-        return state, {k: float(v) for k, v in final_metrics.items()}
+        if not agg["n"]:
+            return state, {}
+        final_metrics = jax.device_get(metrics)
+        out = {k: float(v) for k, v in final_metrics.items()}
+        sums = jax.device_get({k: agg[k] for k in ("loss", "accuracy", "skipped")})
+        out["loss"] = float(sums["loss"]) / agg["n"]
+        out["accuracy"] = float(sums["accuracy"]) / agg["n"]
+        out["skipped"] = float(sums["skipped"])  # TOTAL skipped steps
+        return state, out
 
     def validate(self, state: TrainState, valid_iter: Iterable[Dict]) -> Dict:
         n_data = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))

@@ -188,6 +188,28 @@ class TestPipeline:
         assert b["mask"].all()  # fixed chunks: no padding
         assert set(b["y"].tolist()) <= {0, 1, 2}
 
+    def test_reiteration_labels_stable(self, wav_dir):
+        """Iterating egs repeatedly must NOT re-apply in-place sample
+        mutations: with speed_perturb label expansion, a second pass over
+        shared entry dicts re-offsets already-offset labels past
+        num_targets (on TPU the out-of-bounds CE gather is NaN and every
+        step gets skipped — the bug that froze the voxceleb recipe run)."""
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        n = len(spk2int)
+        egs = WavEgs(
+            str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"), spk2int,
+            chunk_seconds=0.5, batch_size=12, shuffle_buffer=1,
+            speed_perturb=True, num_spks=n,
+        )
+        egs.set_epoch(0)
+        for it in range(3):  # same epoch: labels must be in range AND stable
+            ys = np.concatenate([b["y"] for b in egs])
+            assert ys.min() >= 0 and ys.max() < 3 * n, (it, ys.max())
+            if it == 0:
+                ys0 = ys
+            else:
+                np.testing.assert_array_equal(ys, ys0)
+
     def test_epoch_reshuffle_changes_order(self, wav_dir):
         spk2int = build_spk2int(str(wav_dir / "utt2spk"))
         egs = WavEgs(
