@@ -85,8 +85,10 @@ class WavEgs:
         rank: int = 0,
         world_size: int = 1,
         drop_last: bool = True,
+        workers: int = 1,
     ):
         entries = list(P.wav_scp_source(wav_scp, utt2spk, spk2int))
+        self.workers = int(workers)
         self.shards = DistributedShardList(
             entries, seed=seed, rank=rank, world_size=world_size
         )
@@ -108,18 +110,35 @@ class WavEgs:
             key = "feat"
             if spec_aug:
                 stages.append(P.spec_aug_stage(seed=seed, epoch=ep))
-        stages += [
+        # per-sample stages (decode/aug/feats — numpy/scipy, GIL-releasing)
+        # can fan out over a thread pool; batching stays serial
+        self.sample_stages = stages
+        self.batch_stages = [
             P.shuffle(shuffle_buffer, seed=seed, epoch=ep),
             P.static_batch(batch_size, drop_last=drop_last),
             P.pad_batch(key=key),
         ]
-        self.stages = stages
+        self.stages = stages + self.batch_stages
 
     def set_epoch(self, epoch: int) -> None:
         self.shards.set_epoch(epoch)
         self.epoch_state.epoch = epoch
 
+    def _process_one(self, entry):
+        # a stage may emit 0 (skip) or >1 samples; return the list
+        return list(P.Pipeline([entry], self.sample_stages)) or None
+
     def __iter__(self):
+        if self.workers > 1:
+            # map each entry through the per-sample chain in parallel
+            # (ordered, so epoch determinism is preserved), then batch
+            mapped = ParallelMapper(
+                self._process_one, self.shards, workers=self.workers
+            )
+            it = (s for group in mapped for s in group)
+            for stage in self.batch_stages:
+                it = stage(it)
+            return it
         return iter(P.Pipeline(self.shards, self.stages))
 
 

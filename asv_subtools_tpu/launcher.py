@@ -51,6 +51,12 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "compute_feat": True,
         "spec_aug": False,
         "valid_utts": 0,  # hold out N utts for validation (plateau/reporting)
+        # fbank bins for BOTH training egs and extraction (None = library
+        # default 23; the reference's voxceleb recipes use 80/81-fbank)
+        "num_bins": None,
+        # host pipeline threads for the per-sample stages (decode/aug/feats)
+        # — ordered fan-out, so results are identical to workers=1
+        "workers": 8,
     },
     # model
     "model": {"name": "ecapa_tdnn", "params": {}},
@@ -110,6 +116,13 @@ class Launcher:
     # -- stage 0 ------------------------------------------------------------
     def build_egs(self) -> WavEgs:
         p = self.params["data"]
+        self.feat_opts = None
+        if p.get("num_bins"):
+            from .features import FbankOptions, MelOptions
+
+            self.feat_opts = FbankOptions(
+                mel_opts=MelOptions(num_bins=int(p["num_bins"]))
+            )
         self.spk2int = build_spk2int(p["train_utt2spk"])
         num_spks = len(self.spk2int)
         if p.get("speed_perturb"):
@@ -139,7 +152,11 @@ class Launcher:
                 self.spk2int,
                 chunk_seconds=p["chunk_seconds"],
                 batch_size=p["batch_size"],
-                compute_feat=p.get("compute_feat", True),
+                # always features: the eval step applies the net directly
+                # (host compute_feats CMVNs identically to the in-step
+                # wave path, so wave-trained models validate consistently)
+                compute_feat=True,
+                feat_opts=self.feat_opts,
                 shuffle_buffer=1,
                 seed=self.params["seed"],
             )
@@ -153,9 +170,11 @@ class Launcher:
             speed_perturb=p.get("speed_perturb", False),
             num_spks=len(self.spk2int),
             compute_feat=p.get("compute_feat", True),
+            feat_opts=self.feat_opts,
             spec_aug=p.get("spec_aug", False),
             shuffle_buffer=p["shuffle_buffer"],
             seed=self.params["seed"],
+            workers=p.get("workers", 1),
         )
 
     def build_model(self) -> SpeakerNet:
@@ -197,6 +216,16 @@ class Launcher:
                 accum_grad=t["accum_grad"],
                 compute_dtype=dtype,
                 use_semi_orth=t.get("use_semi_orth", False),
+                # data.compute_feat=False -> wave-input training: host only
+                # decodes/augments waveforms; fused fbank + CMVN (+ on-device
+                # SpecAugment) run inside the jitted step. TPU-first default
+                # for new recipes — host feature computation starves the chip.
+                wave_input=not self.params["data"].get("compute_feat", True),
+                fbank_opts=self.feat_opts,
+                spec_aug=(
+                    not self.params["data"].get("compute_feat", True)
+                    and self.params["data"].get("spec_aug", False)
+                ),
             ),
             mesh=self.mesh,
             margin_warm=margin_warm,
@@ -205,6 +234,17 @@ class Launcher:
             partition_rules=partition_rules,
         )
         example = next(iter(egs))
+        if not self.params["data"].get("compute_feat", True):
+            # wave egs: params must still be initialized on FEATURE shapes
+            # (the in-step fused fbank produces them at run time)
+            from .features import FbankOptions
+            from .features.pallas_fbank import fused_fbank
+
+            feats0, _ = fused_fbank(
+                jnp.asarray(example["x"][:2]),
+                self.feat_opts or FbankOptions(),
+            )
+            example = {"x": feats0, "y": jnp.asarray(example["y"][:2])}
         rng = jax.random.PRNGKey(self.params["seed"])
         state = trainer.init_state(rng, example)
         if resume_from:
@@ -247,7 +287,9 @@ class Launcher:
             from .extract import WAVE_BUCKETS, make_wave_embed_fn
             from .io import read_wav
 
-            embed_fn = make_wave_embed_fn(model_apply)
+            embed_fn = make_wave_embed_fn(
+                model_apply, fbank_opts=getattr(self, "feat_opts", None)
+            )
             ex = Extractor(
                 embed_fn,
                 ExtractConfig(
@@ -274,7 +316,10 @@ class Launcher:
                 embed_fn,
                 ExtractConfig(buckets=tuple(e["buckets"]), default_batch=e["batch"]),
             )
-            items = iter(WavEgsXvector(wav_scp, workers=e.get("workers", 1)))
+            items = iter(WavEgsXvector(
+                wav_scp, feat_opts=getattr(self, "feat_opts", None),
+                workers=e.get("workers", 1),
+            ))
         stats = ex.extract_to_ark(
             iter(items), out_prefix + ".ark", out_prefix + ".scp"
         )

@@ -60,9 +60,17 @@ class TrainStepConfig:
     skip_nonfinite: bool = True
     mixup_alpha: float = 0.0  # >0 enables batch mixup (components.py:717 + MixupLoss)
     # wave-input mode: batch["x"] is [B, S] raw audio; the fused Pallas
-    # fbank + CMVN run INSIDE the jitted step (no host feature stage)
+    # fbank + CMVN run INSIDE the jitted step (no host feature stage).
+    # The host pipeline then only decodes/augments waveforms (~98k
+    # audio-s/s per thread) instead of computing features (~50 audio-s/s)
+    # — the difference between starving the chip and saturating it.
     wave_input: bool = False
     fbank_opts: Any = None
+    # on-device SpecAugment for wave_input (the host stage needs features;
+    # here features only exist inside the step). Mirrors
+    # data/augment.spec_augment per row, vectorized over the batch.
+    spec_aug: bool = False
+    spec_aug_params: Any = None  # {"num_t_mask","num_f_mask","max_t","max_f"}
     # rematerialization of the forward for the backward pass: the measured
     # v5e train step is HBM-saturated (PERF.md) while the MXU sits at ~50%,
     # so trading activation reads for recompute FLOPs can win.
@@ -71,6 +79,41 @@ class TrainStepConfig:
     #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     #   "full" - store nothing, recompute the whole forward
     remat: Optional[str] = None
+
+
+def device_spec_augment(
+    feats: jax.Array,
+    rng,
+    num_t_mask: int = 1,
+    num_f_mask: int = 1,
+    max_t: int = 50,
+    max_f: int = 10,
+) -> jax.Array:
+    """Vectorized on-device SpecAugment for [B, T, D] features.
+
+    Semantics of data/augment.spec_augment (reference augmentation.py:21-113)
+    per batch row: zero `num_*_mask` random bands of width U[1, max] with
+    uniform start, band skipped when width >= the axis size. Start positions
+    use the uniform*range construction (widths are traced values, so
+    randint's static bounds can't express [0, t-width))."""
+    b, t, d = feats.shape
+    kt, kts, kf, kfs = jax.random.split(rng, 4)
+
+    def band_mask(nmask, size, max_w, kw, ks, axis_len):
+        w = jax.random.randint(kw, (b, nmask), 1, max_w + 1)
+        start = (
+            jax.random.uniform(ks, (b, nmask))
+            * jnp.maximum(axis_len - w, 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        idx = jnp.arange(size)[None, :, None]
+        hit = (idx >= start[:, None, :]) & (idx < (start + w)[:, None, :])
+        hit = hit & (w < axis_len)[:, None, :]  # width >= size: band skipped
+        return jnp.any(hit, axis=-1)  # [B, size]
+
+    tmask = band_mask(num_t_mask, t, max_t, kt, kts, t)
+    fmask = band_mask(num_f_mask, d, max_f, kf, kfs, d)
+    keep = (~tmask)[:, :, None] & (~fmask)[:, None, :]
+    return feats * keep.astype(feats.dtype)
 
 
 def make_train_step(
@@ -108,6 +151,11 @@ def make_train_step(
                 feats = cmvn_utterance(feats, mask=mask) * mask[..., None]
             else:
                 feats = cmvn_utterance(feats)
+            if config.spec_aug:
+                rng, sa_rng = jax.random.split(rng)
+                feats = device_spec_augment(
+                    feats, sa_rng, **(config.spec_aug_params or {})
+                )
             x = feats
         xc = x.astype(config.compute_dtype)
         # true mixed precision: cast the params used in the forward to the

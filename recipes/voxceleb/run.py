@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=512)
     ap.add_argument("--channels", type=int, default=1024)
+    # cyclic-LR geometry: the preset step_size_up=15000 is tuned for
+    # voxceleb2-scale runs (~2.1k steps/epoch); short runs must shrink it
+    # or the LR never leaves the 1e-8 floor
+    ap.add_argument("--max-lr", type=float, default=1e-3)
+    ap.add_argument("--step-size-up", type=int, default=15000)
     args = ap.parse_args()
 
     import numpy as np
@@ -48,6 +53,15 @@ def main():
             "batch_size": args.batch_size,
             "speed_perturb": True,
             "spec_aug": True,
+            "num_bins": 80,  # reference voxceleb recipes: 80/81-fbank
+            # TPU-first: host only decodes/augments waveforms (8 ordered
+            # threads); fused fbank + CMVN + SpecAugment run inside the
+            # jitted train step — host features would starve the chip
+            "compute_feat": False,
+        },
+        "extract": {
+            "mode": "wave",  # on-chip fused fbank for extraction too
+            "batch": 32,
         },
         "model": {
             "name": "ecapa_tdnn",
@@ -64,12 +78,20 @@ def main():
             "epochs": args.epochs,
             "optimizer": {"name": "adamW", "learning_rate": 1e-3, "weight_decay": 5e-5},
             "lr_schedule": {
-                "name": "cyclic", "base_lr": 1e-8, "max_lr": 1e-3,
-                "step_size_up": 15000, "mode": "triangular2",
+                "name": "cyclic", "base_lr": 1e-8, "max_lr": args.max_lr,
+                "step_size_up": args.step_size_up, "mode": "triangular2",
             },
+            # epoch_iter from the actual dataset so the margin warm-up
+            # (epochs 1-3) tracks real steps/epoch, not voxceleb2's
             "margin_warm": {
                 "start_epoch": 1, "end_epoch": 3,
-                "offset_margin": -0.2, "init_lambda": 0.0, "epoch_iter": 10000,
+                "offset_margin": -0.2, "init_lambda": 0.0,
+                "epoch_iter": max(
+                    1,
+                    sum(1 for _ in open(
+                        os.path.join(args.data, "train", "wav.scp")))
+                    // args.batch_size,
+                ),
             },
         },
     }

@@ -188,6 +188,25 @@ class TestPipeline:
         assert b["mask"].all()  # fixed chunks: no padding
         assert set(b["y"].tolist()) <= {0, 1, 2}
 
+    def test_parallel_workers_match_serial(self, wav_dir):
+        """workers>1 fans the per-sample stages over a thread pool with
+        ordered results — batches must be identical to workers=1."""
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        kw = dict(chunk_seconds=0.5, batch_size=4, shuffle_buffer=8,
+                  speed_perturb=True, num_spks=len(spk2int), spec_aug=True)
+        a = WavEgs(str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"),
+                   spk2int, workers=1, **kw)
+        b = WavEgs(str(wav_dir / "wav.scp"), str(wav_dir / "utt2spk"),
+                   spk2int, workers=4, **kw)
+        a.set_epoch(1)
+        b.set_epoch(1)
+        ba, bb = list(a), list(b)
+        assert len(ba) == len(bb) > 0
+        for x, y in zip(ba, bb):
+            assert x["keys"] == y["keys"]
+            np.testing.assert_array_equal(x["y"], y["y"])
+            np.testing.assert_allclose(x["x"], y["x"], atol=1e-6)
+
     def test_reiteration_labels_stable(self, wav_dir):
         """Iterating egs repeatedly must NOT re-apply in-place sample
         mutations: with speed_perturb label expansion, a second pass over

@@ -110,6 +110,73 @@ class TestEndToEnd:
         assert eer < 0.35, f"end-to-end EER too high: {eer}"
 
 
+class TestWaveModeTraining:
+    def test_launcher_wave_input_trains(self, corpus, tmp_path):
+        """data.compute_feat=False: host pipeline delivers raw waveforms,
+        the jitted step runs fused fbank + CMVN + on-device SpecAugment.
+        The TPU-first training default for new recipes."""
+        params = {
+            "exp_dir": str(tmp_path / "exp"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 1.0,
+                "batch_size": 8,
+                "shuffle_buffer": 16,
+                "compute_feat": False,
+                "spec_aug": True,
+                "num_bins": 40,
+            },
+            "model": {
+                "name": "xvector",
+                "params": {"num_frame_channels": 40, "embd_dim": 16},
+            },
+            "loss": {"name": "softmax", "params": {}},
+            "train": {
+                "epochs": 2,
+                "optimizer": {"name": "adamW", "learning_rate": 5e-3},
+                "lr_schedule": {"name": "constant", "base_lr": 5e-3},
+                "compute_dtype": "float32",
+                "report_interval": 1000,
+            },
+            "extract": {"buckets": [128, 256], "batch": 8},
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        launcher.build_model()
+        batch = next(iter(egs))
+        assert batch["x"].ndim == 2  # raw waveforms, not features
+        state = launcher.train(egs)
+        assert state is not None
+        stats = launcher.extract(str(corpus / "eval.scp"),
+                                 str(tmp_path / "xv"), state)
+        assert stats["utts"] == 8
+
+
+class TestDeviceSpecAugment:
+    def test_matches_host_semantics(self):
+        import jax
+        import jax.numpy as jnp
+
+        from asv_subtools_tpu.train.trainer import device_spec_augment
+
+        feats = jnp.ones((4, 120, 40), jnp.float32)
+        out = np.asarray(device_spec_augment(
+            feats, jax.random.PRNGKey(0), num_t_mask=2, num_f_mask=2,
+            max_t=20, max_f=8,
+        ))
+        assert out.shape == (4, 120, 40)
+        # masking only: values are 0 or untouched
+        assert set(np.unique(out)) <= {0.0, 1.0}
+        for b in range(4):
+            tz = np.where((out[b] == 0).all(axis=1))[0]  # zeroed frames
+            fz = np.where((out[b] == 0).all(axis=0))[0]  # zeroed channels
+            assert 1 <= len(tz) <= 2 * 20
+            assert 1 <= len(fz) <= 2 * 8
+        # rows are independently masked
+        assert any(not np.array_equal(out[0], out[b]) for b in range(1, 4))
+
+
 class TestValidSplit:
     def test_valid_split_and_metrics(self, corpus, tmp_path):
         params = {
