@@ -65,7 +65,8 @@ def make_wave_embed_fn(model_apply, fbank_opts=None, dtype=None):
         # bf16 DFT GEMMs: 1.7x faster front-end; embedding cosine vs the
         # f32 front-end >= 0.999999 on real speech (silent-bin leakage is
         # below the bf16 backbone's own rounding after CMVN)
-        feats, _energy = fused_fbank(wave, opts, dft_dtype=jnp.bfloat16)
+        feats, _ = fused_fbank(wave, opts, dft_dtype=jnp.bfloat16,
+                               with_energy=False)
         n_samples = jnp.sum(mask, axis=1)
         n_frames = jnp.maximum((n_samples - win) // shift + 1, 1)
         t = feats.shape[1]

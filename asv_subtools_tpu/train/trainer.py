@@ -141,8 +141,8 @@ def make_train_step(
             # bf16 training tolerates bf16 spectra (leakage ~2^-9 of frame
             # peak, far under the augmentation noise floor); f32 runs keep
             # the golden-parity front-end
-            feats, _energy = fused_fbank(x, opts,
-                                         dft_dtype=config.compute_dtype)
+            feats, _ = fused_fbank(x, opts, dft_dtype=config.compute_dtype,
+                                   with_energy=False)
             if mask is not None:
                 shift, win = opts.frame_opts.window_shift, opts.frame_opts.window_size
                 n_samples = jnp.sum(mask, axis=1)

@@ -148,7 +148,7 @@ def main():
 
     def extract(w):
         # fused Pallas framing+DFT+mel, bf16 DFT (serving configuration)
-        f, _energy = fused_fbank(w, opts, dft_dtype=jnp.bfloat16)
+        f, _ = fused_fbank(w, opts, dft_dtype=jnp.bfloat16, with_energy=False)
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 

@@ -56,6 +56,31 @@ class TestFusedFbank:
         assert d.mean() < 0.02, d.mean()
         assert d.max() < 0.5, d.max()  # broadband input: no silent bins
 
+    def test_no_energy_path_matches(self):
+        """with_energy=False (the extraction/training default) must return
+        bit-identical fbank values and None energy."""
+        rng = np.random.default_rng(4)
+        wave = jnp.asarray(rng.normal(size=(2, 32000)) * 1000, jnp.float32)
+        opts = FbankOptions()
+        ref, energy = fused_fbank(wave, opts, interpret=True)
+        out, none_e = fused_fbank(wave, opts, interpret=True,
+                                  with_energy=False)
+        assert none_e is None
+        assert energy is not None
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    @pytest.mark.parametrize("num_samples", [16000 * 2, 16000 * 6, 16000 * 11])
+    def test_tile_selection_consistent(self, num_samples):
+        """Different utterance lengths pick different tile heights
+        (128/256/512); values must not depend on the tile."""
+        rng = np.random.default_rng(5)
+        wave = jnp.asarray(rng.normal(size=(1, num_samples)) * 1000, jnp.float32)
+        opts = FbankOptions()
+        ref = compute_fbank(wave, opts, fft_mode="gemm")
+        out, _ = fused_fbank(wave, opts, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
     def test_rejects_dither(self):
         opts = FbankOptions(frame_opts=FrameOptions(dither=1.0))
         with pytest.raises(ValueError):

@@ -130,7 +130,7 @@ def main():
 
     def front_bf16(salt, w):
         f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts,
-                           dft_dtype=jnp.bfloat16)
+                           dft_dtype=jnp.bfloat16, with_energy=False)
         return cmvn_utterance(f).astype(jnp.bfloat16)
 
     rows.append(report("fused_fbank+cmvn(f32)", front, wave,
@@ -174,7 +174,7 @@ def main():
 
     def extract(salt, w):
         f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts,
-                           dft_dtype=jnp.bfloat16)
+                           dft_dtype=jnp.bfloat16, with_energy=False)
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
 

@@ -41,7 +41,7 @@ def bench_model(name, model, wave, opts, audio_s, ref_rtf=None):
     )
 
     def extract(salt, w):
-        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts,
+        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts, with_energy=False,
                            dft_dtype=jnp.bfloat16)
         f = cmvn_utterance(f).astype(jnp.bfloat16)
         return model.apply(variables, f, train=False)
