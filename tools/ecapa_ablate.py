@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Per-stage ablation of the ECAPA-C1024 extract graph on the real chip.
+
+Times each architectural stage in isolation (salted-scan + device_get,
+differential) to attribute the end-to-end 25.8 ms. Informs which kernel
+to attack next; results summarized in PERF.md.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, args, iters):
+    def scanned(base_salt, *a):
+        def body(carry, i):
+            out = fn(base_salt + i.astype(jnp.float32), *a)
+            out = out[0] if isinstance(out, tuple) else out
+            return carry + jnp.sum(out.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
+        return total
+
+    jfn = jax.jit(scanned)
+    float(jax.device_get(jfn(jnp.float32(0), *args)))
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        float(jax.device_get(jfn(jnp.float32(1000 * (rep + 1)), *args)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def diff_ms(fn, args, iters=16):
+    t1 = timed(fn, args, iters)
+    t2 = timed(fn, args, 2 * iters)
+    return (t2 - t1) / iters * 1e3
+
+
+def main():
+    from asv_subtools_tpu.models.ecapa import (
+        EcapaAttentiveStatsPool, Res2NetBlock, SERes2Block,
+    )
+    from asv_subtools_tpu.nn.tdnn import ReluBatchNormTdnnLayer
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    rng = jax.random.PRNGKey(0)
+    b, t, c = 128, 998, 1024
+
+    def bench_mod(name, mod, x, **kw):
+        v = mod.init({"params": rng}, x, **kw)
+        v = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v)
+
+        def f(salt, v, x):
+            return mod.apply(v, x * (1.0 + 1e-6 * salt), **kw)
+
+        ms = diff_ms(f, (v, x))
+        print(f"{name:42s} {ms:7.3f} ms")
+        return ms
+
+    x = jax.random.normal(rng, (b, t, c), jnp.bfloat16)
+    feats = jax.random.normal(rng, (b, t, 80), jnp.bfloat16)
+
+    bench_mod("layer1 conv5 80->1024 +bn+relu",
+              ReluBatchNormTdnnLayer(c, context=(-2, -1, 0, 1, 2)), feats,
+              train=False)
+    bench_mod("SERes2Block d2 (1x1 + res2 + 1x1 + SE)",
+              SERes2Block(c, dilation=2), x, train=False)
+    bench_mod("res2net chain alone (7x 128ch conv3)",
+              Res2NetBlock(c, dilation=2), x, train=False)
+    bench_mod("1x1 conv 1024->1024 +bn+relu",
+              ReluBatchNormTdnnLayer(c, context=(0,)), x, train=False)
+    x3 = jax.random.normal(rng, (b, t, 3 * c), jnp.bfloat16)
+    bench_mod("mfa conv1 3072->1536 +bn+relu",
+              ReluBatchNormTdnnLayer(1536, context=(0,)), x3, train=False)
+    y = jax.random.normal(rng, (b, t, 1536), jnp.bfloat16)
+    bench_mod("attentive pooling", EcapaAttentiveStatsPool(), y, train=False)
+
+
+if __name__ == "__main__":
+    main()
