@@ -21,22 +21,53 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
+def apply_preset(params, preset):
+    """Merge a recipes/configs/*.yaml preset over the ECAPA defaults.
+
+    model/loss/optimizer/lr_schedule REPLACE wholesale (a recursive merge
+    would leak ECAPA kwargs — `channels`, cyclic-LR keys — into the
+    preset's classes); everything else merges recursively.
+    """
+    from asv_subtools_tpu.utils.params import assign_params_dict
+
+    preset = dict(preset)
+    for sect in ("model", "loss"):
+        if sect in preset:
+            params[sect] = preset.pop(sect)
+    if "train" in preset:
+        preset["train"] = dict(preset["train"])
+        for sub in ("optimizer", "lr_schedule"):
+            if sub in preset["train"]:
+                params["train"][sub] = preset["train"].pop(sub)
+    return assign_params_dict(params, preset, support_unknown=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
     ap.add_argument("--exp", default="exp/ecapa_c1024")
     ap.add_argument("--trials", required=False)
+    ap.add_argument(
+        "--config",
+        help="recipes/configs/*.yaml preset merged over the ECAPA defaults "
+        "(model/loss/train sections) — runs any model-zoo family through "
+        "the same L7 pipeline, like the reference's launcher-per-model set",
+    )
     ap.add_argument("--stage", type=int, default=0)
     ap.add_argument("--stop-stage", type=int, default=3)
-    ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--batch-size", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--channels", type=int, default=1024)
     # cyclic-LR geometry: the preset step_size_up=15000 is tuned for
     # voxceleb2-scale runs (~2.1k steps/epoch); short runs must shrink it
     # or the LR never leaves the 1e-8 floor
-    ap.add_argument("--max-lr", type=float, default=1e-3)
-    ap.add_argument("--step-size-up", type=int, default=15000)
+    ap.add_argument("--max-lr", type=float, default=None)
+    ap.add_argument("--step-size-up", type=int, default=None)
     args = ap.parse_args()
+    epochs = args.epochs if args.epochs is not None else 6
+    batch_size = args.batch_size if args.batch_size is not None else 512
+    max_lr = args.max_lr if args.max_lr is not None else 1e-3
+    step_size_up = args.step_size_up if args.step_size_up is not None else 15000
 
     import numpy as np
 
@@ -50,7 +81,7 @@ def main():
             "train_wav_scp": os.path.join(args.data, "train", "wav.scp"),
             "train_utt2spk": os.path.join(args.data, "train", "utt2spk"),
             "chunk_seconds": 2.015,
-            "batch_size": args.batch_size,
+            "batch_size": batch_size,
             "speed_perturb": True,
             "spec_aug": True,
             "num_bins": 80,  # reference voxceleb recipes: 80/81-fbank
@@ -75,11 +106,11 @@ def main():
             },
         },
         "train": {
-            "epochs": args.epochs,
+            "epochs": epochs,
             "optimizer": {"name": "adamW", "learning_rate": 1e-3, "weight_decay": 5e-5},
             "lr_schedule": {
-                "name": "cyclic", "base_lr": 1e-8, "max_lr": args.max_lr,
-                "step_size_up": args.step_size_up, "mode": "triangular2",
+                "name": "cyclic", "base_lr": 1e-8, "max_lr": max_lr,
+                "step_size_up": step_size_up, "mode": "triangular2",
             },
             # epoch_iter from the actual dataset so the margin warm-up
             # (epochs 1-3) tracks real steps/epoch, not voxceleb2's
@@ -90,11 +121,33 @@ def main():
                     1,
                     sum(1 for _ in open(
                         os.path.join(args.data, "train", "wav.scp")))
-                    // args.batch_size,
+                    // batch_size,
                 ),
             },
         },
     }
+
+    if args.config:
+        from asv_subtools_tpu.utils.params import load_yaml
+
+        params = apply_preset(params, load_yaml(args.config))
+        # explicit CLI scalars win over the preset (small-corpus runs need
+        # their own batch/epoch/LR geometry regardless of model family)
+        if args.batch_size is not None:
+            params["data"]["batch_size"] = args.batch_size
+            params["train"]["margin_warm"]["epoch_iter"] = max(
+                1,
+                sum(1 for _ in open(
+                    os.path.join(args.data, "train", "wav.scp")))
+                // args.batch_size,
+            )
+        if args.epochs is not None:
+            params["train"]["epochs"] = args.epochs
+        if args.max_lr is not None or args.step_size_up is not None:
+            params["train"]["lr_schedule"] = {
+                "name": "cyclic", "base_lr": 1e-8, "max_lr": max_lr,
+                "step_size_up": step_size_up, "mode": "triangular2",
+            }
 
     launcher = Launcher(params)
     egs = launcher.build_egs()

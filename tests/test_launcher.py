@@ -237,6 +237,52 @@ class TestConfigPresets:
             assert net is not None, path
 
 
+class TestRecipePresetMerge:
+    def test_preset_replaces_model_and_schedule(self, corpus):
+        """recipes/voxceleb/run.py::apply_preset — presets must REPLACE
+        model/loss/optimizer/lr_schedule (a recursive merge leaks ECAPA
+        kwargs like `channels` into e.g. ResNetXvector: observed crash)."""
+        import importlib.util
+
+        from asv_subtools_tpu.utils import load_yaml
+
+        spec = importlib.util.spec_from_file_location(
+            "vox_run", "recipes/voxceleb/run.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        base = {
+            "exp_dir": "exp/x",
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "batch_size": 8,
+            },
+            "model": {"name": "ecapa_tdnn",
+                      "params": {"channels": 1024, "embd_dim": 192}},
+            "loss": {"name": "margin_softmax_v1",
+                     "params": {"method": "aam", "m": 0.2}},
+            "train": {
+                "epochs": 6,
+                "optimizer": {"name": "adamW", "learning_rate": 1e-3},
+                "lr_schedule": {"name": "cyclic", "base_lr": 1e-8,
+                                "max_lr": 1e-3, "step_size_up": 15000},
+            },
+        }
+        preset = load_yaml("recipes/configs/resnet34.yaml")
+        merged = mod.apply_preset(base, preset)
+        assert merged["model"]["name"] == "resnet_xvector"
+        assert "channels" not in merged["model"]["params"]
+        assert merged["train"]["lr_schedule"]["name"] == "warmR"
+        assert "max_lr" not in merged["train"]["lr_schedule"]
+        assert merged["train"]["optimizer"]["name"] == "sgd"
+        # the merged dict must build through the Launcher
+        launcher = Launcher(merged)
+        launcher.build_egs()
+        assert launcher.build_model() is not None
+
+
 class TestWaveModeExtractStage:
     def test_extract_wave_mode(self, corpus, tmp_path):
         params = {
