@@ -58,7 +58,9 @@ def main():
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, v)
 
         def f(salt, v, x):
-            return mod.apply(v, x * (1.0 + 1e-6 * salt), **kw)
+            # cast back: bf16 * f32-scalar promotes to f32 (would measure
+            # the f32 kernel)
+            return mod.apply(v, (x * (1.0 + 1e-6 * salt)).astype(x.dtype), **kw)
 
         ms = diff_ms(f, (v, x))
         print(f"{name:42s} {ms:7.3f} ms")

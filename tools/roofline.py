@@ -146,20 +146,25 @@ def main():
     sp = StatisticsPooling()
     rows.append(report(
         "stats_pooling",
-        lambda salt, a: sp.apply({}, a * (1.0 + 1e-6 * salt)), y,
+        # cast back after salting: bf16 * f32-scalar promotes to f32, which
+        # would silently measure the f32 kernel (caught via the
+        # backbone-slower-than-e2e anomaly, r2)
+        lambda salt, a: sp.apply({}, (a * (1.0 + 1e-6 * salt)).astype(a.dtype)), y,
     ))
 
     att = EcapaAttentiveStatsPool(fused_inference=False)
     att_v = att.init({"params": rng}, y, train=False)
     rows.append(report(
         "ecapa_attentive_pooling",
-        lambda salt, v, a: att.apply(v, a * (1.0 + 1e-6 * salt), train=False),
+        lambda salt, v, a: att.apply(
+            v, (a * (1.0 + 1e-6 * salt)).astype(a.dtype), train=False),
         att_v, y,
     ))
     att_f = EcapaAttentiveStatsPool(fused_inference=True)
     rows.append(report(
         "ecapa_attentive_pooling(fused pallas)",
-        lambda salt, v, a: att_f.apply(v, a * (1.0 + 1e-6 * salt), train=False),
+        lambda salt, v, a: att_f.apply(
+            v, (a * (1.0 + 1e-6 * salt)).astype(a.dtype), train=False),
         att_v, y,
     ))
 
@@ -185,7 +190,7 @@ def main():
     rows.append(report(
         "ecapa_c1024_backbone",
         lambda salt, f: model.apply(
-            variables, f * (1.0 + 1e-6 * salt), train=False
+            variables, (f * (1.0 + 1e-6 * salt)).astype(f.dtype), train=False
         ),
         feats, audio_seconds=audio_s,
     ))
