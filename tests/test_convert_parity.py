@@ -248,6 +248,94 @@ class TestFullSizeEcapaParity:
         np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
 
 
+class TestFullSizeResnetParity:
+    def test_resnet34_full_size_conversion(self, reference_resnet):
+        """Production ResNet34 base32 (planes 32/64/128/256, layers
+        3/4/6/3, 80-d fbank) conversion — the reduced test uses 1-block
+        stages and cannot catch stage-depth or stride-path bugs."""
+        from asv_subtools_tpu.convert import convert_resnet_state_dict
+        from asv_subtools_tpu.models import ResNetXvector
+
+        torch.manual_seed(3)
+        feat = 80
+        ref = reference_resnet.ResNetXvector(
+            feat, 100, training=False,
+            resnet_params={"planes": [32, 64, 128, 256],
+                           "layers": [3, 4, 6, 3]},
+            fc1=False, fc1_params={}, extracted_embedding="near",
+        )
+        ref.eval()
+        freq_out = -(-feat // 8)
+        params, stats = convert_resnet_state_dict(ref.state_dict(), freq_out)
+        ours = ResNetXvector(
+            base_planes=32, layers=(3, 4, 6, 3),
+            embd_dim=ref.state_dict()["fc2.affine.weight"].shape[0],
+        )
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 64, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = (
+            ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3
+            else ref_emb.numpy()
+        )
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
+
+class TestFullSizeConformerParity:
+    def test_conformer_6l256d_full_size_conversion(self, reference_conformer):
+        """Production Conformer 6L-256D-4H (the zoo-bench config)
+        conversion at full width/depth."""
+        from asv_subtools_tpu.convert import convert_conformer_state_dict
+        from asv_subtools_tpu.models import ConformerXvector
+
+        torch.manual_seed(4)
+        feat, d_att, blocks = 80, 256, 6
+        ref = reference_conformer.TransformerXvector(
+            feat, 100, training=False, embd_dim=256,
+            transformer_params={
+                "attention_dim": d_att, "attention_heads": 4,
+                "linear_units": 2048, "num_blocks": blocks,
+                "pos_enc_type": "rel_pos", "input_layer": "conv2d",
+                "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+            },
+            tansformer_out={"out_dim": 1536},
+        )
+        ref.eval()
+        freq_out = ((feat - 1) // 2 - 1) // 2
+        params, stats = convert_conformer_state_dict(
+            ref.state_dict(), blocks, freq_out
+        )
+        ours = ConformerXvector(
+            embd_dim=256, attention_dim=d_att, attention_heads=4,
+            linear_units=2048, num_blocks=blocks, out_dim=1536,
+            dropout_rate=0.0,
+        )
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(1, 96, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = (
+            ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3
+            else ref_emb.numpy()
+        )
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=3e-3, atol=3e-3)
+
+
 @pytest.fixture(scope="module")
 def reference_ftdnn():
     sys.path.insert(0, "/root/reference/pytorch")
