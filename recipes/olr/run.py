@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--stage", type=int, default=0)
     ap.add_argument("--stop-stage", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--chunk-seconds", type=float, default=3.0)
+    ap.add_argument("--width", type=int, default=512,
+                    help="frame-channel width (shrink for smoke corpora)")
+    ap.add_argument("--lr", type=float, default=1e-2)
     args = ap.parse_args()
 
     import numpy as np
@@ -42,18 +47,19 @@ def main():
             "train_wav_scp": os.path.join(args.data, "train", "wav.scp"),
             # utt2lang plays the utt2spk role: labels are languages
             "train_utt2spk": os.path.join(args.data, "train", "utt2lang"),
-            "chunk_seconds": 3.0,
-            "batch_size": 256,
+            "chunk_seconds": args.chunk_seconds,
+            "batch_size": args.batch_size,
         },
         "model": {
             "name": "extended_xvector",
-            "params": {"num_frame_channels": 512, "embd_dim": 512},
+            "params": {"num_frame_channels": args.width,
+                       "embd_dim": args.width},
         },
         "loss": {"name": "margin_softmax", "params": {"method": "am", "m": 0.2}},
         "train": {
             "epochs": args.epochs,
-            "optimizer": {"name": "sgd", "learning_rate": 1e-2},
-            "lr_schedule": {"name": "warmR", "base_lr": 1e-2, "t_0": 20000},
+            "optimizer": {"name": "sgd", "learning_rate": args.lr},
+            "lr_schedule": {"name": "warmR", "base_lr": args.lr, "t_0": 20000},
         },
     }
 
