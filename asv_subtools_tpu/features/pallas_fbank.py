@@ -69,15 +69,26 @@ def _pick_tile(t: int, fpg: int) -> int:
 
 
 def _geometry(shift: int, window: int, padded: int):
-    """Group structure: fpg frames per row-aligned group, rpg rows each."""
+    """Group structure: fpg frames per row-aligned group, rpg rows each.
+
+    Slot l starts at in-span lane offset (l*shift) % 128; its K row block
+    must cover offset + window samples (NOT `padded` — a misaligned slot's
+    window tail extends past a padded-sized block: silently-wrong features
+    at 30/32 ms windows in the first v3 cut). Rows of the effective DFT
+    matrix past the window are structurally zero, so per-slot blocks stop
+    at offset + window rounded up to a lane.
+    """
     lane = 128
     g = math.gcd(shift, lane)
     fpg = lane // g  # frames per group (4 for shift=160)
     rpg = shift // g  # rows per group (5 for shift=160)
-    # each frame slot l reads the row-aligned padded span starting at row
-    # floor(l*shift/128); the group needs rows up to the last slot's span
-    span_rows = ((fpg - 1) * shift) // lane + padded // lane
-    return fpg, rpg, span_rows
+    slot_chunks = [
+        -(-((l * shift) % lane + window) // lane) for l in range(fpg)
+    ]
+    span_rows = max(
+        (l * shift) // lane + slot_chunks[l] for l in range(fpg)
+    )
+    return fpg, rpg, span_rows, tuple(slot_chunks)
 
 
 def _conv_dft_arrays(opts: FbankOptions):
@@ -86,7 +97,7 @@ def _conv_dft_arrays(opts: FbankOptions):
     fo = opts.frame_opts
     shift, window, padded = fo.window_shift, fo.window_size, fo.padded_window_size
     lane = 128
-    fpg, rpg, span_rows = _geometry(shift, window, padded)
+    fpg, rpg, span_rows, slot_chunks = _geometry(shift, window, padded)
     w = window
 
     # E = M0 · D · A · diag(win) acting on row-vector frames (f @ E):
@@ -122,7 +133,7 @@ def _conv_dft_arrays(opts: FbankOptions):
         kcs[lo:hi, l * 2 * keep : l * 2 * keep + keep] = effc[: hi - lo]
         kcs[lo:hi, l * 2 * keep + keep : (l + 1) * 2 * keep] = effs[: hi - lo]
 
-    return kcs, keep, fpg, rpg, span_rows
+    return kcs, keep, fpg, rpg, span_rows, slot_chunks
 
 
 def _kernel(
@@ -140,6 +151,7 @@ def _kernel(
     fpg: int,
     rpg: int,
     span_rows: int,
+    slot_chunks: tuple,
     remove_dc: bool,
     use_log: bool,
     use_power: bool,
@@ -169,18 +181,20 @@ def _kernel(
         if dft_bf16 and not with_energy else rows
     )
 
-    chunks = padded // lane
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, padded), 1)
     pieces = []
     for l in range(fpg):
-        # slot l's padded window lives in the row-aligned span starting at
-        # row rlo; K's row block absorbs the in-span lane offset
+        # slot l's window lives in the row-aligned span starting at row
+        # rlo; K's row block absorbs the in-span lane offset, so it must
+        # cover offset + window samples (slot_chunks rows, which can
+        # exceed padded//lane for misaligned slots with long windows)
         rlo = (l * shift) // lane
+        chunks = slot_chunks[l]
+        width_l = chunks * lane
         al = jnp.concatenate(gemm_rows[rlo : rlo + chunks], axis=1)
         x = al.astype(jnp.bfloat16) if dft_bf16 else al
         r0 = rlo * lane
         reim = jnp.dot(
-            x, kcs_ref[r0 : r0 + padded, l * 2 * keep : (l + 1) * 2 * keep],
+            x, kcs_ref[r0 : r0 + width_l, l * 2 * keep : (l + 1) * 2 * keep],
             preferred_element_type=jnp.float32, precision=prec,
         )
         re, im = reim[:, :keep], reim[:, keep:]
@@ -196,6 +210,7 @@ def _kernel(
             # raw energy over the true window (f32, exact): local offset
             # of the frame within its span
             o = l * shift - r0
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, width_l), 1)
             m = ((col >= o) & (col < o + window)).astype(jnp.float32)
             am = al * m
             es = jnp.sum(am, axis=1)
@@ -244,7 +259,7 @@ def fused_fbank(
     if t <= 0:
         raise ValueError("waveform too short")
 
-    kcs, keep, fpg, rpg, span_rows = _conv_dft_arrays(opts)
+    kcs, keep, fpg, rpg, span_rows, slot_chunks = _conv_dft_arrays(opts)
     tile = _pick_tile(t, fpg)
     tiles = -(-t // tile)
     if shift % 8 or padded % 128 or (tile * shift) % 128 or tile % fpg:
@@ -277,6 +292,7 @@ def fused_fbank(
             fpg=fpg,
             rpg=rpg,
             span_rows=span_rows,
+            slot_chunks=slot_chunks,
             remove_dc=fo.remove_dc_offset,
             use_log=opts.use_log_fbank,
             use_power=opts.use_power,

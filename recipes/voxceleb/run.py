@@ -135,19 +135,27 @@ def main():
         # their own batch/epoch/LR geometry regardless of model family)
         if args.batch_size is not None:
             params["data"]["batch_size"] = args.batch_size
-            params["train"]["margin_warm"]["epoch_iter"] = max(
-                1,
-                sum(1 for _ in open(
-                    os.path.join(args.data, "train", "wav.scp")))
-                // args.batch_size,
-            )
         if args.epochs is not None:
             params["train"]["epochs"] = args.epochs
         if args.max_lr is not None or args.step_size_up is not None:
+            old_sched = params["train"]["lr_schedule"].get("name")
+            if old_sched != "cyclic":
+                print(f"WARNING: --max-lr/--step-size-up replace the "
+                      f"preset's '{old_sched}' schedule with cyclic",
+                      file=sys.stderr)
             params["train"]["lr_schedule"] = {
                 "name": "cyclic", "base_lr": 1e-8, "max_lr": max_lr,
                 "step_size_up": step_size_up, "mode": "triangular2",
             }
+    # margin warm-up tracks real steps/epoch for the FINAL batch size
+    # (CLI or preset), not the default's
+    if params["train"].get("margin_warm"):
+        params["train"]["margin_warm"]["epoch_iter"] = max(
+            1,
+            sum(1 for _ in open(
+                os.path.join(args.data, "train", "wav.scp")))
+            // int(params["data"]["batch_size"]),
+        )
 
     launcher = Launcher(params)
     egs = launcher.build_egs()

@@ -56,6 +56,26 @@ class TestFusedFbank:
         assert d.mean() < 0.02, d.mean()
         assert d.max() < 0.5, d.max()  # broadband input: no silent bins
 
+    @pytest.mark.parametrize("length_ms,shift_ms", [
+        (30.0, 10.0), (32.0, 10.0), (30.0, 15.0),
+    ])
+    def test_nondefault_window_geometry(self, length_ms, shift_ms):
+        """Misaligned slots whose window tail extends past padded//lane
+        rows (30/32 ms windows) — silently wrong in the first v3 cut."""
+        rng = np.random.default_rng(6)
+        wave = jnp.asarray(rng.normal(size=(1, 32000)) * 1000, jnp.float32)
+        opts = FbankOptions(frame_opts=FrameOptions(
+            frame_length_ms=length_ms, frame_shift_ms=shift_ms))
+        ref = compute_fbank(wave, opts, fft_mode="gemm")
+        out, energy = fused_fbank(wave, opts, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        opts_e = FbankOptions(use_energy=True, frame_opts=opts.frame_opts)
+        ref_e = compute_fbank(wave, opts_e, fft_mode="gemm")
+        np.testing.assert_allclose(np.asarray(energy[0]),
+                                   np.asarray(ref_e[0, :, 0]),
+                                   atol=1e-4, rtol=1e-5)
+
     def test_no_energy_path_matches(self):
         """with_energy=False (the extraction/training default) must return
         bit-identical fbank values and None energy."""

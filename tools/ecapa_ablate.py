@@ -10,35 +10,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed(fn, args, iters):
-    def scanned(base_salt, *a):
-        def body(carry, i):
-            out = fn(base_salt + i.astype(jnp.float32), *a)
-            out = out[0] if isinstance(out, tuple) else out
-            return carry + jnp.sum(out.astype(jnp.float32)), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
-        return total
-
-    jfn = jax.jit(scanned)
-    float(jax.device_get(jfn(jnp.float32(0), *args)))
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        float(jax.device_get(jfn(jnp.float32(1000 * (rep + 1)), *args)))
-        best = min(best, time.perf_counter() - t0)
-    return best
+from roofline import _timed_scan  # the one canonical timing protocol
 
 
 def diff_ms(fn, args, iters=16):
-    t1 = timed(fn, args, iters)
-    t2 = timed(fn, args, 2 * iters)
+    """Per-iteration ms via differential timing (cancels the tunnel RTT)."""
+    t1 = _timed_scan(fn, args, iters)
+    t2 = _timed_scan(fn, args, 2 * iters)
     return (t2 - t1) / iters * 1e3
 
 

@@ -125,7 +125,10 @@ def main():
     # 1. fused fbank + CMVN: f32 golden front-end and the production
     # bf16-DFT variant (DFT GEMMs at bf16 MXU rate, f32 accumulate)
     def front(salt, w):
-        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts)
+        # with_energy=False to match the bf16 row — otherwise the f32/bf16
+        # comparison conflates the dtype saving with the energy-branch
+        # saving
+        f, _ = fused_fbank(w * (1.0 + 1e-6 * salt), opts, with_energy=False)
         return cmvn_utterance(f).astype(jnp.bfloat16)
 
     def front_bf16(salt, w):
