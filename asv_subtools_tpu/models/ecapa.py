@@ -98,6 +98,7 @@ class SERes2Block(nn.Module):
     scale: int = 8
     momentum: float = 0.5
     axis_name: Optional[str] = None
+    int8_inference: bool = False
 
     @nn.compact
     def __call__(
@@ -117,6 +118,7 @@ class SERes2Block(nn.Module):
             width * self.scale,
             momentum=self.momentum,
             axis_name=self.axis_name,
+            int8_compute=self.int8_inference,
             name="conv1",
         )(x, train=train, mask=mask)
         y = Res2NetBlock(
@@ -132,6 +134,7 @@ class SERes2Block(nn.Module):
             width * self.scale,
             momentum=self.momentum,
             axis_name=self.axis_name,
+            int8_compute=self.int8_inference,
             name="conv2",
         )(y, train=train, mask=mask)
         y = SEConnect(name="se")(y, mask=mask)
@@ -291,6 +294,10 @@ class EcapaTdnn(nn.Module):
     axis_name: Optional[str] = None
     aug_dropout: float = 0.0
     tail_dropout: float = 0.0
+    # serving: channel-mix GEMMs (SERes2Block 1x1s + MFA, ~60% of graph
+    # FLOPs) in dynamic int8 — embedding cosine vs bf16 verified in
+    # tests/test_int8.py; OFF by default pending a chip win (PERF.md)
+    int8_inference: bool = False
 
     @nn.compact
     def __call__(
@@ -307,17 +314,22 @@ class EcapaTdnn(nn.Module):
         x = ReluBatchNormTdnnLayer(
             c, context=(-2, -1, 0, 1, 2), name="layer1", **common
         )(x, train=train, mask=mask)
-        x1 = SERes2Block(c, dilation=2, name="layer2", **common)(
+        i8 = self.int8_inference and not train
+        x1 = SERes2Block(c, dilation=2, int8_inference=i8, name="layer2",
+                         **common)(
             x, train=train, mask=mask
         )
-        x2 = SERes2Block(c, dilation=3, name="layer3", **common)(
+        x2 = SERes2Block(c, dilation=3, int8_inference=i8, name="layer3",
+                         **common)(
             x + x1, train=train, mask=mask
         )
-        x3 = SERes2Block(c, dilation=4, name="layer4", **common)(
+        x3 = SERes2Block(c, dilation=4, int8_inference=i8, name="layer4",
+                         **common)(
             x + x1 + x2, train=train, mask=mask
         )
         y = jnp.concatenate([x1, x2, x3], axis=-1)
-        y = ReluBatchNormTdnnLayer(self.mfa_conv, name="mfa", **common)(
+        y = ReluBatchNormTdnnLayer(self.mfa_conv, int8_compute=i8,
+                                   name="mfa", **common)(
             y, train=train, mask=mask
         )
 

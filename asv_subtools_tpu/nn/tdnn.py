@@ -58,6 +58,9 @@ class TdnnAffine(nn.Module):
     use_bias: bool = True
     groups: int = 1
     param_dtype: Any = jnp.float32
+    # serving: run the ksize-1 channel-mix GEMM in dynamic int8 (s8xs8->s32
+    # on the MXU at 2x bf16 rate); same param tree, quantized on the fly
+    int8_compute: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -66,6 +69,21 @@ class TdnnAffine(nn.Module):
         in_dim = x.shape[-1]
         if in_dim % self.groups != 0 or self.output_dim % self.groups != 0:
             raise ValueError("groups must divide input and output dims")
+
+        if (
+            self.int8_compute
+            and even
+            and ksize == 1
+            and self.stride == 1
+            and self.groups == 1
+            and not self.is_initializing()
+        ):
+            from .int8 import dynamic_int8_dot
+
+            p = self.get_variable("params", "conv")
+            return dynamic_int8_dot(
+                x, p["kernel"][0], p["bias"] if self.use_bias else None
+            ).astype(x.dtype)
 
         if even:
             left, right = -ctx[0], ctx[-1]
@@ -159,6 +177,7 @@ class ReluBatchNormTdnnLayer(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    int8_compute: bool = False
 
     @nn.compact
     def __call__(
@@ -171,6 +190,7 @@ class ReluBatchNormTdnnLayer(nn.Module):
             stride=self.stride,
             groups=self.groups,
             use_bias=self.use_bias,
+            int8_compute=self.int8_compute and not train,
             name="affine",
         )(x)
         return ActivationBatchNorm(
