@@ -72,7 +72,7 @@ class ConformerXvector(nn.Module):
         # transform_out: affine + swish + LayerNorm (ln_replace default)
         h = nn.Dense(self.out_dim, name="transform_out_affine")(h)
         h = h * jax.nn.sigmoid(h)  # swish
-        h = nn.LayerNorm(name="transform_out_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="transform_out_norm")(h)
 
         pp = dict(self.pooling_params or {})
         if self.pooling == "ecpa-attentive":
@@ -89,11 +89,11 @@ class ConformerXvector(nn.Module):
                 stats = pool(h, mask=sub_mask, train=train)
             else:
                 stats = pool(h, mask=sub_mask)
-        stats = nn.LayerNorm(name="bn_stats")(stats)
+        stats = nn.LayerNorm(epsilon=1e-5, name="bn_stats")(stats)
 
         z = nn.Dense(self.embd_dim, name="fc2_affine")(stats)
         if position == "near_affine":
             return z
         z = jax.nn.relu(z)
-        z = nn.LayerNorm(name="fc2_norm")(z)
+        z = nn.LayerNorm(epsilon=1e-5, name="fc2_norm")(z)
         return z

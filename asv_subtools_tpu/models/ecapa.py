@@ -263,7 +263,8 @@ class EcapaAttentiveStatsPool(nn.Module):
                 momentum=self.momentum, axis_name=self.axis_name, name="att_bn"
             )(a, train=train, mask=mask)
         else:
-            a = nn.LayerNorm(name="att_norm")(a)
+            # torch LayerNorm eps (reference transformer_xvector.py:39)
+            a = nn.LayerNorm(epsilon=1e-5, name="att_norm")(a)
         a = jnp.tanh(a)
         a = nn.Conv(d, (1,), name="att2")(a)
         if mask is not None:

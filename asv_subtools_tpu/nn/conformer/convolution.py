@@ -56,7 +56,7 @@ class ConvolutionModule(nn.Module):
         elif self.norm_type == "basic_norm":
             h = BasicNorm(name="norm")(h)
         elif self.norm_type == "layer_norm":
-            h = nn.LayerNorm(name="norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         else:
             raise ValueError(f"unknown norm_type {self.norm_type!r}")
         if self.use_balancer:

@@ -38,7 +38,7 @@ def _make_norm(norm_type: str, name: str):
         return BasicNorm(name=name)
     if norm_type != "layer_norm":
         raise ValueError(f"unknown norm_type {norm_type!r}")
-    return nn.LayerNorm(name=name)
+    return nn.LayerNorm(epsilon=1e-5, name=name)
 
 
 class PositionwiseFeedForward(nn.Module):

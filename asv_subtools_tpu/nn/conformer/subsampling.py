@@ -32,7 +32,7 @@ class LinearNoSubsampling(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         x = nn.Dense(self.odim, name="proj")(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.dropout_rate > 0 and not deterministic:
             x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
         return x, mask

@@ -126,7 +126,7 @@ def _assert_tree_close(ours, ref_tree, rtol, atol, what):
 
 
 def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
-                forward_fn=None):
+                forward_fn=None, rtol=1e-6, atol=1e-8):
     ref.double()
     params_bb, stats_bb = convert_fn(ref.state_dict())
     loss_w = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
@@ -146,9 +146,9 @@ def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
 
     # f64 on both sides: only op-ordering rounding remains. The trainer
     # reports the loss metric rounded to f32, hence 1e-6 instead of 1e-12.
-    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=1e-6)
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=rtol)
     np.testing.assert_allclose(
-        float(metrics["grad_norm"]), ref_gnorm, rtol=1e-6
+        float(metrics["grad_norm"]), ref_gnorm, rtol=rtol
     )
 
     # Re-convert the torch-updated weights: leaf-by-leaf comparison of the
@@ -156,14 +156,14 @@ def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
     params_bb2, stats_bb2 = convert_fn(ref.state_dict())
     loss_w2 = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
     _assert_tree_close(
-        new_state.params["backbone"], params_bb2, 1e-6, 1e-8, "param"
+        new_state.params["backbone"], params_bb2, rtol, atol, "param"
     )
     np.testing.assert_allclose(
         np.asarray(new_state.params["loss"]["weight"]), loss_w2,
-        rtol=1e-6, atol=1e-8, err_msg="loss weight mismatch",
+        rtol=rtol, atol=atol, err_msg="loss weight mismatch",
     )
     _assert_tree_close(
-        new_state.batch_stats["backbone"], stats_bb2, 1e-6, 1e-8, "bn stat"
+        new_state.batch_stats["backbone"], stats_bb2, rtol, atol, "bn stat"
     )
 
 
@@ -205,6 +205,72 @@ class TestEcapaTrainParity:
         ref, net, x, y = self._make(ref_mod, seed=1)
         _run_parity(ref, net, convert_ecapa_state_dict, x, y,
                     max_change=0.25, expect_clipped=True)
+
+
+class TestConformerTrainParity:
+    def test_one_step(self):
+        from asv_subtools_tpu.convert import convert_conformer_state_dict
+        from asv_subtools_tpu.models import ConformerXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/transformer_xvector.py",
+            "conf_tref",
+        )
+        torch.manual_seed(0)
+        feat, d_att, blocks = 30, 32, 2
+        # construct under f64 default dtype: the rel-pos table self.pe is a
+        # plain attribute (not a buffer), so ref.double() would miss it
+        old_dtype = torch.get_default_dtype()
+        torch.set_default_dtype(torch.float64)
+        try:
+            ref = ref_mod.TransformerXvector(
+                feat, N_TARGETS, training=True, embd_dim=16,
+                transformer_params={
+                    "attention_dim": d_att, "attention_heads": 2,
+                    "linear_units": 64, "num_blocks": blocks,
+                    "pos_enc_type": "rel_pos", "input_layer": "conv2d",
+                    "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+                    "attention_dropout_rate": 0.0,
+                },
+                tansformer_out={"out_dim": 48},
+                margin_loss=True, margin_loss_params=dict(MARGIN),
+            )
+        finally:
+            torch.set_default_dtype(old_dtype)
+        freq_out = ((feat - 1) // 2 - 1) // 2
+        net = SpeakerNet(
+            backbone=ConformerXvector(
+                embd_dim=16, attention_dim=d_att, attention_heads=2,
+                linear_units=64, num_blocks=blocks, out_dim=48,
+                dropout_rate=0.0,
+            ),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+
+        def conv(sd):
+            return convert_conformer_state_dict(sd, blocks, freq_out)
+
+        # reference forward(x, x_len, warmup): full lengths = all-valid
+        # masks (our side runs unmasked), warmup 1.0 = plain path
+        t_frames = x.shape[1]
+        # rtol 2e-5 (vs 1e-6 for the TDNN families): the conformer's
+        # sinusoidal pos-table and the margin loss's acos evaluate through
+        # different transcendental libraries (libm vs XLA), leaving ~6e-6
+        # relative on isolated gradient elements even in f64 — far below
+        # any semantic-bug threshold (the eps bugs this test caught were
+        # 1e-4 to 3e-4).
+        _run_parity(
+            ref, net, conv, x, y, max_change=1e4, expect_clipped=False,
+            forward_fn=lambda t: ref.forward(
+                t, torch.full((t.shape[0],), t_frames, dtype=torch.long)
+            ),
+            rtol=2e-5, atol=1e-7,
+        )
 
 
 class TestResnetTrainParity:
