@@ -16,7 +16,7 @@ Layout rules:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -37,7 +37,7 @@ def _dense_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
 
 
-def _bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+def _bn(sd: Dict, prefix: str) -> Tuple[Optional[Dict], Dict]:
     stats = {
         "mean": np.asarray(sd[f"{prefix}.running_mean"], np.float32),
         "var": np.asarray(sd[f"{prefix}.running_var"], np.float32),
@@ -47,9 +47,11 @@ def _bn(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
             "scale": np.asarray(sd[f"{prefix}.weight"], np.float32),
             "bias": np.asarray(sd[f"{prefix}.bias"], np.float32),
         }
-    else:  # affine=False BatchNorm (snowdar models): identity scale/bias
-        d = stats["mean"].shape[0]
-        params = {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)}
+    else:
+        # affine=False BatchNorm (the snowdar-family bn_params default):
+        # the flax side has NO scale/bias params (bn_affine=False), so the
+        # converted tree must omit them too
+        params = None
     return params, stats
 
 
@@ -63,8 +65,9 @@ def _tdnn_layer(sd: Dict, prefix: str, taps=None) -> Tuple[Dict, Dict]:
                 "bias": np.asarray(sd[f"{prefix}.affine.bias"], np.float32),
             }
         },
-        "act_bn": {"bn": p_bn},
     }
+    if p_bn is not None:
+        params["act_bn"] = {"bn": p_bn}
     stats = {"act_bn": {"bn": s_bn}}
     return params, stats
 
@@ -542,10 +545,14 @@ def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
         "kernel": _dense_kernel(sd["tdnn6.affine.weight"]),
         "bias": np.asarray(sd["tdnn6.affine.bias"], np.float32),
     }
-    params["tdnn6_bn"], stats["tdnn6_bn"] = _bn(sd, "tdnn6.batchnorm")
+    p6, stats["tdnn6_bn"] = _bn(sd, "tdnn6.batchnorm")
+    if p6 is not None:
+        params["tdnn6_bn"] = p6
     params["tdnn7_affine"] = {
         "kernel": _dense_kernel(sd["tdnn7.affine.weight"]),
         "bias": np.asarray(sd["tdnn7.affine.bias"], np.float32),
     }
-    params["tdnn7_bn"], stats["tdnn7_bn"] = _bn(sd, "tdnn7.batchnorm")
+    p7, stats["tdnn7_bn"] = _bn(sd, "tdnn7.batchnorm")
+    if p7 is not None:
+        params["tdnn7_bn"] = p7
     return params, stats

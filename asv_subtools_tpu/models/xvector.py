@@ -40,8 +40,11 @@ class Xvector(nn.Module):
     embd_dim: int = 512
     pooling: str = "statistics"
     pooling_params: Any = None
-    momentum: float = 0.1
+    # reference snowdar-family bn_params default: momentum 0.5,
+    # affine=False (snowdar_xvector.py default_tdnn_layer_params)
+    momentum: float = 0.5
     axis_name: Optional[str] = None
+    bn_affine: bool = False
 
     @nn.compact
     def __call__(
@@ -56,7 +59,8 @@ class Xvector(nn.Module):
         contexts = [(-2, -1, 0, 1, 2), (-2, 0, 2), (-3, 0, 3), (0,), (0,)]
         dims = [c, c, c, c, 1500]
         for i, (ctx, dim) in enumerate(zip(contexts, dims)):
-            x = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}", **common)(
+            x = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}",
+                                       bn_affine=self.bn_affine, **common)(
                 x, train=train, mask=mask
             )
         stats = _pool(self.pooling, self.pooling_params, x, mask, train)
@@ -68,12 +72,14 @@ class Xvector(nn.Module):
         z = jax.nn.relu(z)
         from ..nn.norm import BatchNorm
 
-        z = BatchNorm(name="tdnn6_bn", **common)(z, train=train)
+        bn_kw = dict(use_scale=self.bn_affine, use_bias=self.bn_affine,
+                     **common)
+        z = BatchNorm(name="tdnn6_bn", **bn_kw)(z, train=train)
         z2 = nn.Dense(self.embd_dim, name="tdnn7_affine")(z)
         if position == "near_affine":
             return z2
         z2 = jax.nn.relu(z2)
-        z2 = BatchNorm(name="tdnn7_bn", **common)(z2, train=train)
+        z2 = BatchNorm(name="tdnn7_bn", **bn_kw)(z2, train=train)
         return z2
 
 
@@ -96,8 +102,10 @@ class SnowdarXvector(nn.Module):
     aug_dropout: float = 0.0
     tail_dropout: float = 0.0
     training_stage: bool = True
-    momentum: float = 0.1
+    # reference snowdar bn_params default: momentum 0.5, affine=False
+    momentum: float = 0.5
     axis_name: Optional[str] = None
+    bn_affine: bool = False
 
     @nn.compact
     def __call__(
@@ -137,7 +145,8 @@ class SnowdarXvector(nn.Module):
         h = x
         prev = None
         for i, (ctx, dim) in enumerate(plan):
-            y = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}", **common)(
+            y = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}",
+                                       bn_affine=self.bn_affine, **common)(
                 h, train=train, mask=mask
             )
             if self.se_block and i < len(plan) - 1:
@@ -156,12 +165,14 @@ class SnowdarXvector(nn.Module):
         if position == "far":
             return z
         z = jax.nn.relu(z)
-        z = BatchNorm(name="tdnn6_bn", **common)(z, train=train)
+        bn_kw = dict(use_scale=self.bn_affine, use_bias=self.bn_affine,
+                     **common)
+        z = BatchNorm(name="tdnn6_bn", **bn_kw)(z, train=train)
         z2 = nn.Dense(self.embd_dim, name="tdnn7_affine")(z)
         if position == "near_affine":
             return z2
         z2 = jax.nn.relu(z2)
-        z2 = BatchNorm(name="tdnn7_bn", **common)(z2, train=train)
+        z2 = BatchNorm(name="tdnn7_bn", **bn_kw)(z2, train=train)
         if self.tail_dropout > 0 and train:
             z2 = nn.Dropout(self.tail_dropout, deterministic=False)(z2)
         return z2

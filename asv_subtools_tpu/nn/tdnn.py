@@ -137,26 +137,27 @@ class ActivationBatchNorm(nn.Module):
     momentum: float = 0.1
     axis_name: Optional[str] = None
     special_init: bool = False
+    # reference bn_params["affine"]: the snowdar-family default is False
+    # (components.py default_tdnn_layer_params), ECAPA's is True
+    affine: bool = True
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
     ) -> jax.Array:
         act = get_activation(self.activation)
+        bn_kw = dict(momentum=self.momentum, axis_name=self.axis_name,
+                     use_scale=self.affine, use_bias=self.affine, name="bn")
         if self.bn_relu:
             if self.bn:
-                x = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn")(
-                    x, train=train, mask=mask
-                )
+                x = BatchNorm(**bn_kw)(x, train=train, mask=mask)
             if act is not None:
                 x = act(x)
         else:
             if act is not None:
                 x = act(x)
             if self.bn:
-                x = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="bn")(
-                    x, train=train, mask=mask
-                )
+                x = BatchNorm(**bn_kw)(x, train=train, mask=mask)
         return x
 
 
@@ -178,6 +179,7 @@ class ReluBatchNormTdnnLayer(nn.Module):
     groups: int = 1
     use_bias: bool = True
     int8_compute: bool = False
+    bn_affine: bool = True
 
     @nn.compact
     def __call__(
@@ -199,6 +201,7 @@ class ReluBatchNormTdnnLayer(nn.Module):
             bn_relu=self.bn_relu,
             momentum=self.momentum,
             axis_name=self.axis_name,
+            affine=self.bn_affine,
             name="act_bn",
         )(x, train=train, mask=mask)
 

@@ -273,6 +273,34 @@ class TestConformerTrainParity:
         )
 
 
+class TestSnowdarTrainParity:
+    def test_one_step(self):
+        from asv_subtools_tpu.convert import convert_snowdar_state_dict
+        from asv_subtools_tpu.models import Xvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "snowdar_tref",
+        )
+        torch.manual_seed(0)
+        feat = 30
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, training=True,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=512, embd_dim=512),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 90, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        _run_parity(ref, net, convert_snowdar_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False)
+
+
 class TestResnetTrainParity:
     def test_one_step(self):
         ref_mod = _load_ref_module(
