@@ -539,6 +539,12 @@ def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
         "tdnn4": None,
         "tdnn5": None,
     }
+    if "ex_tdnn1.affine.weight" in sd:  # extend=True (E-TDNN interleave)
+        taps_by_layer.update({
+            "ex_tdnn1": None, "ex_tdnn2": None, "ex_tdnn3": None,
+            "ex_tdnn4": (0, 4, 8),  # [-4, 0, 4] in a width-9 masked kernel
+            "ex_tdnn5": None,
+        })
     for name, taps in taps_by_layer.items():
         params[name], stats[name] = _tdnn_layer(sd, name, taps=taps)
     params["tdnn6_affine"] = {

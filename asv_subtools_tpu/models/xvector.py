@@ -120,41 +120,42 @@ class SnowdarXvector(nn.Module):
         if self.aug_dropout > 0 and train:
             x = nn.Dropout(self.aug_dropout, deterministic=False)(x)
 
-        # context plan: standard = 5 TDNN layers; extend interleaves 1x1s
+        # Layer plan mirrors the reference forward exactly
+        # (snowdar_xvector.py:185-205): `extend` interleaves the E-TDNN 1x1
+        # layers (ex_tdnn1..5, reference names kept for the converter);
+        # se1-3 follow tdnn1-3 (se4 follows ex_tdnn4, extend only);
+        # skip_connection saves tdnn1's (pre-SE) output and adds it ONCE to
+        # tdnn4's output, just before the 1500-dim tdnn5.
+        plan = [("tdnn1", (-2, -1, 0, 1, 2), c, "se1")]
         if self.extend:
-            plan = [
-                ((-2, -1, 0, 1, 2), c),
-                ((0,), c),
-                ((-2, 0, 2), c),
-                ((0,), c),
-                ((-3, 0, 3), c),
-                ((0,), c),
-                ((-4, 0, 4), c),
-                ((0,), c),
-                ((0,), 1500),
+            plan += [("ex_tdnn1", (0,), c, None)]
+        plan += [("tdnn2", (-2, 0, 2), c, "se2")]
+        if self.extend:
+            plan += [("ex_tdnn2", (0,), c, None)]
+        plan += [("tdnn3", (-3, 0, 3), c, "se3")]
+        if self.extend:
+            plan += [
+                ("ex_tdnn3", (0,), c, None),
+                ("ex_tdnn4", (-4, 0, 4), c, "se4"),
+                ("ex_tdnn5", (0,), c, None),
             ]
-        else:
-            plan = [
-                ((-2, -1, 0, 1, 2), c),
-                ((-2, 0, 2), c),
-                ((-3, 0, 3), c),
-                ((0,), c),
-                ((0,), 1500),
-            ]
+        plan += [("tdnn4", (0,), c, None), ("tdnn5", (0,), 1500, None)]
 
         h = x
-        prev = None
-        for i, (ctx, dim) in enumerate(plan):
-            y = ReluBatchNormTdnnLayer(dim, context=ctx, name=f"tdnn{i + 1}",
+        identity = None
+        for name, ctx, dim, se_name in plan:
+            h = ReluBatchNormTdnnLayer(dim, context=ctx, name=name,
                                        bn_affine=self.bn_affine, **common)(
                 h, train=train, mask=mask
             )
-            if self.se_block and i < len(plan) - 1:
-                y = SEBlock(ratio=self.se_ratio, name=f"se{i + 1}")(y, mask=mask)
-            if self.skip_connection and prev is not None and prev.shape == y.shape:
-                y = y + prev
-            prev = h
-            h = y
+            if self.skip_connection and name == "tdnn1":
+                identity = h
+            if self.skip_connection and name == "tdnn4":
+                h = h + identity
+            if self.se_block and se_name is not None and (
+                se_name != "se4" or self.extend
+            ):
+                h = SEBlock(ratio=self.se_ratio, name=se_name)(h, mask=mask)
 
         stats = _pool(self.pooling, self.pooling_params, h, mask, train)
 

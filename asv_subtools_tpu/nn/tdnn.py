@@ -273,25 +273,38 @@ def _matrix_to_kernel(m: jax.Array, shape: Tuple[int, int, int]) -> jax.Array:
 def semi_orth_update(kernel: jax.Array) -> jax.Array:
     """One step of Kaldi's floating-scale semi-orthogonal update.
 
-    Parity: FTdnnBlock.get_semi_orth_weight (reference components.py:228-255):
-      P = M M^T, scale^2 = tr(P P) / tr(P), M <- M - (1/(2*scale^2)) (P - scale^2 I) M
-    with the 1/8 ratio-guarded update speed.
+    Parity: FTdnnBlock.get_semi_orth_weight (reference components.py:228-263):
+      P = M M^T, scale^2 = tr(P P) / tr(P), M <- M - 4*alpha*(P - scale^2 I) M,
+      alpha = update_speed / scale^2, update_speed 0.125 halved past
+      ratio 1.02 and again past 1.1.
+
+    Exact for gapless contexts (golden-tested vs the reference in
+    test_train_parity.py). Deliberate deviation for gapped contexts
+    (e.g. [-3, 0]): the reference applies the update to the RAW conv
+    weight (components.py:236-237) whose masked taps hold never-trained
+    random init values that leak into P; our kernels store real taps
+    only, i.e. the clean Kaldi ConstrainOrthonormalInternal behavior.
     """
     shape = kernel.shape
-    m = _kernel_to_matrix(kernel)
+    # f32 floor (bf16 training must not run the trace ratios in bf16), but
+    # keep f64 when given f64 so the golden parity test stays tight
+    compute_dtype = jnp.promote_types(kernel.dtype, jnp.float32)
+    m = _kernel_to_matrix(kernel).astype(compute_dtype)
     if m.shape[0] > m.shape[1]:
         m = m.T
         transposed = True
     else:
         transposed = False
-    p = (m @ m.T).astype(jnp.float32)
+    p = m @ m.T
     trace_p = jnp.trace(p)
     trace_pp = jnp.trace(p @ p)
     scale2 = trace_pp / jnp.maximum(trace_p, 1e-10)
     d = p.shape[0]
     ratio = trace_pp * d / jnp.maximum(trace_p * trace_p, 1e-10)
-    update_speed = jnp.where(
-        ratio > 1.1, 0.25, jnp.where(ratio > 1.02, 0.125, 0.0625)
+    # reference components.py:230-252: base 0.125, HALVED once past 1.02
+    # and again past 1.1 (slow down when far from orthonormal)
+    update_speed = 0.125 * jnp.where(
+        ratio > 1.1, 0.25, jnp.where(ratio > 1.02, 0.5, 1.0)
     )
     p = p - scale2 * jnp.eye(d, dtype=p.dtype)
     alpha = update_speed / jnp.maximum(scale2, 1e-10)

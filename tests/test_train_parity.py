@@ -301,6 +301,76 @@ class TestSnowdarTrainParity:
                     max_change=1e4, expect_clipped=False)
 
 
+class TestExtendedTrainParity:
+    def test_one_step_extend_skip(self):
+        """snowdar extend=True + skip_connection=True: certifies the E-TDNN
+        interleave topology (9 hidden layers) and the single tdnn1->tdnn4
+        identity-skip semantics (reference snowdar_xvector.py:185-205)."""
+        from asv_subtools_tpu.convert import convert_snowdar_state_dict
+        from asv_subtools_tpu.models import SnowdarXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "snowdar_tref2",
+        )
+        torch.manual_seed(0)
+        feat = 30
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, training=True, extend=True, skip_connection=True,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=SnowdarXvector(extend=True, skip_connection=True),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 90, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        _run_parity(ref, net, convert_snowdar_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False)
+
+
+class TestSemiOrthParity:
+    def test_constraint_update_matches_reference(self):
+        """Our semi_orth_update vs the reference's Kaldi floating-scale
+        update (components.py:218-276) on the same converted factor kernel,
+        in f64, after several compounded applications."""
+        sys.path.insert(0, "/root/reference/pytorch")
+        sys.path.insert(0, "/root/reference/pytorch/libs")
+        try:
+            from libs.nnet.components import FTdnnBlock
+        except Exception as e:  # pragma: no cover
+            pytest.skip(f"cannot import reference components: {e}")
+        from asv_subtools_tpu.convert import _conv_kernel
+        from asv_subtools_tpu.nn.tdnn import semi_orth_update
+
+        # context_size=1 -> context [-1, 0], gapless: the reference's full
+        # width-2 kernel has no masked taps, so its raw-weight update is
+        # exactly the clean Kaldi update our tap-only kernels implement.
+        # (For gapped contexts the reference's P includes the random
+        # never-trained values at masked taps — a reference artifact we
+        # deliberately drop; see semi_orth_update's docstring.)
+        torch.manual_seed(0)
+        blk = FTdnnBlock(24, 40, 8, context_size=1).double()
+        taps = (0, 1)
+        with jax.enable_x64():
+            for _ in range(3):
+                w = blk.factor.weight.detach().numpy()
+                ours = semi_orth_update(
+                    jnp.asarray(_conv_kernel(w, taps), jnp.float64)
+                )
+                blk.step_semi_orth()
+                ref_k = _conv_kernel(blk.factor.weight.detach().numpy(), taps)
+                np.testing.assert_allclose(
+                    np.asarray(ours), ref_k, rtol=1e-9, atol=1e-12
+                )
+                # continue from the reference's weights so later iterations
+                # compound from identical state
+                blk.factor.weight.data = blk.factor.weight.data.clone()
+
+
 class TestResnetTrainParity:
     def test_one_step(self):
         ref_mod = _load_ref_module(
