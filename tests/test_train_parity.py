@@ -125,12 +125,25 @@ def _assert_tree_close(ours, ref_tree, rtol, atol, what):
         )
 
 
+def _margin_loss_tree(sd):
+    return {"weight": sd["loss.weight"].detach().numpy()[:, :, 0]}
+
+
+def _softmax_loss_tree(sd):
+    """reference SoftmaxLoss: TdnnAffine weight [out,in,1] + bias."""
+    return {"affine": {
+        "kernel": sd["loss.affine.weight"].detach().numpy()[:, :, 0].T,
+        "bias": sd["loss.affine.bias"].detach().numpy(),
+    }}
+
+
 def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
-                forward_fn=None, rtol=1e-6, atol=1e-8):
+                forward_fn=None, rtol=1e-6, atol=1e-8,
+                loss_tree_fn=_margin_loss_tree):
     ref.double()
     params_bb, stats_bb = convert_fn(ref.state_dict())
-    loss_w = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
-    params = {"backbone": params_bb, "loss": {"weight": loss_w}}
+    params = {"backbone": params_bb,
+              "loss": loss_tree_fn(ref.state_dict())}
     batch_stats = {"backbone": stats_bb}
 
     new_state, metrics = _jax_sgd_step(
@@ -154,13 +167,12 @@ def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
     # Re-convert the torch-updated weights: leaf-by-leaf comparison of the
     # full updated tree (params AND BN running stats).
     params_bb2, stats_bb2 = convert_fn(ref.state_dict())
-    loss_w2 = ref.state_dict()["loss.weight"].detach().numpy()[:, :, 0]
     _assert_tree_close(
         new_state.params["backbone"], params_bb2, rtol, atol, "param"
     )
-    np.testing.assert_allclose(
-        np.asarray(new_state.params["loss"]["weight"]), loss_w2,
-        rtol=rtol, atol=atol, err_msg="loss weight mismatch",
+    _assert_tree_close(
+        new_state.params["loss"], loss_tree_fn(ref.state_dict()),
+        rtol, atol, "loss param",
     )
     _assert_tree_close(
         new_state.batch_stats["backbone"], stats_bb2, rtol, atol, "bn stat"
@@ -330,6 +342,89 @@ class TestExtendedTrainParity:
         y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
         _run_parity(ref, net, convert_snowdar_state_dict, x, y,
                     max_change=1e4, expect_clipped=False)
+
+
+class TestRepVggTrainParity:
+    def test_one_step_train_shape(self):
+        """RepVGG in TRAIN shape: one step covers the multi-branch
+        (3x3 + dilated/1x1 + identity) convs with a separate BN per branch
+        — the structure deploy-reparam folds away, only exercisable in
+        training (reference repvgg.py:106-180)."""
+        from asv_subtools_tpu.convert import convert_repvgg_state_dict
+        from asv_subtools_tpu.models import RepVggXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/repvgg_xvector.py", "repvgg_tref"
+        )
+        torch.manual_seed(0)
+        feat, embd, base = 16, 32, 16
+        num_blocks, wm = (1, 1, 1, 1), (1, 1, 1, 1)
+        freq_out = -(-feat // 8)
+        ref = ref_mod.RepVggXvector(
+            feat, N_TARGETS, embd_dim=embd, training=True,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+            repvgg_config={
+                "block": "RepSPK",
+                "repvgg_params": {
+                    "num_blocks": list(num_blocks),
+                    "strides": [1, 1, 2, 2, 2],
+                    "base_width": base,
+                    "width_multiplier": list(wm),
+                    "norm_layer_params": {"momentum": 0.5, "affine": True},
+                    "override_groups_map": None,
+                    "use_se": False,
+                },
+            },
+        )
+        net = SpeakerNet(
+            backbone=RepVggXvector(
+                num_blocks=num_blocks, width_multiplier=wm,
+                base_channels=base, block="spk", embd_dim=embd,
+            ),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 40, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        _run_parity(
+            ref, net,
+            lambda sd: convert_repvgg_state_dict(
+                sd, freq_out, num_blocks=num_blocks
+            ),
+            x, y, max_change=1e4, expect_clipped=False,
+        )
+
+
+class TestFactoredTrainParity:
+    def test_one_step(self):
+        """F-TDNN one step (softmax loss — the reference model supports no
+        margin loss, factored_xvector.py:55): exercises FTdnnBlock factor
+        pairs, bypass scales, the two concat skips, and the SoftmaxLoss
+        affine head."""
+        from asv_subtools_tpu.convert import convert_ftdnn_state_dict
+        from asv_subtools_tpu.models import FactoredXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/factored_xvector.py", "ftdnn_tref"
+        )
+        torch.manual_seed(0)
+        feat = 30
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, training=True, aug_dropout=0.0, semi_orth=False,
+        )
+        net = SpeakerNet(
+            backbone=FactoredXvector(width=1.0, embd_dim=512),
+            loss_name="softmax",
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 60, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=2)).astype(np.int64)
+        _run_parity(ref, net, convert_ftdnn_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False,
+                    loss_tree_fn=_softmax_loss_tree)
 
 
 class TestSemiOrthParity:
