@@ -523,6 +523,20 @@ def convert_conformer_state_dict(
     return params, stats
 
 
+def convert_multitask_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """multi_task_xvector_fix.py state_dict -> (params, batch_stats) for
+    models.MultiTaskXvector: the snowdar trunk/tail mapping plus the
+    phonetic_tdnn5/6/7 branch. The loss heads (loss_spk margin weight,
+    loss_phone frame affine) are handled by the caller (they live in
+    MultiTaskNet, not the backbone)."""
+    params, stats = convert_snowdar_state_dict(sd)
+    sdn = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+           for k, v in sd.items()}
+    for name in ("phonetic_tdnn5", "phonetic_tdnn6", "phonetic_tdnn7"):
+        params[name], stats[name] = _tdnn_layer(sdn, name)
+    return params, stats
+
+
 def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     """ASV-Subtools standard Xvector/snowdar_xvector state_dict ->
     (params, batch_stats) for models.Xvector (5 TDNN layers, stats pooling,

@@ -180,7 +180,24 @@ class Launcher:
     def build_model(self) -> SpeakerNet:
         m = self.params["model"]
         l = self.params["loss"]
-        backbone = MODELS[m["name"]](**m.get("params", {}))
+        mparams = dict(m.get("params", {}))
+        if m["name"] == "multi_task_xvector":
+            # speaker + frame-phone heads (MultiTaskNet); phone labels come
+            # from the egs as dict targets {"spk", "phone"}
+            from .models import MultiTaskNet
+
+            num_phones = mparams.pop("num_phones")
+            mt_alpha = mparams.pop("mt_alpha", 0.1)
+            self.net = MultiTaskNet(
+                backbone=MODELS[m["name"]](**mparams),
+                num_targets=self.num_targets,
+                num_phones=num_phones,
+                loss_name=l["name"],
+                loss_params=l.get("params", {}),
+                mt_alpha=mt_alpha,
+            )
+            return self.net
+        backbone = MODELS[m["name"]](**mparams)
         self.net = SpeakerNet(
             backbone=backbone,
             loss_name=l["name"],

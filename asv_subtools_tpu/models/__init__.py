@@ -23,6 +23,7 @@ from .framework import (
 from .multitask import (
     DALRegularizer,
     FDXvector,
+    MultiTaskNet,
     MultiTaskXvector,
     fd_adversarial_loss,
     phone_frame_loss,

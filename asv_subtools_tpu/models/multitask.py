@@ -20,18 +20,30 @@ from ..nn.tdnn import ReluBatchNormTdnnLayer
 
 
 class MultiTaskXvector(nn.Module):
-    """Shared trunk; speaker head (pooled) + phone head (per frame).
+    """Snowdar trunk; speaker head (pooled) + 512-d frame phone features.
 
-    __call__ returns (speaker_embedding, phone_logits [B, T, phones]).
-    The joint loss combines margin-softmax on the embedding with frame CE
-    on the phone logits (trainer_mt semantics: loss = spk + w * phone).
+    Reference-exact topology (multi_task_xvector_fix.py:101-214): shared
+    tdnn1-4 (with the full extend/SE/skip switchboard), the speaker
+    branch tdnn5(1500) -> stats -> tdnn6 -> tdnn7, and the phonetic
+    branch phonetic_tdnn5/6/7 (3x512) tapping the trunk output. The
+    phone-classification affine lives in the LOSS
+    (SoftmaxLoss_frame_phone_fix, loss.py:119-160), not here — __call__
+    returns (speaker_embedding_at_position, phone_frame_features
+    [B, T, 512]).
     """
 
-    num_phones: int
     num_frame_channels: int = 512
     embd_dim: int = 512
-    phone_hidden: int = 256
-    momentum: float = 0.1
+    extend: bool = False
+    skip_connection: bool = False
+    se_block: bool = False
+    se_ratio: int = 4
+    pooling: str = "statistics"
+    pooling_params: Any = None
+    # reference MT bn_params default = the snowdar family's
+    # (multi_task_xvector_fix.py:40-41): momentum 0.5, affine False
+    momentum: float = 0.5
+    bn_affine: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -42,44 +54,123 @@ class MultiTaskXvector(nn.Module):
         train: bool = True,
         position: str = "near",
     ):
+        from .xvector import _pool, snowdar_trunk
+
         c = self.num_frame_channels
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
-        contexts = [(-2, -1, 0, 1, 2), (-2, 0, 2), (-3, 0, 3), (0,), (0,)]
-        dims = [c, c, c, c, 1500]
-        shared = x
-        taps = []
-        for i, (ctx, dim) in enumerate(zip(contexts, dims)):
-            shared = ReluBatchNormTdnnLayer(
-                dim, context=ctx, name=f"tdnn{i + 1}", **common
-            )(shared, train=train, mask=mask)
-            taps.append(shared)
-
-        # phone head on the frame-level representation before pooling
-        ph = ReluBatchNormTdnnLayer(self.phone_hidden, name="phone_hidden", **common)(
-            taps[3], train=train, mask=mask
+        layer = lambda dim, name: ReluBatchNormTdnnLayer(
+            dim, context=(0,), name=name, bn_affine=self.bn_affine, **common
         )
-        phone_logits = nn.Dense(self.num_phones, name="phone_out")(ph)
 
-        stats = StatisticsPooling(name="stats")(shared, mask=mask)
-        z = nn.Dense(self.embd_dim, name="fc1_affine")(stats)
+        trunk = snowdar_trunk(
+            x, mask=mask, train=train, channels=c, extend=self.extend,
+            skip_connection=self.skip_connection, se_block=self.se_block,
+            se_ratio=self.se_ratio, bn_affine=self.bn_affine, **common,
+        )
+
+        # phonetic branch: frame-level 512-d features
+        ph = layer(c, "phonetic_tdnn5")(trunk, train=train, mask=mask)
+        ph = layer(c, "phonetic_tdnn6")(ph, train=train, mask=mask)
+        phone_feats = layer(c, "phonetic_tdnn7")(ph, train=train, mask=mask)
+
+        # speaker branch (identical to the snowdar tail)
+        h = ReluBatchNormTdnnLayer(1500, context=(0,), name="tdnn5",
+                                   bn_affine=self.bn_affine, **common)(
+            trunk, train=train, mask=mask
+        )
+        stats = _pool(self.pooling, self.pooling_params, h, mask, train)
+        z = nn.Dense(self.embd_dim, name="tdnn6_affine")(stats)
         if position == "far":
-            return z, phone_logits
+            return z, phone_feats
+        bn_kw = dict(use_scale=self.bn_affine, use_bias=self.bn_affine,
+                     **common)
         z = jax.nn.relu(z)
-        z = BatchNorm(name="fc1_bn", **common)(z, train=train)
-        z2 = nn.Dense(self.embd_dim, name="fc2_affine")(z)
+        z = BatchNorm(name="tdnn6_bn", **bn_kw)(z, train=train)
+        z2 = nn.Dense(self.embd_dim, name="tdnn7_affine")(z)
         if position == "near_affine":
-            return z2, phone_logits
+            return z2, phone_feats
         z2 = jax.nn.relu(z2)
-        z2 = BatchNorm(name="fc2_bn", **common)(z2, train=train)
-        return z2, phone_logits
+        z2 = BatchNorm(name="tdnn7_bn", **bn_kw)(z2, train=train)
+        return z2, phone_feats
+
+
+class MultiTaskNet(nn.Module):
+    """MultiTaskXvector + the two loss heads = the trainable unit.
+
+    Mirrors SpeakerNet's interface so make_train_step works unchanged:
+    ``targets`` is a dict {"spk": [B], "phone": [B, T]}; the loss is
+    loss_spk + mt_alpha * loss_phone (multi_task_xvector_fix.py:230-243),
+    with the frame-phone affine head inside loss_phone
+    (SoftmaxLoss_frame_phone_fix, loss.py:119-160). Returns
+    (loss, spk_logits, embeddings).
+    """
+
+    backbone: nn.Module
+    num_targets: int
+    num_phones: int
+    loss_name: str = "margin_softmax"
+    loss_params: dict = None  # type: ignore[assignment]
+    mt_alpha: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        targets,
+        mask: Optional[jax.Array] = None,
+        train: bool = True,
+        lambda_m: jax.Array | float = 1.0,
+        margin_offset: jax.Array | float = 0.0,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        from ..nn.loss import LOSSES
+
+        emb, phone_feats = self.backbone(x, mask=mask, train=train)
+        loss_cls = LOSSES[self.loss_name]
+        params = dict(self.loss_params or {})
+        kwargs = {}
+        if self.loss_name in ("margin_softmax", "margin_softmax_v1"):
+            kwargs = {"lambda_m": lambda_m, "margin_offset": margin_offset}
+        loss_spk, logits = loss_cls(
+            num_targets=self.num_targets, **params, name="loss_spk"
+        )(emb, targets["spk"], train=train, **kwargs)
+
+        phone_logits = nn.Dense(self.num_phones, name="phone_affine")(
+            phone_feats
+        )
+        loss_phone = phone_frame_loss(
+            phone_logits, targets["phone"], mask=mask,
+            num_phones=self.num_phones,
+        )
+        loss = loss_spk + self.mt_alpha * loss_phone
+        return loss, logits, emb
+
+    def embed(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        position: str = "near",
+    ) -> jax.Array:
+        emb, _ = self.backbone(x, mask=mask, train=False, position=position)
+        return emb
 
 
 def phone_frame_loss(
     phone_logits: jax.Array,
     phone_targets: jax.Array,
     mask: Optional[jax.Array] = None,
+    num_phones: Optional[int] = None,
 ) -> jax.Array:
-    """Frame-level CE for the phone head, masked over padding."""
+    """Frame-level CE for the phone head, masked over padding.
+
+    Matches SoftmaxLoss_frame_phone_fix (reference loss.py:133-160):
+    mean CE over frames, out-of-range labels clamped to 0 (the reference
+    guards against alignment/label mismatches this way). The reference
+    has no padding mask (its offline MT egs are fixed-length chunks);
+    pass mask for variable-length batches.
+    """
+    if num_phones is not None:
+        bad = (phone_targets < 0) | (phone_targets >= num_phones)
+        phone_targets = jnp.where(bad, 0, phone_targets)
     logp = jax.nn.log_softmax(phone_logits, axis=-1)
     nll = -jnp.take_along_axis(logp, phone_targets[..., None], axis=-1)[..., 0]
     if mask is not None:

@@ -83,6 +83,63 @@ class Xvector(nn.Module):
         return z2
 
 
+def snowdar_trunk(
+    x: jax.Array,
+    mask: Optional[jax.Array],
+    train: bool,
+    *,
+    channels: int,
+    extend: bool,
+    skip_connection: bool,
+    se_block: bool,
+    se_ratio: int,
+    bn_affine: bool,
+    momentum: float,
+    axis_name: Optional[str],
+) -> jax.Array:
+    """Shared snowdar frame-level trunk, through tdnn4 (+ skip).
+
+    Mirrors the reference forward exactly (snowdar_xvector.py:185-205,
+    multi_task_xvector_fix.py:192-208): `extend` interleaves the E-TDNN
+    1x1 layers (ex_tdnn1..5, reference names kept for the converter);
+    se1-3 follow tdnn1-3 (se4 follows ex_tdnn4, extend only);
+    skip_connection saves tdnn1's (pre-SE) output and adds it ONCE to
+    tdnn4's output. Must be called from a flax compact __call__ (the
+    layers it creates scope into the caller).
+    """
+    c = channels
+    common = dict(momentum=momentum, axis_name=axis_name)
+    plan = [("tdnn1", (-2, -1, 0, 1, 2), "se1")]
+    if extend:
+        plan += [("ex_tdnn1", (0,), None)]
+    plan += [("tdnn2", (-2, 0, 2), "se2")]
+    if extend:
+        plan += [("ex_tdnn2", (0,), None)]
+    plan += [("tdnn3", (-3, 0, 3), "se3")]
+    if extend:
+        plan += [
+            ("ex_tdnn3", (0,), None),
+            ("ex_tdnn4", (-4, 0, 4), "se4"),
+            ("ex_tdnn5", (0,), None),
+        ]
+    plan += [("tdnn4", (0,), None)]
+
+    h = x
+    identity = None
+    for name, ctx, se_name in plan:
+        h = ReluBatchNormTdnnLayer(c, context=ctx, name=name,
+                                   bn_affine=bn_affine, **common)(
+            h, train=train, mask=mask
+        )
+        if skip_connection and name == "tdnn1":
+            identity = h
+        if skip_connection and name == "tdnn4":
+            h = h + identity
+        if se_block and se_name is not None and (se_name != "se4" or extend):
+            h = SEBlock(ratio=se_ratio, name=se_name)(h, mask=mask)
+    return h
+
+
 class SnowdarXvector(nn.Module):
     """Standard/extended x-vector with the full switchboard.
 
@@ -120,43 +177,15 @@ class SnowdarXvector(nn.Module):
         if self.aug_dropout > 0 and train:
             x = nn.Dropout(self.aug_dropout, deterministic=False)(x)
 
-        # Layer plan mirrors the reference forward exactly
-        # (snowdar_xvector.py:185-205): `extend` interleaves the E-TDNN 1x1
-        # layers (ex_tdnn1..5, reference names kept for the converter);
-        # se1-3 follow tdnn1-3 (se4 follows ex_tdnn4, extend only);
-        # skip_connection saves tdnn1's (pre-SE) output and adds it ONCE to
-        # tdnn4's output, just before the 1500-dim tdnn5.
-        plan = [("tdnn1", (-2, -1, 0, 1, 2), c, "se1")]
-        if self.extend:
-            plan += [("ex_tdnn1", (0,), c, None)]
-        plan += [("tdnn2", (-2, 0, 2), c, "se2")]
-        if self.extend:
-            plan += [("ex_tdnn2", (0,), c, None)]
-        plan += [("tdnn3", (-3, 0, 3), c, "se3")]
-        if self.extend:
-            plan += [
-                ("ex_tdnn3", (0,), c, None),
-                ("ex_tdnn4", (-4, 0, 4), c, "se4"),
-                ("ex_tdnn5", (0,), c, None),
-            ]
-        plan += [("tdnn4", (0,), c, None), ("tdnn5", (0,), 1500, None)]
-
-        h = x
-        identity = None
-        for name, ctx, dim, se_name in plan:
-            h = ReluBatchNormTdnnLayer(dim, context=ctx, name=name,
-                                       bn_affine=self.bn_affine, **common)(
-                h, train=train, mask=mask
-            )
-            if self.skip_connection and name == "tdnn1":
-                identity = h
-            if self.skip_connection and name == "tdnn4":
-                h = h + identity
-            if self.se_block and se_name is not None and (
-                se_name != "se4" or self.extend
-            ):
-                h = SEBlock(ratio=self.se_ratio, name=se_name)(h, mask=mask)
-
+        h = snowdar_trunk(
+            x, mask=mask, train=train, channels=c, extend=self.extend,
+            skip_connection=self.skip_connection, se_block=self.se_block,
+            se_ratio=self.se_ratio, bn_affine=self.bn_affine, **common,
+        )
+        h = ReluBatchNormTdnnLayer(1500, context=(0,), name="tdnn5",
+                                   bn_affine=self.bn_affine, **common)(
+            h, train=train, mask=mask
+        )
         stats = _pool(self.pooling, self.pooling_params, h, mask, train)
 
         from ..nn.norm import BatchNorm

@@ -132,6 +132,10 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
+        # multi-task batches carry dict targets {"spk": [B], "phone": [B,T]};
+        # accuracy is always speaker accuracy (reference get_accuracy,
+        # multi_task_xvector_fix.py:258-266)
+        y_acc = y["spk"] if isinstance(y, dict) else y
         if config.wave_input:
             from ..features import FbankOptions, cmvn_utterance
             from ..features.pallas_fbank import fused_fbank
@@ -185,9 +189,10 @@ def make_train_step(
                 )
 
             (loss_a, logits, _), mut = apply_once(y, rng)
-            (loss_b, _, _), _ = apply_once(y[perm], rng)
+            y_perm = jax.tree_util.tree_map(lambda t: t[perm], y)
+            (loss_b, _, _), _ = apply_once(y_perm, rng)
             loss = lam * loss_a + (1.0 - lam) * loss_b
-            acc = compute_accuracy(logits, y)
+            acc = compute_accuracy(logits, y_acc)
             return loss.astype(jnp.float32), (mut["batch_stats"], acc)
         (loss, logits, _emb), mut = net.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -200,7 +205,7 @@ def make_train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        acc = compute_accuracy(logits, y)
+        acc = compute_accuracy(logits, y_acc)
         return loss.astype(jnp.float32), (mut["batch_stats"], acc)
 
     if config.remat == "full":

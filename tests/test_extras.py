@@ -162,18 +162,28 @@ class TestFusion:
 
 class TestMultiTask:
     def test_multitask_forward_and_losses(self):
-        model = MultiTaskXvector(
-            num_phones=10, num_frame_channels=16, embd_dim=8, phone_hidden=8
+        from asv_subtools_tpu.models import MultiTaskNet
+
+        net = MultiTaskNet(
+            backbone=MultiTaskXvector(num_frame_channels=16, embd_dim=8),
+            num_targets=5, num_phones=10,
         )
         x = jax.random.normal(KEY, (2, 30, 12))
         mask = jnp.arange(30)[None, :] < jnp.array([30, 20])[:, None]
-        v = model.init({"params": KEY}, x, mask=mask, train=False)
-        emb, phone_logits = model.apply(v, x, mask=mask, train=False)
+        targets = {
+            "spk": jnp.zeros((2,), jnp.int32),
+            # includes an out-of-range label: must be clamped, not NaN
+            "phone": jnp.full((2, 30), 11, jnp.int32),
+        }
+        v = net.init({"params": KEY}, x, targets, mask=mask, train=False)
+        loss, logits, emb = net.apply(v, x, targets, mask=mask, train=False)
         assert emb.shape == (2, 8)
-        assert phone_logits.shape == (2, 30, 10)
-        targets = jnp.zeros((2, 30), jnp.int32)
-        loss = phone_frame_loss(phone_logits, targets, mask)
+        assert logits.shape == (2, 5)
         assert np.isfinite(float(loss))
+        # phone_frame_loss directly: masked mean + clamping
+        pl = jax.random.normal(KEY, (2, 30, 10))
+        pt = jnp.zeros((2, 30), jnp.int32)
+        assert np.isfinite(float(phone_frame_loss(pl, pt, mask)))
 
     def test_fd_adversarial(self):
         model = FDXvector(num_frame_channels=16, embd_dim=8)

@@ -73,7 +73,10 @@ def _torch_sgd_step(ref, x_bdt, y, max_change, forward_fn=None):
     opt.zero_grad()
     fwd = forward_fn or ref.forward
     out = fwd(torch.from_numpy(x_bdt).double())
-    loss = ref.get_loss(out, torch.from_numpy(y))
+    if isinstance(out, tuple):  # multitask: forward already consumed targets
+        loss = ref.get_loss(*out)
+    else:
+        loss = ref.get_loss(out, torch.from_numpy(y))
     loss.backward()
     gnorm = torch.nn.utils.clip_grad_norm_(ref.parameters(), max_change)
     opt.step()
@@ -106,7 +109,9 @@ def _jax_sgd_step(net, params, batch_stats, x_btd, y, max_change):
         )
         batch = {
             "x": jnp.asarray(x_btd, jnp.float64),
-            "y": jnp.asarray(y, jnp.int32),
+            "y": jax.tree_util.tree_map(
+                lambda t: jnp.asarray(t, jnp.int32), y
+            ),
         }
         new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
         new_state = jax.device_get(new_state)
@@ -126,15 +131,16 @@ def _assert_tree_close(ours, ref_tree, rtol, atol, what):
 
 
 def _margin_loss_tree(sd):
-    return {"weight": sd["loss.weight"].detach().numpy()[:, :, 0]}
+    """Head params beside "backbone", keyed as the net names them."""
+    return {"loss": {"weight": sd["loss.weight"].detach().numpy()[:, :, 0]}}
 
 
 def _softmax_loss_tree(sd):
     """reference SoftmaxLoss: TdnnAffine weight [out,in,1] + bias."""
-    return {"affine": {
+    return {"loss": {"affine": {
         "kernel": sd["loss.affine.weight"].detach().numpy()[:, :, 0].T,
         "bias": sd["loss.affine.bias"].detach().numpy(),
-    }}
+    }}}
 
 
 def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
@@ -142,8 +148,7 @@ def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
                 loss_tree_fn=_margin_loss_tree):
     ref.double()
     params_bb, stats_bb = convert_fn(ref.state_dict())
-    params = {"backbone": params_bb,
-              "loss": loss_tree_fn(ref.state_dict())}
+    params = {"backbone": params_bb, **loss_tree_fn(ref.state_dict())}
     batch_stats = {"backbone": stats_bb}
 
     new_state, metrics = _jax_sgd_step(
@@ -170,9 +175,9 @@ def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
     _assert_tree_close(
         new_state.params["backbone"], params_bb2, rtol, atol, "param"
     )
+    heads = {k: v for k, v in new_state.params.items() if k != "backbone"}
     _assert_tree_close(
-        new_state.params["loss"], loss_tree_fn(ref.state_dict()),
-        rtol, atol, "loss param",
+        heads, loss_tree_fn(ref.state_dict()), rtol, atol, "loss param",
     )
     _assert_tree_close(
         new_state.batch_stats["backbone"], stats_bb2, rtol, atol, "bn stat"
@@ -425,6 +430,63 @@ class TestFactoredTrainParity:
         _run_parity(ref, net, convert_ftdnn_state_dict, x, y,
                     max_change=1e4, expect_clipped=False,
                     loss_tree_fn=_softmax_loss_tree)
+
+
+class TestMultiTaskTrainParity:
+    def test_one_step(self):
+        """Speaker + frame-phone joint loss (loss = spk + mt_alpha*phone,
+        multi_task_xvector_fix.py:230-243): one step through MultiTaskNet
+        with dict targets covers both heads, the shared-trunk gradient sum,
+        and the frame-phone affine."""
+        from asv_subtools_tpu.convert import convert_multitask_state_dict
+        from asv_subtools_tpu.models import MultiTaskNet, MultiTaskXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/multi_task_xvector_fix.py",
+            "mt_tref",
+        )
+        torch.manual_seed(0)
+        feat, n_phones, mt_alpha = 30, 12, 0.1
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, n_phones, training=True, aug_dropout=0.0,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+            mt_alpha=mt_alpha,
+        )
+        net = MultiTaskNet(
+            backbone=MultiTaskXvector(),
+            num_targets=N_TARGETS, num_phones=n_phones,
+            loss_name="margin_softmax", loss_params=dict(MARGIN),
+            mt_alpha=mt_alpha,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 90, feat)).astype(np.float32)
+        y_spk = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        y_phone = (rng.integers(0, n_phones, size=(4, 90))).astype(np.int64)
+
+        def torch_forward(t):
+            loss_spk, loss_phone = ref.forward(
+                t, torch.from_numpy(y_spk),
+                torch.from_numpy(y_phone[:, None, :]),
+            )
+            return (loss_spk, loss_phone)
+
+
+        def loss_tree_fn(sd):
+            tree = {"loss_spk": {"weight": sd["loss_spk.weight"]
+                                 .detach().numpy()[:, :, 0]}}
+            tree["phone_affine"] = {
+                "kernel": sd["loss_phone.affine.weight"]
+                .detach().numpy()[:, :, 0].T,
+                "bias": sd["loss_phone.affine.bias"].detach().numpy(),
+            }
+            return tree
+
+        _run_parity(
+            ref, net, convert_multitask_state_dict, x,
+            {"spk": y_spk, "phone": y_phone},
+            max_change=1e4, expect_clipped=False,
+            forward_fn=torch_forward, loss_tree_fn=loss_tree_fn,
+        )
 
 
 class TestSemiOrthParity:
