@@ -537,6 +537,22 @@ def convert_multitask_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def convert_fd_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
+    """snowdar-xvector-FD-AL.py state_dict -> (params, batch_stats) for
+    models.FDXvector: the snowdar trunk/tail mapping plus the att gate
+    (SEBlock fc_1/fc_2, FD-AL :15-40). The DAL projections and the two
+    loss heads live in FDSpeakerNet and are handled by the caller."""
+    params, stats = convert_snowdar_state_dict(sd)
+    sdn = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+           for k, v in sd.items()}
+    for ours, theirs in (("att_fc1", "att.fc_1"), ("att_fc2", "att.fc_2")):
+        params[ours] = {
+            "kernel": _dense_kernel(sdn[f"{theirs}.weight"]),
+            "bias": np.asarray(sdn[f"{theirs}.bias"], np.float32),
+        }
+    return params, stats
+
+
 def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     """ASV-Subtools standard Xvector/snowdar_xvector state_dict ->
     (params, batch_stats) for models.Xvector (5 TDNN layers, stats pooling,

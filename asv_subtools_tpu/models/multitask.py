@@ -13,9 +13,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.loss import cross_entropy
 from ..nn.norm import BatchNorm
-from ..nn.pooling import StatisticsPooling
 from ..nn.tdnn import ReluBatchNormTdnnLayer
 
 
@@ -213,8 +211,17 @@ class FDXvector(nn.Module):
 
     num_frame_channels: int = 512
     embd_dim: int = 512
-    se_ratio: int = 8
-    momentum: float = 0.1
+    extend: bool = False
+    skip_connection: bool = False
+    se_block: bool = False
+    se_ratio: int = 4
+    att_ratio: int = 8  # reference att = SEBlock(512) default ratio 8
+    pooling: str = "statistics"
+    pooling_params: Any = None
+    # FD-AL tdnn_layer_params default = the snowdar family's
+    # (snowdar-xvector-FD-AL.py:106-108): momentum 0.5, affine False
+    momentum: float = 0.5
+    bn_affine: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -225,29 +232,35 @@ class FDXvector(nn.Module):
         train: bool = True,
         position: str = "near",
     ) -> Tuple[jax.Array, jax.Array]:
+        from .xvector import _pool, snowdar_trunk
+
         c = self.num_frame_channels
         common = dict(momentum=self.momentum, axis_name=self.axis_name)
 
-        h = x
-        for i, ctx in enumerate([(-2, -1, 0, 1, 2), (-2, 0, 2), (-3, 0, 3), (0,), (0,)]):
-            h = ReluBatchNormTdnnLayer(
-                c, context=ctx, name=f"tdnn{i + 1}", **common
-            )(h, train=train, mask=mask)
-        stats = StatisticsPooling(name="stats")(h, mask=mask)
-        e = ReluBatchNormTdnnLayer(self.embd_dim, name="tdnn6", **common)(
-            stats[:, None, :], train=train
-        )[:, 0, :]
-        e = ReluBatchNormTdnnLayer(self.embd_dim, name="tdnn7", **common)(
-            e[:, None, :], train=train
-        )[:, 0, :]
-
-        # SE gate (reference att = SEBlock(512), FD-AL :224): sigmoid
-        # channel weights split the embedding into domain vs speaker parts
-        g = nn.Dense(self.embd_dim // self.se_ratio, name="content_gate_fc1")(e)
-        g = jax.nn.relu(g)
-        scale = jax.nn.sigmoid(
-            nn.Dense(self.embd_dim, name="content_gate_fc2")(g)
+        trunk = snowdar_trunk(
+            x, mask=mask, train=train, channels=c, extend=self.extend,
+            skip_connection=self.skip_connection, se_block=self.se_block,
+            se_ratio=self.se_ratio, bn_affine=self.bn_affine, **common,
         )
+        h = ReluBatchNormTdnnLayer(1500, context=(0,), name="tdnn5",
+                                   bn_affine=self.bn_affine, **common)(
+            trunk, train=train, mask=mask
+        )
+        stats = _pool(self.pooling, self.pooling_params, h, mask, train)
+        bn_kw = dict(use_scale=self.bn_affine, use_bias=self.bn_affine,
+                     **common)
+        e = nn.Dense(self.embd_dim, name="tdnn6_affine")(stats)
+        e = jax.nn.relu(e)
+        e = BatchNorm(name="tdnn6_bn", **bn_kw)(e, train=train)
+        e = nn.Dense(self.embd_dim, name="tdnn7_affine")(e)
+        e = jax.nn.relu(e)
+        e = BatchNorm(name="tdnn7_bn", **bn_kw)(e, train=train)
+
+        # SE gate (reference att = SEBlock(512), FD-AL :15-40,290): sigmoid
+        # channel weights split the embedding into domain vs speaker parts
+        g = nn.Dense(self.embd_dim // self.att_ratio, name="att_fc1")(e)
+        g = jax.nn.relu(g)
+        scale = jax.nn.sigmoid(nn.Dense(self.embd_dim, name="att_fc2")(g))
         content = e * scale          # y: domain/noise part (loss2 input)
         spk = e * (1.0 - scale)      # x: speaker part (main loss input)
         return spk, content

@@ -6,8 +6,9 @@ Parity: pytorch/libs/training/trainer_fd.py GanDalAttTrainer
   joint loss = spk_loss(spk_emb) + aux_w * aux_loss(content_emb, aux_y)
                + adv_w * cos_sim(spk_emb, content_emb)
   phase schedule by iteration: step % cycle < adv_steps -> adversary phase
-  (update ONLY the content/DAL branch with FLIPPED gradients — canonical
-  maximization); otherwise main phase (update everything else, descent).
+  (update ONLY the DAL projections with FLIPPED gradients — canonical
+  maximization, no clip); otherwise main phase (update everything else,
+  incl. the att gate, descent, clipped).
 
 One jitted step; the phase select is a traced lax.cond on state.step.
 """
@@ -34,6 +35,10 @@ class FDSpeakerNet(nn.Module):
     num_aux_targets: int = 9  # reference loss2 = 9 classes (FD-AL :231)
     loss_name: str = "margin_softmax"
     loss_params: dict = None  # type: ignore[assignment]
+    # the reference aux head follows the main head type (FD-AL :229-236:
+    # MarginSoftmaxLoss(512, 9) under margin_loss else SoftmaxLoss)
+    aux_loss_name: str = "softmax"
+    aux_loss_params: dict = None  # type: ignore[assignment]
 
     @nn.compact
     def __call__(self, x, targets, aux_targets, mask=None, train=True):
@@ -42,18 +47,23 @@ class FDSpeakerNet(nn.Module):
         spk_loss, logits = loss_cls(
             num_targets=self.num_targets, **(self.loss_params or {}), name="loss"
         )(spk_emb, targets, train=train)
-        aux_loss, _ = LOSSES["softmax"](
-            num_targets=self.num_aux_targets, name="loss2"
+        aux_loss, _ = LOSSES[self.aux_loss_name](
+            num_targets=self.num_aux_targets, **(self.aux_loss_params or {}),
+            name="loss2"
         )(content_emb, aux_targets, train=train)
         adv = DALRegularizer(name="dal")(content_emb, spk_emb)
         return spk_loss, aux_loss, adv, logits
 
 
 def _is_adversary(path) -> bool:
-    """Content/DAL branch params — the adversary partition."""
+    """DAL projection params — the adversary partition.
+
+    Matches the reference set_train_mode exactly (trainer_fd.py:393-415):
+    ONLY model.DAL flips between phases; the att gate trains in the MAIN
+    phase alongside the trunk and both loss heads."""
     for p in path:
         key = getattr(p, "key", "")
-        if isinstance(key, str) and (key.startswith("content") or key == "dal"):
+        if isinstance(key, str) and key == "dal":
             return True
     return False
 
@@ -94,13 +104,12 @@ def make_fd_train_step(
         (loss, (new_bs, acc, adv)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng
         )
-        gnorm = optax.global_norm(grads)
-        scale = jnp.minimum(1.0, config.max_change / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         main_state, adv_state = state.opt_state
 
         def adv_phase(_):
-            # maximization: flipped grads on the adversary partition only
+            # maximization: flipped grads on the adversary partition only,
+            # NO clip (the reference clips only on the main-optimizer path,
+            # trainer_fd.py:468-496)
             g = mask_tree(jax.tree_util.tree_map(lambda x: -x, grads), True)
             updates, new_adv = tx_adv.update(g, adv_state, state.params)
             # mask updates too: weight decay would otherwise move the
@@ -109,7 +118,14 @@ def make_fd_train_step(
             return optax.apply_updates(state.params, updates), (main_state, new_adv)
 
         def main_phase(_):
+            # clip over the MAIN partition only: the reference's frozen DAL
+            # params carry no .grad, so its clip_grad_norm_ never sees them
             g = mask_tree(grads, False)
+            gnorm = optax.global_norm(g)
+            scale = jnp.minimum(
+                1.0, config.max_change / jnp.maximum(gnorm, 1e-12)
+            )
+            g = jax.tree_util.tree_map(lambda x: x * scale, g)
             updates, new_main = tx_main.update(g, main_state, state.params)
             updates = mask_tree(updates, False)
             return optax.apply_updates(state.params, updates), (new_main, adv_state)

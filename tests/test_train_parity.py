@@ -489,6 +489,175 @@ class TestMultiTaskTrainParity:
         )
 
 
+class TestFDTrainParity:
+    """FD-AL adversarial alternation (trainer_fd.py:427-500): one step in
+    EACH phase vs a faithful torch replication of the reference trainer's
+    core (the GanDalAttTrainer class itself is too entangled with its data
+    plumbing to instantiate).
+
+    main phase: loss = spk(x_part) + 0.1*aux(y_part) + 0.1*cc; backward;
+      clip over non-DAL grads; SGD step on non-DAL params.
+    adv phase: same loss; backward; FLIP DAL grads; SGD(0.01, momentum
+      0.9, wd 1e-4) step on DAL params only, no clip.
+    """
+
+    def _setup(self):
+        from asv_subtools_tpu.convert import convert_fd_state_dict
+        from asv_subtools_tpu.models import FDXvector
+        from asv_subtools_tpu.train.fd import FDSpeakerNet
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar-xvector-FD-AL.py",
+            "fd_tref",
+        )
+        torch.manual_seed(0)
+        feat = 30
+        # margin_loss=False: the FD file's default_margin_loss_params carry
+        # a "noise" key the stock MarginSoftmaxLoss rejects (FD-AL :132 vs
+        # loss.py:216) — the reference's margin path cannot instantiate, so
+        # softmax heads are its only runnable configuration.
+        ref = ref_mod.Xvector(feat, N_TARGETS, training=True, aug_dropout=0.0)
+        ref.double()
+        net = FDSpeakerNet(
+            backbone=FDXvector(),
+            num_targets=N_TARGETS,
+            loss_name="softmax",
+            aux_loss_name="softmax",
+        )
+        params_bb, stats_bb = convert_fd_state_dict(ref.state_dict())
+        sd = ref.state_dict()
+
+        def aff(prefix):
+            return {"affine": {
+                "kernel": sd[f"{prefix}.affine.weight"]
+                .detach().numpy()[:, :, 0].T,
+                "bias": sd[f"{prefix}.affine.bias"].detach().numpy(),
+            }}
+
+        params = {
+            "backbone": params_bb,
+            "loss": aff("loss"),
+            "loss2": aff("loss2"),
+            "dal": {
+                "w_id": {"kernel": sd["DAL.w_id.weight"]
+                         .detach().numpy()[:, :, 0].T},
+                "w_noise": {"kernel": sd["DAL.w_noise.weight"]
+                            .detach().numpy()[:, :, 0].T},
+            },
+        }
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 90, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        y2 = (rng.integers(0, 9, size=4)).astype(np.int64)
+        return ref, net, params, stats_bb, x, y, y2
+
+    def _torch_fd_step(self, ref, x_bdt, y, y2, max_change, adv_phase):
+        ref.train()
+        dal_params = list(ref.DAL.parameters())
+        dal_ids = {id(p) for p in dal_params}
+        for p in ref.parameters():
+            is_dal = id(p) in dal_ids
+            p.requires_grad = is_dal if adv_phase else not is_dal
+        out = ref.forward(torch.from_numpy(x_bdt).double())
+        loss = ref.get_loss(
+            out[0], torch.from_numpy(y), out[1], torch.from_numpy(y2)
+        ) + 0.1 * out[2]
+        if adv_phase:
+            opt2 = torch.optim.SGD(
+                dal_params, lr=0.01, momentum=0.9, weight_decay=1e-4
+            )
+            opt2.zero_grad()
+            loss.backward()
+            for p in dal_params:
+                p.grad = -p.grad
+            opt2.step()
+        else:
+            live = [p for p in ref.parameters() if p.requires_grad]
+            opt = torch.optim.SGD(live, lr=LR)
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(live, max_change)
+            opt.step()
+        return float(loss.detach())
+
+    def _jax_fd_step(self, net, params, stats_bb, x, y, y2, max_change,
+                     step0):
+        from asv_subtools_tpu.train.fd import make_fd_train_step
+
+        with jax.enable_x64():
+            params = _to_f64(params)
+            batch_stats = {"backbone": _to_f64(stats_bb)}
+            tx_main = optax.sgd(LR)
+            tx_adv = optax.chain(
+                optax.add_decayed_weights(1e-4),
+                optax.sgd(0.01, momentum=0.9),
+            )
+            step = make_fd_train_step(
+                net, tx_main, tx_adv,
+                config=TrainStepConfig(
+                    max_change=max_change, compute_dtype=jnp.float64,
+                    skip_nonfinite=False,
+                ),
+            )
+            state = TrainState(
+                step=jnp.asarray(step0, jnp.int32),
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=(tx_main.init(params), tx_adv.init(params)),
+            )
+            batch = {
+                "x": jnp.asarray(x, jnp.float64),
+                "y": jnp.asarray(y, jnp.int32),
+                "aux_y": jnp.asarray(y2, jnp.int32),
+            }
+            new_state, metrics = jax.jit(step)(
+                state, batch, jax.random.PRNGKey(0)
+            )
+            new_state = jax.device_get(new_state)
+            metrics = jax.device_get(metrics)
+        return new_state, metrics
+
+    @pytest.mark.parametrize("adv_phase,step0", [(False, 20), (True, 0)])
+    def test_one_step(self, adv_phase, step0):
+        from asv_subtools_tpu.convert import convert_fd_state_dict
+
+        ref, net, params, stats_bb, x, y, y2 = self._setup()
+        new_state, metrics = self._jax_fd_step(
+            net, params, stats_bb, x, y, y2, max_change=1e4, step0=step0
+        )
+        assert bool(metrics["phase_adv"]) == adv_phase
+        x_bdt = np.ascontiguousarray(np.transpose(x, (0, 2, 1)))
+        ref_loss = self._torch_fd_step(ref, x_bdt, y, y2, 1e4, adv_phase)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                                   rtol=1e-6)
+
+        params_bb2, stats_bb2 = convert_fd_state_dict(ref.state_dict())
+        sd2 = ref.state_dict()
+        _assert_tree_close(new_state.params["backbone"], params_bb2,
+                           1e-6, 1e-8, "fd backbone param")
+        _assert_tree_close(
+            new_state.params["dal"],
+            {"w_id": {"kernel": sd2["DAL.w_id.weight"]
+                      .detach().numpy()[:, :, 0].T},
+             "w_noise": {"kernel": sd2["DAL.w_noise.weight"]
+                         .detach().numpy()[:, :, 0].T}},
+            1e-6, 1e-8, "fd dal param",
+        )
+        for k in ("loss", "loss2"):
+            np.testing.assert_allclose(
+                np.asarray(new_state.params[k]["affine"]["kernel"]),
+                sd2[f"{k}.affine.weight"].detach().numpy()[:, :, 0].T,
+                rtol=1e-6, atol=1e-8, err_msg=f"fd {k} kernel",
+            )
+            np.testing.assert_allclose(
+                np.asarray(new_state.params[k]["affine"]["bias"]),
+                sd2[f"{k}.affine.bias"].detach().numpy(),
+                rtol=1e-6, atol=1e-8, err_msg=f"fd {k} bias",
+            )
+        _assert_tree_close(new_state.batch_stats["backbone"], stats_bb2,
+                           1e-6, 1e-8, "fd bn stat")
+
+
 class TestSemiOrthParity:
     def test_constraint_update_matches_reference(self):
         """Our semi_orth_update vs the reference's Kaldi floating-scale
