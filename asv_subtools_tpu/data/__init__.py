@@ -13,7 +13,13 @@ from .augment import (
     SpeedPerturb,
     spec_augment,
 )
-from .egs_offline import Chunk, ChunkEgs, ChunkSamples, read_chunk_csv
+from .egs_offline import (
+    Chunk,
+    ChunkEgs,
+    ChunkEgsMultiTask,
+    ChunkSamples,
+    read_chunk_csv,
+)
 from .dataset import (
     DistributedShardList,
     ParallelMapper,

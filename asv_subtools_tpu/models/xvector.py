@@ -33,7 +33,11 @@ class Xvector(nn.Module):
     """Minimal 5-layer TDNN x-vector (reference pytorch/model/xvector.py:15).
 
     frame1..frame5 contexts: [-2..2], [-2,0,2], [-3,0,3], [0], [0]x1500,
-    stats pooling, two embedding layers.
+    stats pooling, two embedding layers. BN defaults follow the snowdar
+    file's plain Xvector (momentum 0.5, affine=False; the default config
+    train-parity tests against snowdar_xvector.py); set bn_affine=True,
+    momentum=0.1 for the older xvector.py flavor, which uses the
+    components.py BN defaults.
     """
 
     num_frame_channels: int = 512

@@ -346,15 +346,17 @@ def make_eval_step(net):
             mask=batch.get("mask"),
             train=False,
         )
+        # multi-task dict targets: validation metrics are speaker metrics
+        y = batch["y"]["spk"] if isinstance(batch["y"], dict) else batch["y"]
         w = batch.get("weight")
         if w is None:
-            w = jnp.ones(batch["y"].shape[0], jnp.float32)
-        correct = (jnp.argmax(logits, axis=-1) == batch["y"]).astype(jnp.float32)
+            w = jnp.ones(y.shape[0], jnp.float32)
+        correct = (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
         # loss from the head is already a scalar mean; recompute the sum via
         # per-row CE for exact weighting
         from ..nn.loss import cross_entropy
 
-        per_row = cross_entropy(logits, batch["y"], reduction="none")
+        per_row = cross_entropy(logits, y, reduction="none")
         return {
             "loss_sum": jnp.sum(per_row * w),
             "acc_sum": jnp.sum(correct * w),
@@ -499,6 +501,11 @@ class Trainer:
                 moff, lam = 0.0, 1.0
             lr_scale = self.plateau.scale if self.plateau is not None else 1.0
             rng, sub = jax.random.split(rng)
+            if "phone_y" in batch:
+                # ChunkEgsMultiTask dual-label batches -> MultiTaskNet dict
+                # targets (multi_task_xvector_fix.py trainer_mt semantics)
+                batch = dict(batch, y={"spk": batch["y"],
+                                       "phone": batch["phone_y"]})
             batch = {k: batch[k] for k in ("x", "y", "mask") if k in batch}
             batch = shard_batch(self.mesh, batch)
             fn = self._train_step if "mask" in batch else self._train_step_nomask
@@ -545,17 +552,20 @@ class Trainer:
         n_data = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
         loss_sum = acc_sum = count = 0.0
         for batch in valid_iter:
+            if "phone_y" in batch:
+                batch = dict(batch, y={"spk": batch["y"],
+                                       "phone": batch["phone_y"]})
             batch = {k: batch[k] for k in ("x", "y", "mask") if k in batch}
-            b = batch["y"].shape[0]
+            b = batch["x"].shape[0]
             pad = (-b) % n_data
             weight = np.concatenate([np.ones(b), np.zeros(pad)]).astype(np.float32)
             if pad:
-                batch = {
-                    k: np.concatenate(
+                batch = jax.tree_util.tree_map(
+                    lambda v: np.concatenate(
                         [np.asarray(v)] + [np.asarray(v[:1])] * pad, axis=0
-                    )
-                    for k, v in batch.items()
-                }
+                    ),
+                    batch,
+                )
             batch["weight"] = weight
             batch = shard_batch(self.mesh, batch)
             m = jax.device_get(self._eval_step(state, batch))

@@ -185,6 +185,65 @@ class TestMultiTask:
         pt = jnp.zeros((2, 30), jnp.int32)
         assert np.isfinite(float(phone_frame_loss(pl, pt, mask)))
 
+    def test_multitask_egs_through_trainer(self, tmp_path):
+        """ChunkEgsMultiTask dual-label batches drive Trainer.run_epoch and
+        validate() end-to-end: phone_y folds into dict targets {spk, phone}
+        (trainer_mt semantics) and validation reports speaker metrics."""
+        import optax
+
+        from asv_subtools_tpu.data import ChunkEgsMultiTask
+        from asv_subtools_tpu.data.egs_offline import Chunk
+        from asv_subtools_tpu.io import ArkScpWriter
+        from asv_subtools_tpu.models import MultiTaskNet
+        from asv_subtools_tpu.train.trainer import (
+            Trainer,
+            TrainStepConfig,
+        )
+
+        rng = np.random.default_rng(0)
+        feat_ark = str(tmp_path / "feats.ark")
+        feat_scp = str(tmp_path / "feats.scp")
+        ali_ark = str(tmp_path / "ali.ark")
+        ali_scp = str(tmp_path / "ali.scp")
+        n_utts, T, D, n_ph = 16, 60, 12, 7
+        with ArkScpWriter(feat_ark, feat_scp) as wf, \
+                ArkScpWriter(ali_ark, ali_scp) as wa:
+            for i in range(n_utts):
+                wf.write(f"u{i}", rng.normal(size=(T, D)).astype(np.float32))
+                wa.write(
+                    f"u{i}",
+                    rng.integers(0, n_ph, size=(T, 1)).astype(np.float32),
+                )
+        feat_rx = dict(l.split(None, 1) for l in open(feat_scp).read().splitlines())
+        ali_rx = dict(l.split(None, 1) for l in open(ali_scp).read().splitlines())
+        chunks = [Chunk(f"u{i}", feat_rx[f"u{i}"], 0, 40, i % 4)
+                  for i in range(n_utts)]
+        egs = ChunkEgsMultiTask(chunks, ali_rx, batch_size=8)
+        batch0 = next(iter(egs))
+        assert batch0["phone_y"].shape == (8, 40)
+
+        net = MultiTaskNet(
+            backbone=MultiTaskXvector(num_frame_channels=16, embd_dim=8),
+            num_targets=4, num_phones=n_ph,
+        )
+        trainer = Trainer(
+            net, optax.sgd(0.05),
+            config=TrainStepConfig(
+                compute_dtype=jnp.float32, max_change=1e4
+            ),
+        )
+        state = trainer.init_state(
+            jax.random.PRNGKey(0),
+            {"x": batch0["x"],
+             "y": {"spk": batch0["y"], "phone": batch0["phone_y"]}},
+        )
+        state, metrics = trainer.run_epoch(
+            state, egs, jax.random.PRNGKey(1), epoch=0
+        )
+        assert np.isfinite(metrics["loss"])
+        val = trainer.validate(state, iter(egs))
+        assert np.isfinite(val["loss"]) and 0.0 <= val["accuracy"] <= 1.0
+
     def test_fd_adversarial(self):
         model = FDXvector(num_frame_channels=16, embd_dim=8)
         x = jax.random.normal(KEY, (2, 30, 12))
