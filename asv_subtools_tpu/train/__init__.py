@@ -11,7 +11,7 @@ from .lr_scheduler import (
     warm_restarts,
 )
 from .lr_finder import run_lr_finder
-from .optim import get_optimizer, gradient_centralization, ralamb, scale_by_adamod
+from .optim import adamod, eve, get_optimizer, gradient_centralization, novograd, ralamb
 from .reporter import Reporter
 from .trainer import (
     Trainer,

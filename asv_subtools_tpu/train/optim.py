@@ -44,139 +44,223 @@ def gradient_centralization() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-class ScaleByAdaModState(NamedTuple):
+class AdaModState(NamedTuple):
     count: jax.Array
     mu: Any
     nu: Any
     eta: Any
 
 
-def scale_by_adamod(
-    b1: float = 0.9, b2: float = 0.999, b3: float = 0.999, eps: float = 1e-8
+def adamod(
+    learning_rate: Any, b1: float = 0.9, b2: float = 0.999, b3: float = 0.999,
+    eps: float = 1e-8, weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
-    """AdaMod: Adam with a long-term memory bound on the step size.
-
-    Parity: reference optim.py:555-650 (Ding et al., 2019).
-    """
+    """AdaMod with decoupled weight decay — reference-exact
+    (optim.py:555-650, Ding et al. 2019): the long-term memory bounds the
+    per-element RATE lr*sqrt(1-b2^t)/(1-b1^t)/(sqrt(v)+eps) — with the
+    learning rate folded in, and no bias correction inside the denom —
+    and the bounded rate then multiplies the raw first moment. Weight
+    decay is lr-scaled (p -= wd*lr*p)."""
 
     def init_fn(params):
         zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
-        return ScaleByAdaModState(jnp.zeros((), jnp.int32), zeros(), zeros(), zeros())
+        return AdaModState(jnp.zeros((), jnp.int32), zeros(), zeros(), zeros())
 
     def update_fn(updates, state, params=None):
-        del params
         count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
         mu = optax.tree_utils.tree_update_moment(updates, state.mu, b1, 1)
-        nu = optax.tree_utils.tree_update_moment_per_elem_norm(updates, state.nu, b2, 2)
-        c1 = 1 - b1**count
-        c2 = 1 - b2**count
-        step = jax.tree_util.tree_map(
-            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu
+        nu = optax.tree_utils.tree_update_moment_per_elem_norm(
+            updates, state.nu, b2, 2
         )
-        # long-term step-size memory: eta = b3*eta + (1-b3)*|step|, bound by it
+        c1 = 1 - b1 ** count
+        c2 = 1 - b2 ** count
+        scale = lr * jnp.sqrt(c2) / c1
+        rate = jax.tree_util.tree_map(
+            lambda v: scale / (jnp.sqrt(v) + eps), nu
+        )
         eta = jax.tree_util.tree_map(
-            lambda e, s: b3 * e + (1 - b3) * jnp.abs(s), state.eta, step
+            lambda e, r: b3 * e + (1 - b3) * r, state.eta, rate
         )
-        bounded = jax.tree_util.tree_map(
-            lambda s, e: jnp.sign(s) * jnp.minimum(jnp.abs(s), e), step, eta
+        bounded = jax.tree_util.tree_map(jnp.minimum, rate, eta)
+        delta = jax.tree_util.tree_map(
+            lambda r, m: -r * m, bounded, mu
         )
-        return bounded, ScaleByAdaModState(count, mu, nu, eta)
+        if weight_decay and params is not None:
+            delta = jax.tree_util.tree_map(
+                lambda d, p: d - weight_decay * lr * p, delta, params
+            )
+        return delta, AdaModState(count, mu, nu, eta)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class RalambState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
 def ralamb(
     learning_rate: Any, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-    weight_decay: float = 0.0,
+    weight_decay: float = 0.0, n_sma_threshold: float = 4.0,
 ) -> optax.GradientTransformation:
-    """RAdam + LARS layer-wise trust ratio (reference Ralamb optim.py:453-553)."""
+    """Ralamb — reference-exact (optim.py:453-553, RAdam + the lonePatient
+    "LARS" scaling it inherits): trust_ratio = min(||p||, 10) /
+    ||p_after_decay|| (a param-norm clamp, NOT the LAMB update-norm ratio
+    — kept faithfully so reference recipes transfer), the RAdam rectifier
+    with uncorrected sqrt(v)+eps denom, and lr-scaled decoupled decay."""
 
-    def trust_ratio() -> optax.GradientTransformation:
-        def init_fn(params):
-            del params
-            return optax.EmptyState()
+    def init_fn(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return RalambState(jnp.zeros((), jnp.int32), zeros(), zeros())
 
-        def update_fn(updates, state, params):
-            def scale(u, p):
-                if p.ndim < 1:
-                    return u
-                p_norm = jnp.linalg.norm(p)
-                u_norm = jnp.linalg.norm(u)
-                ratio = jnp.where(
-                    (p_norm > 0) & (u_norm > 0), p_norm / jnp.maximum(u_norm, 1e-12), 1.0
-                )
-                return u * ratio
+    def update_fn(updates, state, params):
+        count = state.count + 1
+        t = 1.0 * count  # f64 under enable_x64, f32 otherwise
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        mu = optax.tree_utils.tree_update_moment(updates, state.mu, b1, 1)
+        nu = optax.tree_utils.tree_update_moment_per_elem_norm(
+            updates, state.nu, b2, 2
+        )
+        beta2_t = b2 ** t
+        n_sma_max = 2.0 / (1.0 - b2) - 1.0
+        n_sma = n_sma_max - 2.0 * t * beta2_t / (1.0 - beta2_t)
+        bc1 = 1.0 - b1 ** t
+        rect = jnp.sqrt(
+            jnp.abs(
+                (1.0 - beta2_t)
+                * (n_sma - 4.0) / (n_sma_max - 4.0)
+                * (n_sma - 2.0) / n_sma
+                * n_sma_max / (n_sma_max - 2.0)
+            )
+        )
+        rectified = n_sma > n_sma_threshold
+        radam_step = jnp.where(rectified, lr * rect / bc1, lr / bc1)
 
-            return jax.tree_util.tree_map(scale, updates, params), state
+        def one(p, m, v):
+            p_dec = p - weight_decay * lr * p if weight_decay else p
+            weight_norm = jnp.clip(jnp.linalg.norm(p), 0.0, 10.0)
+            radam_norm = jnp.linalg.norm(p_dec)
+            trust = jnp.where(
+                (weight_norm == 0.0) | (radam_norm == 0.0),
+                1.0,
+                weight_norm / radam_norm,
+            )
+            delta = jnp.where(
+                rectified, m / (jnp.sqrt(v) + eps), m
+            )
+            return (p_dec - radam_step * trust * delta) - p
 
-        return optax.GradientTransformation(init_fn, update_fn)
+        return (
+            jax.tree_util.tree_map(one, params, mu, nu),
+            RalambState(count, mu, nu),
+        )
 
-    chain = [optax.scale_by_radam(b1=b1, b2=b2, eps=eps)]
-    if weight_decay:
-        chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(trust_ratio())
-    chain.append(optax.scale_by_learning_rate(learning_rate))
-    return optax.chain(*chain)
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def novograd(
+    learning_rate: Any, b1: float = 0.95, b2: float = 0.25, eps: float = 1e-8,
+    weight_decay: float = 0.0, grad_averaging: bool = False,
+) -> optax.GradientTransformation:
+    """Novograd — reference-exact (optim.py:652-768, the NVIDIA Jasper
+    variant): per-parameter SCALAR second moment initialized to the first
+    grad norm^2, m = b1*m + g/(sqrt(v)+eps) (no (1-b1) unless
+    grad_averaging), decoupled lr-scaled decay applied before the step."""
+
+    class NovogradState(NamedTuple):
+        count: jax.Array
+        mu: Any
+        nu: Any
+
+    def init_fn(params):
+        return NovogradState(
+            jnp.zeros((), jnp.int32),
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            jax.tree_util.tree_map(
+                lambda p: jnp.zeros((), p.dtype), params
+            ),
+        )
+
+    def update_fn(updates, state, params):
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        g_leaves, treedef = jax.tree_util.tree_flatten(updates)
+        m_leaves = treedef.flatten_up_to(state.mu)
+        v_leaves = treedef.flatten_up_to(state.nu)
+        p_leaves = treedef.flatten_up_to(params)
+        delta, mu, nu = [], [], []
+        for g, m, v, p in zip(g_leaves, m_leaves, v_leaves, p_leaves):
+            norm = jnp.sum(g * g)
+            v_new = jnp.where(v == 0.0, norm, b2 * v + (1 - b2) * norm)
+            gn = g / (jnp.sqrt(v_new) + eps)
+            if grad_averaging:
+                gn = gn * (1 - b1)
+            m_new = b1 * m + gn
+            d = -lr * m_new
+            if weight_decay:
+                d = d - weight_decay * lr * p
+            delta.append(d)
+            mu.append(m_new)
+            nu.append(v_new)
+        unflat = treedef.unflatten
+        return unflat(delta), NovogradState(count, unflat(mu), unflat(nu))
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class EveState(NamedTuple):
     count: jax.Array
     mu: Any
     nu: Any
-    d: jax.Array
-    f_prev: jax.Array
 
 
 def eve(
-    learning_rate: Any = 1e-3, b1: float = 0.9, b2: float = 0.999,
-    b3: float = 0.999, c: float = 10.0, eps: float = 1e-8,
-    weight_decay: float = 0.0,
+    learning_rate: Any = 1e-3, b1: float = 0.9, b2: float = 0.98,
+    eps: float = 1e-8, weight_decay: float = 1e-3, target_rms: float = 0.1,
 ) -> optax.GradientTransformation:
-    """Eve: Adam with loss-based adaptive global step scaling.
-
-    Parity: reference optim.py:840-981. The loss must be passed via
-    ``update(..., loss=value)`` — wrapped through optax's extra-args
-    convention by the trainer.
-    """
+    """Eve — reference-exact (optim.py:840-981, the k2/icefall variant for
+    scaled/ReConformer modules — NOT the published loss-adaptive Eve):
+    AdamW whose weight decay (NOT lr-scaled) applies only while a
+    parameter's RMS exceeds target_rms; scalar parameters skip decay and
+    are clamped to [-10, 2] after the step."""
 
     def init_fn(params):
         zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
-        return EveState(
-            jnp.zeros((), jnp.int32), zeros(), zeros(),
-            jnp.ones(()), jnp.zeros(()),
-        )
+        return EveState(jnp.zeros((), jnp.int32), zeros(), zeros())
 
-    def update_fn(updates, state, params=None, *, loss=None):
+    def update_fn(updates, state, params):
         count = state.count + 1
-        mu = optax.tree_utils.tree_update_moment(updates, state.mu, b1, 1)
-        nu = optax.tree_utils.tree_update_moment_per_elem_norm(updates, state.nu, b2, 2)
-        c1 = 1 - b1**count
-        c2 = 1 - b2**count
-        if loss is None:
-            d = state.d
-            f_prev = state.f_prev
-        else:
-            loss = jnp.asarray(loss, jnp.float32)
-            big = jnp.maximum(loss, state.f_prev)
-            small = jnp.minimum(loss, state.f_prev)
-            r = jnp.where(
-                count > 1, (big - small) / jnp.maximum(small, 1e-12), 0.0
-            )
-            r = jnp.clip(r, 1.0 / c, c)
-            d = jnp.where(count > 1, b3 * state.d + (1 - b3) * r, 1.0)
-            f_prev = loss
-        step = jax.tree_util.tree_map(
-            lambda m, v: (m / c1) / (d * (jnp.sqrt(v / c2) + eps)), mu, nu
-        )
-        if weight_decay and params is not None:
-            step = jax.tree_util.tree_map(
-                lambda s, p: s + weight_decay * p, step, params
-            )
-        new_state = EveState(count, mu, nu, d, f_prev)
+        t = 1.0 * count  # f64 under enable_x64, f32 otherwise
         lr = learning_rate(count) if callable(learning_rate) else learning_rate
-        return jax.tree_util.tree_map(lambda s: -lr * s, step), new_state
+        mu = optax.tree_utils.tree_update_moment(updates, state.mu, b1, 1)
+        nu = optax.tree_utils.tree_update_moment_per_elem_norm(
+            updates, state.nu, b2, 2
+        )
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        step_size = lr / bc1
 
-    return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+        def one(p, m, v):
+            denom = jnp.sqrt(v) * (bc2 ** -0.5) + eps
+            if p.size > 1:
+                above = jnp.linalg.norm(p) > target_rms * (p.size ** 0.5)
+                p_dec = p * (1.0 - weight_decay * above.astype(p.dtype))
+            else:
+                p_dec = p
+            p_new = p_dec - step_size * m / denom
+            if p.size == 1:
+                p_new = jnp.clip(p_new, -10.0, 2.0)
+            return p_new - p
+
+        return (
+            jax.tree_util.tree_map(one, params, mu, nu),
+            EveState(count, mu, nu),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def no_weight_decay_mask(params: Any) -> Any:
@@ -237,19 +321,14 @@ def get_optimizer(
     elif key == "ralamb":
         base = ralamb(learning_rate, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
     elif key == "adamod":
-        base = optax.chain(
-            scale_by_adamod(b1=beta1, b2=beta2, b3=beta3, eps=eps),
-            optax.add_decayed_weights(weight_decay, mask=wd_mask)
-            if weight_decay
-            else optax.identity(),
-            optax.scale_by_learning_rate(learning_rate),
-        )
+        base = adamod(learning_rate, b1=beta1, b2=beta2, b3=beta3, eps=eps,
+                      weight_decay=weight_decay)
     elif key == "novograd":
-        base = optax.novograd(
-            learning_rate, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay
-        )
+        base = novograd(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                        weight_decay=weight_decay)
     elif key == "eve":
-        base = eve(learning_rate, b1=beta1, b2=beta2, b3=beta3, weight_decay=weight_decay)
+        base = eve(learning_rate, b1=beta1, b2=beta2, eps=eps,
+                   weight_decay=weight_decay)
     else:
         raise ValueError(f"Unknown optimizer {name!r}")
 
