@@ -25,11 +25,16 @@ def warm_restarts(
     t_0: int,
     t_mult: int = 1,
     eta_min: float = 1e-6,
+    factor: float = 1.0,
+    log_decay: bool = False,
     warmup_steps: int = 0,
 ) -> Callable:
     """Cosine annealing with warm restarts (SGDR), Kaldi-subtools "warmR".
 
-    Parity: CosineAnnealingWarmRestarts (reference lr_scheduler_online.py:169-276).
+    Parity: CosineAnnealingWarmRestarts (reference
+    lr_scheduler_online.py:169-276) incl. Snowdar's extras: `factor`
+    decays the restart peak (base_lr * factor**n at the n-th restart) and
+    `log_decay` anneals in log10 space between eta_min and the peak.
     """
 
     def schedule(step):
@@ -37,6 +42,7 @@ def warm_restarts(
         if t_mult == 1:
             t_cur = jnp.mod(step, t_0)
             t_i = jnp.asarray(float(t_0))
+            n = jnp.floor(step / t_0)
         else:
             # closed form: find restart index n with geometric cycle lengths
             n = jnp.floor(
@@ -45,7 +51,13 @@ def warm_restarts(
             start = t_0 * (t_mult**n - 1) / (t_mult - 1)
             t_cur = step - start
             t_i = t_0 * t_mult**n
-        lr = eta_min + (base_lr - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * t_cur / t_i))
+        peak = base_lr * factor**n
+        cos_frac = 0.5 * (1 + jnp.cos(jnp.pi * t_cur / t_i))
+        if log_decay:
+            log_min = math.log10(eta_min)
+            lr = 10 ** (log_min + (jnp.log10(peak) - log_min) * cos_frac)
+        else:
+            lr = eta_min + (peak - eta_min) * cos_frac
         if warmup_steps > 0:
             warm = base_lr * (step + 1) / warmup_steps
             lr = jnp.where(step < warmup_steps, warm, lr)
@@ -94,38 +106,58 @@ def one_cycle(
     """1cycle policy (reference lr_scheduler_online.py:67-88)."""
     init_lr = max_lr / div_factor
     final_lr = init_lr / final_div_factor
-    up = int(total_steps * pct_start)
-    down = total_steps - up
+    # torch OneCycleLR phase sizes (lr_scheduler.py): peak lands exactly
+    # at step pct_start*total - 1, the final lr at step total - 1
+    up = float(total_steps * pct_start) - 1.0
+    down = float(total_steps) - up - 1.0
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
 
-        def cos_interp(a, b, frac):
+        def cos_anneal(a, b, frac):
+            # a -> b as frac goes 0 -> 1 (torch _annealing_cos)
             return b + (a - b) * 0.5 * (1 + jnp.cos(jnp.pi * frac))
 
-        frac_up = jnp.clip(step / max(up, 1), 0.0, 1.0)
-        frac_down = jnp.clip((step - up) / max(down, 1), 0.0, 1.0)
+        frac_up = jnp.clip(step / max(up, 1.0), 0.0, 1.0)
+        frac_down = jnp.clip((step - up) / max(down, 1.0), 0.0, 1.0)
         return jnp.where(
-            step < up,
-            cos_interp(init_lr, max_lr, 1 - frac_up),
-            cos_interp(max_lr, final_lr, 1 - frac_down),
+            step <= up,
+            cos_anneal(init_lr, max_lr, frac_up),
+            cos_anneal(max_lr, final_lr, frac_down),
         )
 
     return schedule
 
 
 def noam(
-    base_lr: float = 1.0, model_dim: int = 256, warmup_steps: int = 25000
+    base_lr: float = 1.0,
+    warmup_steps: int = 25000,
+    step_decay: bool = False,
+    step_size: int = 80000,
+    step_rate: float = 0.5,
+    model_dim: Optional[int] = None,
 ) -> Callable:
-    """Transformer WarmupLR (reference WarmupLR lr_scheduler_online.py:278-338)."""
+    """The reference's "noam" = wenet's WarmupLR (lr_scheduler_online.py:
+    278-338): linear warmup to base_lr (the PEAK equals the optimizer lr,
+    unlike classic Noam), then base_lr * warmup^0.5 * step^-0.5 — or
+    staircase decay by step_rate every step_size when step_decay is on.
+    Pass model_dim for the classic Noam curve instead (it folds into the
+    peak as model_dim^-0.5 * warmup^-0.5 * base_lr)."""
+    peak = base_lr
+    if model_dim is not None:  # classic noam peak at the warmup corner
+        peak = base_lr * model_dim**-0.5 * warmup_steps**-0.5
 
     def schedule(step):
-        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
-        return (
-            base_lr
-            * model_dim**-0.5
-            * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
-        )
+        # reference step_num = last_epoch + 1: the lr used for optimizer
+        # step k (0-based) is computed at step_num = k + 1
+        s = jnp.asarray(step, jnp.float32) + 1.0
+        warm = peak * s / warmup_steps
+        if step_decay:
+            k = jnp.floor((s - warmup_steps) / step_size)
+            after = peak * step_rate**k
+        else:
+            after = peak * warmup_steps**0.5 * s**-0.5
+        return jnp.where(s < warmup_steps, warm, after)
 
     return schedule
 

@@ -1,0 +1,139 @@
+"""LR-schedule trajectory parity vs the reference (torch) schedulers.
+
+The reference drives lr through LRSchedulerWrapper
+(lr_scheduler_online.py): warmR = Snowdar's CosineAnnealingWarmRestarts
+(with factor/log_decay extras), cyclic/1cycle = stock torch schedulers,
+noam = wenet's WarmupLR (peak = optimizer lr; optional staircase decay).
+Each case steps the torch scheduler per iteration and compares the lr it
+sets against our pure step->lr callable at every step.
+"""
+
+import importlib.util
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from asv_subtools_tpu.train.lr_scheduler import get_lr_schedule
+
+STEPS = 500
+
+
+def _ref_sched_module():
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    if "torch._six" not in sys.modules:
+        six = types.ModuleType("torch._six")
+        six.inf = math.inf
+        sys.modules["torch._six"] = six
+    try:
+        # package import: the module does `from .optim import *`
+        import libs.training.lr_scheduler_online as mod
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference schedulers: {e}")
+    return mod
+
+
+def _opt(lr):
+    p = torch.nn.Parameter(torch.zeros(1))
+    return torch.optim.SGD([p], lr=lr)
+
+
+def _collect(opt, sched, steps, step_with_epoch=False):
+    """lr actually applied at iterations 0..steps-1.
+
+    The reference online trainer calls scheduler.step(...) AFTER each
+    optimizer step; the lr used at iteration k is the one set by the
+    previous call (initial lr for k=0)."""
+    lrs = []
+    for k in range(steps):
+        lrs.append(opt.param_groups[0]["lr"])
+        if step_with_epoch:
+            sched.step(k + 1)
+        else:
+            sched.step()
+    return np.asarray(lrs)
+
+
+@pytest.mark.parametrize("t_mult", [1, 2])
+@pytest.mark.parametrize("factor,log_decay", [(1.0, False), (0.5, False),
+                                              (1.0, True)])
+def test_warmR(t_mult, factor, log_decay):
+    m = _ref_sched_module()
+    base, t0, eta = 1e-3, 64, 4e-8
+    opt = _opt(base)
+    ref = m.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, T_mult=t_mult, eta_min=eta, factor=factor,
+        log_decay=log_decay,
+    )
+    # explicit-epoch stepping (the launcher's per-iteration idiom)
+    ref_lrs = _collect(opt, ref, STEPS, step_with_epoch=True)
+    ours = get_lr_schedule(
+        "warmR", base_lr=base, t_0=t0, t_mult=t_mult, eta_min=eta,
+        factor=factor, log_decay=log_decay,
+    )
+    our_lrs = np.asarray([float(ours(k)) for k in range(STEPS)])
+    # atol 1e-10: our schedule evaluates in f32 inside jit; near cycle
+    # ends (cos ~ -1) cancellation leaves ~5e-6 relative on lrs ~1e-7
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=2e-6, atol=1e-10)
+
+
+@pytest.mark.parametrize("mode", ["triangular", "triangular2"])
+def test_cyclic(mode):
+    base, mx, up = 1e-8, 1e-3, 40
+    opt = _opt(base)
+    ref = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=up, mode=mode,
+        cycle_momentum=False,
+    )
+    ref_lrs = _collect(opt, ref, STEPS)
+    ours = get_lr_schedule(
+        "cyclic", base_lr=base, max_lr=mx, step_size_up=up, mode=mode
+    )
+    our_lrs = np.asarray([float(ours(k)) for k in range(STEPS)])
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=2e-6, atol=1e-12)
+
+
+def test_one_cycle():
+    mx, total = 1e-3, 400
+    opt = _opt(mx / 25.0)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=mx, total_steps=total, pct_start=0.3,
+        anneal_strategy="cos", cycle_momentum=False,
+        div_factor=25.0, final_div_factor=1e4,
+    )
+    ref_lrs = _collect(opt, ref, total)
+    ours = get_lr_schedule(
+        "1cycle", max_lr=mx, total_steps=total, pct_start=0.3,
+        div_factor=25.0, final_div_factor=1e4,
+    )
+    our_lrs = np.asarray([float(ours(k)) for k in range(total)])
+    np.testing.assert_allclose(our_lrs, ref_lrs, rtol=1e-4, atol=1e-9)
+
+
+@pytest.mark.parametrize("step_decay", [False, True])
+def test_noam_warmuplr(step_decay):
+    m = _ref_sched_module()
+    base, warmup = 1e-3, 64
+    opt = _opt(base)
+    ref = m.WarmupLR(opt, warmup_steps=warmup, step_decay=step_decay,
+                     step_size=128, step_rate=0.5)
+    # WarmupLR sets the epoch-0 lr in its __init__ (step_num=0 -> lr=0);
+    # collect the lr used at each optimizer step
+    ref_lrs = _collect(opt, ref, STEPS)
+    ours = get_lr_schedule(
+        "noam", base_lr=base, warmup_steps=warmup, step_decay=step_decay,
+        step_size=128, step_rate=0.5,
+    )
+    our_lrs = np.asarray([float(ours(k)) for k in range(STEPS)])
+    np.testing.assert_allclose(our_lrs[1:], ref_lrs[1:], rtol=2e-6,
+                               atol=1e-12)
+    # step 0: torch's chained init leaves base_lr in the optimizer before
+    # the first scheduler step; ours reports the step_num=1 value — both
+    # conventions warm up from ~0, just offset by one call; assert ours
+    # is the reference's NEXT value
+    np.testing.assert_allclose(float(our_lrs[0]), base / warmup, rtol=1e-6)
