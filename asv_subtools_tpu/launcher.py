@@ -22,7 +22,7 @@ import numpy as np
 from .data import SpeechAug, WavEgs, WavEgsXvector, build_spk2int, Prefetcher
 from .extract import ExtractConfig, Extractor
 from .models import MODELS, SpeakerNet
-from .nn.loss import MarginWarm
+from .nn.loss import LambdaMAnneal, MarginWarm
 from .parallel import make_mesh
 from .train import (
     ReduceOnPlateau,
@@ -217,6 +217,9 @@ class Launcher:
         margin_warm = None
         if t.get("margin_warm"):
             margin_warm = MarginWarm(**t["margin_warm"])
+        elif t.get("lambda_m_anneal"):
+            # the reference's step_params["m"] lambda annealing
+            margin_warm = LambdaMAnneal(**t["lambda_m_anneal"])
 
         dtype = jnp.bfloat16 if t["compute_dtype"] == "bfloat16" else jnp.float32
         partition_rules = None

@@ -18,6 +18,7 @@ from .loss import (
     LogisticAffinityLoss,
     MarginSoftmaxLoss,
     MarginSoftmaxLossV1,
+    LambdaMAnneal,
     MarginWarm,
     OCSoftmax,
     SoftmaxLoss,

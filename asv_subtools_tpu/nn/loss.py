@@ -408,6 +408,31 @@ class MarginWarm:
         return self.offset_margin * ratio, lam
 
 
+class LambdaMAnneal:
+    """A-softmax-style lambda annealing, the reference's step_params["m"]
+    path (snowdar_xvector.py:355-357, 384-387):
+
+      lambda_factor = max(lambda_0, lambda_b * (1 + gamma*step)^(-alpha))
+      lambda_m      = 1 / (1 + lambda_factor)
+
+    Same host-side interface as MarginWarm: step(cur_step) ->
+    (margin_offset, lambda_m), so the Trainer accepts either."""
+
+    def __init__(self, lambda_0: float = 0.0, lambda_b: float = 1000.0,
+                 alpha: float = 5.0, gamma: float = 1e-4):
+        self.lambda_0 = lambda_0
+        self.lambda_b = lambda_b
+        self.alpha = alpha
+        self.gamma = gamma
+
+    def step(self, cur_step: int) -> Tuple[float, float]:
+        factor = max(
+            self.lambda_0,
+            self.lambda_b * (1.0 + self.gamma * cur_step) ** (-self.alpha),
+        )
+        return 0.0, 1.0 / (1.0 + factor)
+
+
 LOSSES = {
     "softmax": SoftmaxLoss,
     "focal": FocalLoss,

@@ -137,3 +137,31 @@ def test_noam_warmuplr(step_decay):
     # conventions warm up from ~0, just offset by one call; assert ours
     # is the reference's NEXT value
     np.testing.assert_allclose(float(our_lrs[0]), base / warmup, rtol=1e-6)
+
+
+def test_margin_warm_and_lambda_anneal():
+    """MarginWarm vs the reference class (loss.py:399-465; its ctor can't
+    take epoch_iter — its own overwrite guard trips — so set it after),
+    and LambdaMAnneal vs the step_params["m"] formula
+    (snowdar_xvector.py:384-387)."""
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    try:
+        import libs.nnet.loss as rl
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference loss: {e}")
+    from asv_subtools_tpu.nn.loss import LambdaMAnneal, MarginWarm
+
+    ref = rl.MarginWarm(2, 5, offset_margin=-0.15, init_lambda=0.2)
+    ref.update_step_range(100, overwrite=True)
+    ours = MarginWarm(2, 5, offset_margin=-0.15, init_lambda=0.2,
+                      epoch_iter=100)
+    for s in range(0, 600, 7):
+        a, b = ref.step(s), ours.step(s)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-8)
+
+    lam = LambdaMAnneal(lambda_0=0.0, lambda_b=1000.0, alpha=5.0,
+                        gamma=1e-4)
+    for s in (0, 1, 100, 5000, 100000):
+        factor = max(0.0, 1000.0 * (1 + 1e-4 * s) ** (-5.0))
+        np.testing.assert_allclose(lam.step(s)[1], 1.0 / (1.0 + factor))
