@@ -65,10 +65,13 @@ class SoftmaxLoss(nn.Module):
 
 
 class FocalLoss(nn.Module):
-    """Focal loss (reference loss.py:162-189)."""
+    """Focal loss (reference loss.py:162-189).
+
+    The reference's NLLLoss reduction defaults to SUM, not mean."""
 
     num_targets: int
     gamma: float = 2.0
+    reduction: str = "sum"
 
     @nn.compact
     def __call__(
@@ -79,7 +82,8 @@ class FocalLoss(nn.Module):
         logp = jnp.log(jnp.clip(p, _EPS))
         focal = (1.0 - p) ** self.gamma * logp
         nll = -jnp.take_along_axis(focal, targets[..., None], axis=-1)[..., 0]
-        return jnp.mean(nll), logits
+        red = jnp.sum if self.reduction == "sum" else jnp.mean
+        return red(nll), logits
 
 
 def _normalize(x, axis=-1, eps=1e-12):
@@ -132,8 +136,9 @@ class MarginSoftmaxLoss(nn.Module):
         w32 = _at_least_f32(weight)
         cos = _normalize(x32) @ _normalize(w32).T  # [B, C] fp32 on MXU
 
+        cdt = cos.dtype  # >= f32 (the island's compute dtype; f64 under x64)
         if self.feature_normalize:
-            scale = jnp.asarray(self.s, jnp.float32)
+            scale = jnp.asarray(self.s, cdt)
         else:
             scale = jnp.linalg.norm(x32, axis=-1, keepdims=True)
         logits = scale * cos  # pre-margin: reported posterior
@@ -141,8 +146,8 @@ class MarginSoftmaxLoss(nn.Module):
         if not train:
             return cross_entropy(logits, targets, self.label_smoothing), logits
 
-        m = jnp.maximum(jnp.asarray(self.m, jnp.float32) + margin_offset, 0.0)
-        onehot = jax.nn.one_hot(targets, c, dtype=jnp.float32)
+        m = jnp.maximum(jnp.asarray(self.m, cdt) + margin_offset, 0.0)
+        onehot = jax.nn.one_hot(targets, c, dtype=cdt)
         cos_t = jnp.sum(cos * onehot, axis=-1, keepdims=True)
 
         if self.method == "am":
@@ -167,20 +172,23 @@ class MarginSoftmaxLoss(nn.Module):
         else:
             raise ValueError(f"Unknown margin method {self.method!r}")
 
-        lam = jnp.asarray(lambda_m, jnp.float32)
+        lam = jnp.asarray(lambda_m, cdt)
         pen_t = lam * pen_t + (1.0 - lam) * cos_t
         if self.double:
             cos_others = lam * cos_others + (1.0 - lam) * cos
 
         if self.curricular:
-            # CurricularFace: hard negatives (cos_j > pen_t) get cos_j*(t + cos_j)
+            # CurricularFace: hard negatives (cos_j > pen_t) get cos_j*(t + cos_j).
+            # Reference CurricularMarginComponent (loss.py:477-492,
+            # momentum 0.01): t_new = (1-mom)*mean(cos_t) + mom*t_prev,
+            # updated BEFORE the hard-example rescale uses it.
             t_buf = self.variable(
                 "batch_stats", "curricular_t", lambda: jnp.zeros((), jnp.float32)
             )
-            tv = t_buf.value
+            tv = 0.99 * jax.lax.stop_gradient(jnp.mean(cos_t)) + 0.01 * t_buf.value
             hard = cos_others > pen_t
             cos_others = jnp.where(hard, cos_others * (tv + cos_others), cos_others)
-            t_buf.value = 0.99 * tv + 0.01 * jnp.mean(cos_t)
+            t_buf.value = tv
 
         out = scale * jnp.where(onehot > 0, pen_t, cos_others)
         loss = cross_entropy(out / self.t, targets, self.label_smoothing)
