@@ -184,7 +184,10 @@ def estimate_plda(
             w = weights[sel]
             m = m_all[sel]  # [K, D]
             mix_var = np.linalg.inv(between_inv + n * within_inv)  # [D, D]
-            wk = m @ (n * within_inv @ mix_var).T  # [K, D] posterior means
+            # w_k = mix_var @ (n * within_inv) @ m_k (reference :286-289);
+            # row form: m_row @ (n*within_inv) @ mix_var — both matrices are
+            # symmetric but do NOT commute, so the order matters
+            wk = m @ (n * within_inv) @ mix_var  # [K, D] posterior means
             mw = m - wk
             between_stats += w.sum() * mix_var + (wk * w[:, None]).T @ wk
             between_count += w.sum()

@@ -150,12 +150,14 @@ class TestFdTrainer:
             "aux_y": jnp.asarray(rng.integers(0, 3, 8)),
         }
         state = init_fd_state(net, KEY, batch, tx_main, tx_adv)
-        content_before = np.asarray(
-            state.params["backbone"]["content_gate_fc2"]["kernel"]
+        # reference partition (trainer_fd.py:393-415): ONLY the DAL
+        # projections alternate; the att gate trains in the MAIN phase
+        gate_before = np.asarray(
+            state.params["backbone"]["att_fc2"]["kernel"]
         ).copy()
         dal_before = np.asarray(state.params["dal"]["w_id"]["kernel"]).copy()
         speaker_before = np.asarray(
-            state.params["backbone"]["tdnn7"]["affine"]["conv"]["kernel"]
+            state.params["backbone"]["tdnn7_affine"]["kernel"]
         ).copy()
         # steps 0,1 are the adversary phase (cycle=4, adv_steps=2)
         k = KEY
@@ -163,21 +165,23 @@ class TestFdTrainer:
             k, s = jax.random.split(k)
             state, m = step(state, batch, s)
             assert float(m["phase_adv"]) == 1.0
-        content_mid = np.asarray(state.params["backbone"]["content_gate_fc2"]["kernel"])
+        gate_mid = np.asarray(state.params["backbone"]["att_fc2"]["kernel"])
         dal_mid = np.asarray(state.params["dal"]["w_id"]["kernel"])
-        speaker_mid = np.asarray(state.params["backbone"]["tdnn7"]["affine"]["conv"]["kernel"])
-        assert not np.allclose(content_mid, content_before)  # adversary moved
+        speaker_mid = np.asarray(state.params["backbone"]["tdnn7_affine"]["kernel"])
         assert not np.allclose(dal_mid, dal_before)  # DAL projections moved
+        np.testing.assert_array_equal(gate_mid, gate_before)  # gate frozen
         np.testing.assert_array_equal(speaker_mid, speaker_before)  # main frozen
         # steps 2,3: main phase
         for _ in range(2):
             k, s = jax.random.split(k)
             state, m = step(state, batch, s)
             assert float(m["phase_adv"]) == 0.0
-        speaker_after = np.asarray(state.params["backbone"]["tdnn7"]["affine"]["conv"]["kernel"])
-        content_after = np.asarray(state.params["backbone"]["content_gate_fc2"]["kernel"])
+        speaker_after = np.asarray(state.params["backbone"]["tdnn7_affine"]["kernel"])
+        gate_after = np.asarray(state.params["backbone"]["att_fc2"]["kernel"])
+        dal_after = np.asarray(state.params["dal"]["w_id"]["kernel"])
         assert not np.allclose(speaker_after, speaker_mid)  # main moved
-        np.testing.assert_array_equal(content_after, content_mid)  # adversary frozen
+        assert not np.allclose(gate_after, gate_mid)  # gate trains in main
+        np.testing.assert_array_equal(dal_after, dal_mid)  # adversary frozen
 
 
 class TestClassicChain:
