@@ -95,7 +95,10 @@ def compute_cavg(
     lo = score.min() if min_score is None else min_score
     hi = score.max() if max_score is None else max_score
     precision = (hi - lo) / bins
-    p_nontarget = (1.0 - p_target) / (lang_num - 1)
+    # computeCavg_unknown.py:114: with the unknown pseudo-class the
+    # nontarget prior divides by lang_num (lang_num_1 - 1), not lang_num-1
+    n_nontarget_classes = lang_num if unknown_as_nontarget else lang_num - 1
+    p_nontarget = (1.0 - p_target) / n_nontarget_classes
 
     cavgs = []
     for section in range(bins + 1):
