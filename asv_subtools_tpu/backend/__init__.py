@@ -17,9 +17,11 @@ from .fusion import greedy_fusion, lda_fusion, logistic_fusion, weight_fusion
 from .adaptation import (
     TwoCovPlda,
     adapt_plda_cip,
+    adapt_plda_cip_reg,
     adapt_plda_coral,
     adapt_plda_coral_plus,
     adapt_plda_lip,
+    adapt_plda_lip_reg,
     adapt_plda_unsupervised,
 )
 from .metrics import (

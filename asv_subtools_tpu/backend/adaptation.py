@@ -107,8 +107,32 @@ def adapt_plda_coral(
     `*_covar_scale` are unused by the reference's update (kept for CLI
     parity) — the covariances are fully re-aligned.
     """
-    mean, variance = _adaptation_variance(adapt_vectors, plda.mean, mean_diff_scale)
+    return _coral_aligned(plda, adapt_vectors, mean_diff_scale)
 
+
+def _covar_excess(base: np.ndarray, other: np.ndarray) -> np.ndarray:
+    """inv(B).T @ max(0, E - I) @ inv(B): the part of `other` exceeding
+    `base`, via simultaneous diagonalization (B maps base -> I and
+    other -> diag(E)). The regularization core shared by CORAL+ and the
+    LIP/CIP "Reg" variants (Wang et al. 2020; coralplus.py:77-93)."""
+    dim = base.shape[0]
+    e, q = np.linalg.eigh(base)
+    e = np.maximum(e, 1e-12)
+    t = np.diag(e**-0.5) @ q.T
+    ev, p = np.linalg.eigh(t @ other @ t.T)
+    b = q @ np.diag(e**-0.5) @ p
+    b_inv = np.linalg.inv(b)
+    return b_inv.T @ np.maximum(0.0, np.diag(ev) - np.eye(dim)) @ b_inv
+
+
+def _coral_aligned(
+    plda: TwoCovPlda, adapt_vectors: np.ndarray, mean_diff_scale: float
+) -> TwoCovPlda:
+    """CORAL alignment core shared by coral/coral+/cip
+    (ivector-adapt-plda-coral.py:40-80)."""
+    mean, variance = _adaptation_variance(
+        adapt_vectors, plda.mean, mean_diff_scale
+    )
     o_cov = plda.within_var + plda.between_var
     eig_o, q_o = np.linalg.eigh(o_cov)
     eig_i, q_i = np.linalg.eigh(variance)
@@ -128,33 +152,52 @@ def adapt_plda_coral_plus(
     plda: TwoCovPlda,
     adapt_vectors: np.ndarray,
     mean_diff_scale: float = 1.0,
-    interpolate: float = 0.5,
-    regularize: float = 1e-4,
+    within_covar_scale: float = 0.8,
+    between_covar_scale: float = 0.8,
 ) -> TwoCovPlda:
-    """CORAL+ (ivector-adapt-plda-coralplus.py): regularized interpolation
-    between the original and CORAL-aligned covariances."""
-    aligned = adapt_plda_coral(plda, adapt_vectors, mean_diff_scale)
-
-    def interp(orig, new):
-        m = (1.0 - interpolate) * orig + interpolate * new
-        return m + regularize * np.eye(m.shape[0]) * np.trace(m) / m.shape[0]
-
+    """CORAL+ (ivector-adapt-plda-coralplus.py:40-93): add back the part
+    of the CORAL-aligned covariances that EXCEEDS the originals, scaled —
+    a regularized one-sided update rather than full re-alignment."""
+    aligned = _coral_aligned(plda, adapt_vectors, mean_diff_scale)
     return TwoCovPlda(
         mean=aligned.mean,
-        within_var=interp(plda.within_var, aligned.within_var),
-        between_var=interp(plda.between_var, aligned.between_var),
+        within_var=plda.within_var + within_covar_scale
+        * _covar_excess(plda.within_var, aligned.within_var),
+        between_var=plda.between_var + between_covar_scale
+        * _covar_excess(plda.between_var, aligned.between_var),
     )
 
 
 def adapt_plda_lip(
-    plda_out: TwoCovPlda, plda_in: TwoCovPlda, alpha: float = 0.5
+    plda_out: TwoCovPlda,
+    plda_in: TwoCovPlda,
+    interpolation_weight: float = 0.4,
 ) -> TwoCovPlda:
-    """LIP: linear interpolation of PLDA parameters between out-of-domain
-    and in-domain models (ivector-adapt-plda-lip.py)."""
+    """LIP (ivector-adapt-plda-lip.py:15-48, Garcia-Romero & McCree
+    2014): covariances = w*OUT + (1-w)*IN; the mean stays the IN-domain
+    mean (it is NOT interpolated)."""
+    w = interpolation_weight
     return TwoCovPlda(
-        mean=(1 - alpha) * plda_out.mean + alpha * plda_in.mean,
-        within_var=(1 - alpha) * plda_out.within_var + alpha * plda_in.within_var,
-        between_var=(1 - alpha) * plda_out.between_var + alpha * plda_in.between_var,
+        mean=plda_in.mean.copy(),
+        within_var=w * plda_out.within_var + (1 - w) * plda_in.within_var,
+        between_var=w * plda_out.between_var + (1 - w) * plda_in.between_var,
+    )
+
+
+def adapt_plda_lip_reg(
+    plda_out: TwoCovPlda,
+    plda_in: TwoCovPlda,
+    interpolation_weight: float = 0.6,
+) -> TwoCovPlda:
+    """LIP-Reg (ivector-adapt-plda-lip-reg.py:15-60, Wang et al. 2020):
+    IN + (1-w) * excess(IN, OUT) per covariance; IN-domain mean."""
+    w = interpolation_weight
+    return TwoCovPlda(
+        mean=plda_in.mean.copy(),
+        within_var=plda_in.within_var + (1 - w)
+        * _covar_excess(plda_in.within_var, plda_out.within_var),
+        between_var=plda_in.between_var + (1 - w)
+        * _covar_excess(plda_in.between_var, plda_out.between_var),
     )
 
 
@@ -162,9 +205,37 @@ def adapt_plda_cip(
     plda_out: TwoCovPlda,
     plda_in: TwoCovPlda,
     adapt_vectors: np.ndarray,
-    alpha: float = 0.5,
+    interpolation_weight: float = 0.5,
+    mean_diff_scale: float = 1.0,
 ) -> TwoCovPlda:
-    """CIP: CORAL-align the out-of-domain model first, then interpolate
-    with the in-domain model (ivector-adapt-plda-cip.py)."""
-    aligned = adapt_plda_coral(plda_out, adapt_vectors)
-    return adapt_plda_lip(aligned, plda_in, alpha)
+    """CIP (ivector-adapt-plda-cip.py:104-135): CORAL-align the
+    OUT-domain model with the adaptation data, then covariances =
+    w*coral + (1-w)*IN; IN-domain mean."""
+    aligned = _coral_aligned(plda_out, adapt_vectors, mean_diff_scale)
+    w = interpolation_weight
+    return TwoCovPlda(
+        mean=plda_in.mean.copy(),
+        within_var=w * aligned.within_var + (1 - w) * plda_in.within_var,
+        between_var=w * aligned.between_var + (1 - w) * plda_in.between_var,
+    )
+
+
+def adapt_plda_cip_reg(
+    plda_out: TwoCovPlda,
+    plda_in: TwoCovPlda,
+    adapt_vectors: np.ndarray,
+    interpolation_weight: float = 0.5,
+    mean_diff_scale: float = 1.0,
+) -> TwoCovPlda:
+    """CIP-Reg (ivector-adapt-plda-cip-reg.py:98-128): CORAL-align the
+    OUT-domain model, then IN + w * excess(IN, coral) per covariance;
+    IN-domain mean."""
+    aligned = _coral_aligned(plda_out, adapt_vectors, mean_diff_scale)
+    w = interpolation_weight
+    return TwoCovPlda(
+        mean=plda_in.mean.copy(),
+        within_var=plda_in.within_var + w
+        * _covar_excess(plda_in.within_var, aligned.within_var),
+        between_var=plda_in.between_var + w
+        * _covar_excess(plda_in.between_var, aligned.between_var),
+    )

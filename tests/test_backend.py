@@ -308,8 +308,8 @@ class TestAdaptation:
         coral = adapt_plda_coral(two, adapt)
         assert np.all(np.isfinite(coral.within_var))
         plus = adapt_plda_coral_plus(two, adapt)
-        lip = adapt_plda_lip(two, coral, alpha=0.3)
-        cip = adapt_plda_cip(two, coral, adapt, alpha=0.3)
+        lip = adapt_plda_lip(two, coral, interpolation_weight=0.7)
+        cip = adapt_plda_cip(two, coral, adapt, interpolation_weight=0.7)
         for m in (coral, plus, lip, cip):
             scoring = m.to_scoring_form()
             assert np.all(scoring.psi > 0)
