@@ -88,13 +88,21 @@ def reverberate(
     waveform: np.ndarray, rir: np.ndarray, rescale_amp: str = "avg"
 ) -> np.ndarray:
     """Convolve with a room impulse response, preserving amplitude and
-    aligning to the RIR's direct path (signal_processing.py:321-413)."""
-    orig_amp = compute_amplitude(waveform, rescale_amp)
-    direct = int(np.argmax(np.abs(rir)))
-    wet = sps.fftconvolve(waveform, rir, mode="full")
-    wet = wet[direct : direct + len(waveform)]
+    aligning to the RIR's direct path (signal_processing.py:321-393).
+
+    The reference's convolve1d(use_fft=True, rotation_index=direct)
+    multiplies unpadded rFFTs — a CIRCULAR convolution with the kernel
+    rotated so the direct path lands at lag zero; the tail wraps around
+    to the start. Mirrored exactly (speechbrain semantics)."""
+    x = np.asarray(waveform, np.float64)
+    n = len(x)
+    k = np.asarray(rir, np.float64)[:n]
+    direct = int(np.argmax(np.abs(k)))
+    k_rot = np.concatenate([k[direct:], np.zeros(n - len(k)), k[:direct]])
+    orig_amp = compute_amplitude(x, rescale_amp)
+    wet = np.fft.irfft(np.fft.rfft(x) * np.fft.rfft(k_rot), n=n)
     wet_amp = compute_amplitude(wet, rescale_amp)
-    return wet * (orig_amp / max(wet_amp, 1e-14))
+    return (wet * (orig_amp / max(wet_amp, 1e-14))).astype(np.float32)
 
 
 def notch_filter(
@@ -109,11 +117,14 @@ def notch_filter(
     def sinc(x):
         return np.sinc(x / np.pi)
 
+    # torch.blackman_window is PERIODIC by default (np.blackman(N+1)[:-1]),
+    # unlike numpy's symmetric np.blackman(N) — reference :459-465
+    window = np.blackman(filter_width + 1)[:-1]
     hlpf = sinc(3.0 * (notch_freq - notch_width) * inputs)
-    hlpf *= np.blackman(filter_width)
+    hlpf *= window
     hlpf /= hlpf.sum()
     hhpf = sinc(3.0 * (notch_freq + notch_width) * inputs)
-    hhpf *= np.blackman(filter_width)
+    hhpf *= window
     hhpf /= -hhpf.sum()
     hhpf[pad] += 1.0
     return hlpf + hhpf
