@@ -93,29 +93,32 @@ def apply_lda(vectors: np.ndarray, transform: np.ndarray, mean: Optional[np.ndar
 
 
 class ZCAWhitening:
-    """ZCA whitening (parity: score/whiten/train_ZCA_Whitening.py:29-60).
+    """ZCA whitening (parity: score/whiten/train_ZCA_Whitening.py:29-66).
 
-    fit() on a held-out set; transform() applies W = U diag(1/sqrt(s+eps)) U'.
+    The reference does NOT center (its mean-subtraction is commented out
+    — "submean" is a separate chain step before "whiten"), uses the
+    ddof=1 second moment, and clips the spectrum BEFORE the sqrt:
+    W = U diag(1/sqrt(max(s, reg))) U'.
     """
 
     def __init__(self, regularization: float = 1e-6):
         self.regularization = regularization
-        self.mean: Optional[np.ndarray] = None
         self.whiten: Optional[np.ndarray] = None
+        self.dewhiten: Optional[np.ndarray] = None
 
     def fit(self, vectors: np.ndarray) -> "ZCAWhitening":
         x = vectors.astype(np.float64)
-        self.mean = x.mean(axis=0)
-        xc = x - self.mean
-        cov = xc.T @ xc / xc.shape[0]
+        cov = x.T @ x / (x.shape[0] - 1)
         u, s, _ = np.linalg.svd(cov, hermitian=True)
-        self.whiten = u @ np.diag(1.0 / np.sqrt(s + self.regularization)) @ u.T
+        root = np.sqrt(np.clip(s, self.regularization, None))
+        self.whiten = u @ np.diag(1.0 / root) @ u.T
+        self.dewhiten = u @ np.diag(root) @ u.T
         return self
 
     def transform(self, vectors: np.ndarray) -> np.ndarray:
         if self.whiten is None:
             raise RuntimeError("fit() first")
-        return ((vectors - self.mean) @ self.whiten.T).astype(vectors.dtype)
+        return (vectors @ self.whiten.T).astype(vectors.dtype)
 
 
 class TransformChain:

@@ -105,3 +105,41 @@ def test_asnorm_cross_select(tmp_path):
     raw, ec, tc, ref = _run_ref(tmp_path, "asnorm", top_n=10, cross="true")
     ours = asnorm(raw, ec, tc, top_n=10, cross_select=True)
     np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+
+def test_zca_whitening_parity():
+    """ZCA vs the reference mwv/zca class (train_ZCA_Whitening.py:29-66):
+    uncentered ddof=1 moment, clip-then-sqrt spectrum."""
+    import re
+
+    # the script runs its CLI at import (no __main__ guard) — exec only
+    # the ZCA class block
+    text = open(
+        "/root/reference/score/whiten/train_ZCA_Whitening.py"
+    ).read()
+    match = re.search(r"(class ZCA\(.*?)\n## class defined end ##", text,
+                      re.DOTALL)
+    if not match:  # pragma: no cover
+        pytest.skip("cannot locate reference ZCA class")
+    try:
+        from scipy import linalg
+        from sklearn.base import BaseEstimator, TransformerMixin
+        from sklearn.utils import as_float_array
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"missing reference deps: {e}")
+    ns = {"np": np, "linalg": linalg, "BaseEstimator": BaseEstimator,
+          "TransformerMixin": TransformerMixin,
+          "as_float_array": as_float_array}
+    exec(match.group(1), ns)
+    mod = types.SimpleNamespace(ZCA=ns["ZCA"])
+    from asv_subtools_tpu.backend.transforms import ZCAWhitening
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(120, 10)) @ rng.normal(size=(10, 10))
+    ref = mod.ZCA(regularization=1e-6)
+    ref.fit(x.copy())
+    ours = ZCAWhitening(regularization=1e-6).fit(x)
+    v = rng.normal(size=(7, 10))
+    np.testing.assert_allclose(
+        ours.transform(v), np.dot(v, ref.whiten_.T), rtol=1e-8, atol=1e-10
+    )
