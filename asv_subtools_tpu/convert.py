@@ -577,6 +577,20 @@ def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
         })
     for name, taps in taps_by_layer.items():
         params[name], stats[name] = _tdnn_layer(sd, name, taps=taps)
+    # SE blocks (snowdar SE=True: se1-3, + se4 under extend): TdnnAffine
+    # fc_1/fc_2 map to Dense fc1/fc2 (components.py SEBlock :565-598)
+    for i in (1, 2, 3, 4):
+        if f"se{i}.fc_1.weight" in sd:
+            params[f"se{i}"] = {
+                "fc1": {
+                    "kernel": _dense_kernel(sd[f"se{i}.fc_1.weight"]),
+                    "bias": np.asarray(sd[f"se{i}.fc_1.bias"], np.float32),
+                },
+                "fc2": {
+                    "kernel": _dense_kernel(sd[f"se{i}.fc_2.weight"]),
+                    "bias": np.asarray(sd[f"se{i}.fc_2.bias"], np.float32),
+                },
+            }
     params["tdnn6_affine"] = {
         "kernel": _dense_kernel(sd["tdnn6.affine.weight"]),
         "bias": np.asarray(sd["tdnn6.affine.bias"], np.float32),

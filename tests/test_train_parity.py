@@ -318,6 +318,36 @@ class TestSnowdarTrainParity:
                     max_change=1e4, expect_clipped=False)
 
 
+class TestSnowdarSETrainParity:
+    def test_one_step_se(self):
+        """snowdar SE=True: certifies SEBlock placement (after tdnn1-3
+        only) and the fc_1/fc_2 conversion (components.py:565-598)."""
+        from asv_subtools_tpu.convert import convert_snowdar_state_dict
+        from asv_subtools_tpu.models import SnowdarXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "snowdar_tref3",
+        )
+        torch.manual_seed(0)
+        feat = 30
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, training=True, SE=True, se_ratio=4,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=SnowdarXvector(se_block=True, se_ratio=4),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 90, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        _run_parity(ref, net, convert_snowdar_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False)
+
+
 class TestExtendedTrainParity:
     def test_one_step_extend_skip(self):
         """snowdar extend=True + skip_connection=True: certifies the E-TDNN
