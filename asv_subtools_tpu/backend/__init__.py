@@ -13,7 +13,7 @@ from .classifiers import (
     train_svm,
 )
 from .figure import det_curve_points, plot_det, plot_score_distribution
-from .fusion import greedy_fusion, lda_fusion, logistic_fusion, weight_fusion
+from .fusion import greedy_fusion, lda_fusion, logistic_fusion, svm_fusion, weight_fusion
 from .adaptation import (
     TwoCovPlda,
     adapt_plda_cip,
@@ -27,6 +27,8 @@ from .adaptation import (
 from .metrics import (
     compute_cavg,
     compute_eer,
+    compute_eer_bosaris,
+    compute_eer_kaldi,
     compute_min_dcf,
     compute_min_tdcf,
     roc_curve,

@@ -68,6 +68,35 @@ def logistic_fusion(
     return clf.coef_[0], ev @ clf.coef_[0] + clf.intercept_[0]
 
 
+def svm_fusion(
+    dev_scores: Sequence[np.ndarray],
+    dev_labels: np.ndarray,
+    eval_scores: Optional[Sequence[np.ndarray]] = None,
+    normalize: bool = False,
+    c: float = 1.0,
+) -> Tuple[np.ndarray, float, np.ndarray]:
+    """Linear-SVM fusion, reference-exact (fusionBySvm.py:131-160):
+    labels map to +1/-1, `svm.SVC(kernel='linear', C=1, random_state=777)`
+    learns (w, b), and the fused score is x @ w + b. With normalize=True
+    each system's scores pass through a sigmoid first (:92).
+    Returns (weights, bias, fused eval scores).
+    """
+    from sklearn import svm as _svm
+
+    def _prep(cols):
+        x = np.stack([np.asarray(s, np.float64) for s in cols], axis=1)
+        return 1.0 / (1.0 + np.exp(-x)) if normalize else x
+
+    x = _prep(dev_scores)
+    y = np.where(np.asarray(dev_labels) == 1, 1, -1)
+    model = _svm.SVC(kernel="linear", max_iter=-1, C=c, random_state=777)
+    model.fit(x, y)
+    w = model.coef_[0]
+    b = float(model.intercept_[0])
+    ev = x if eval_scores is None else _prep(eval_scores)
+    return w, b, ev @ w + b
+
+
 def greedy_fusion(
     dev_scores: Sequence[np.ndarray],
     dev_labels: np.ndarray,

@@ -57,6 +57,60 @@ def compute_eer(scores: np.ndarray, labels: np.ndarray) -> Tuple[float, float]:
     return float(eer), float(t)
 
 
+def compute_eer_bosaris(
+    scores: np.ndarray, labels: np.ndarray
+) -> Tuple[float, float]:
+    """EER with the reference's exact Bosaris-like convention
+    (computeEER-like-Bosaris.py:50-93): sweep scores ascending, at the
+    first point where FAR <= FRR pick that point or the previous one —
+    whichever has the smaller |FAR-FRR| — and average its two rates.
+
+    No interpolation: the reported threshold is always one of the scores.
+    Ties sort nontargets first, matching python's list sort of
+    [score, label] pairs with nontarget=0 < target=1.
+    """
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels, np.int64)
+    n_p = int(labels.sum())
+    n_n = len(labels) - n_p
+    if n_p == 0 or n_n == 0:
+        raise ValueError("need both target and nontarget trials")
+    order = np.lexsort((labels, scores))  # ascending score, nontarget first
+    l = labels[order]
+    s = scores[order]
+    frr = np.cumsum(l) / n_p  # rejected targets at each inclusive cut
+    far = (n_n - np.cumsum(1 - l)) / n_n  # accepted nontargets above cut
+    cross = np.nonzero(far <= frr)[0]
+    i = int(cross[0])
+    if i == 0:  # the reference would crash here (empty memory); bracket it
+        return float((far[0] + frr[0]) / 2), float(s[0])
+    if abs(far[i] - frr[i]) <= abs(far[i - 1] - frr[i - 1]):
+        return float((far[i] + frr[i]) / 2), float(s[i])
+    return float((far[i - 1] + frr[i - 1]) / 2), float(s[i - 1])
+
+
+def compute_eer_kaldi(
+    scores: np.ndarray, labels: np.ndarray
+) -> Tuple[float, float]:
+    """EER with Kaldi compute-eer semantics (the binary behind
+    computeEER.sh:22): walk the sorted target scores; the EER is the
+    fraction of targets below the first target score that exceeds its
+    quantile-matched nontarget score.
+    """
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels, np.int64)
+    tar = np.sort(scores[labels == 1])
+    non = np.sort(scores[labels == 0])
+    if len(tar) == 0 or len(non) == 0:
+        raise ValueError("need both target and nontarget trials")
+    n_t, n_n = len(tar), len(non)
+    pos = np.arange(n_t - 1)  # target_position + 1 < target_size
+    non_idx = np.maximum(n_n - 1 - (n_n * pos / n_t).astype(np.int64), 0)
+    hit = np.nonzero(non[non_idx] < tar[pos])[0]
+    target_position = int(hit[0]) if len(hit) else n_t - 1
+    return float(target_position / n_t), float(tar[target_position])
+
+
 def compute_min_dcf(
     scores: np.ndarray,
     labels: np.ndarray,
@@ -64,8 +118,18 @@ def compute_min_dcf(
     c_miss: float = 1.0,
     c_fa: float = 1.0,
 ) -> Tuple[float, float]:
-    """Normalized minimum detection cost (NIST DCF)."""
+    """Normalized minimum detection cost (NIST DCF).
+
+    Parity: kaldi/sid/compute_min_dcf.py:54-106. The sweep covers every
+    score cut plus the reject-everything endpoint the reference reaches at
+    its last ascending threshold (fnr=1, fpr=0); without it a garbage
+    system whose best operating point is "accept nothing" would report a
+    higher cost than the reference.
+    """
     fa, miss, thr = roc_curve(scores, labels)
+    fa = np.concatenate([[0.0], fa])
+    miss = np.concatenate([[1.0], miss])
+    thr = np.concatenate([[thr[0]], thr])
     dcf = c_miss * miss * p_target + c_fa * fa * (1.0 - p_target)
     dcf_default = min(c_miss * p_target, c_fa * (1.0 - p_target))
     idx = int(np.argmin(dcf))
@@ -137,15 +201,25 @@ def compute_min_tdcf(
     c_miss_cm: float = 1.0,
     c_fa_cm: float = 10.0,
 ) -> float:
-    """ASVspoof t-DCF with the reference's fixed priors/costs
-    (computeMin-t-DCF.py:14-25), ASV operating at its EER threshold."""
+    """ASVspoof min t-DCF, reference-exact (computeMin-t-DCF.py:94-225).
+
+    The ASV system operates at its Bosaris-convention EER threshold
+    (an actual score value, :175); the CM sweep covers every ascending
+    score cut INCLUDING the accept-everything (P_miss=0, P_fa=1) and
+    reject-everything (P_miss=1, P_fa=0) endpoints (:204-223); and the
+    returned cost is min(beta*P_miss_cm + P_fa_cm) with beta = C1/C2 —
+    i.e. the reference normalizes by C2, not by min(C1, C2) as the
+    official ASVspoof scorer does.
+    """
+    asv_scores = np.asarray(asv_scores, np.float64)
+    asv_labels = np.asarray(asv_labels, np.int64)
+    cm_scores = np.asarray(cm_scores, np.float64)
+    cm_labels = np.asarray(cm_labels, np.int64)
     tar = asv_scores[asv_labels == 1]
     non = asv_scores[asv_labels == 0]
     spoof = asv_scores[asv_labels == -1]
-    eer, thr = compute_eer(
-        np.concatenate([tar, non]),
-        np.concatenate([np.ones(len(tar)), np.zeros(len(non))]),
-    )
+    keep = asv_labels >= 0
+    _, thr = compute_eer_bosaris(asv_scores[keep], asv_labels[keep])
     p_miss_asv = (tar < thr).mean()
     p_fa_asv = (non >= thr).mean()
     p_miss_spoof_asv = (spoof < thr).mean() if len(spoof) else 0.0
@@ -155,15 +229,14 @@ def compute_min_tdcf(
         - pi_non * c_fa_asv * p_fa_asv
     )
     c2 = c_fa_cm * pi_spoof * (1.0 - p_miss_spoof_asv)
-    if c1 < 0 or c2 < 0:
+    if c1 < 0 or c2 <= 0:
         raise ValueError("negative t-DCF weights; check ASV scores")
+    beta = c1 / c2
 
-    bona = cm_scores[cm_labels == 1]
-    sp = cm_scores[cm_labels == 0]
-    fa_cm, miss_cm, _ = roc_curve(
-        np.concatenate([bona, sp]),
-        np.concatenate([np.ones(len(bona)), np.zeros(len(sp))]),
-    )
-    tdcf = c1 * miss_cm + c2 * fa_cm
-    tdcf_default = min(c1, c2)
-    return float(tdcf.min() / tdcf_default) if tdcf_default > 0 else float("inf")
+    n_bona = int((cm_labels == 1).sum())
+    n_spoof = int((cm_labels == 0).sum())
+    order = np.lexsort((cm_labels, cm_scores))  # ascending, spoof first on ties
+    l = cm_labels[order]
+    p_miss_cm = np.concatenate([[0.0], np.cumsum(l) / n_bona])
+    p_fa_cm = np.concatenate([[1.0], (n_spoof - np.cumsum(1 - l)) / n_spoof])
+    return float(np.min(beta * p_miss_cm + p_fa_cm))
