@@ -18,7 +18,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..io.kaldi import read_mat
+from ..io.kaldi import read_ali, read_mat
 from ..datadir import DataDir
 
 
@@ -193,8 +193,10 @@ class ChunkEgsMultiTask(ChunkEgs):
     """Dual-label chunk egs for multi-task (speaker, phone) training.
 
     Parity: pytorch/libs/egs/egs_multi_task.py:28-123 — each chunk carries
-    the speaker label plus a frame-aligned phone-label matrix read from a
-    parallel alignment ark (same start/end range as the features).
+    the speaker label plus frame-aligned phone labels read from a parallel
+    alignment ark (same start/end range as the features). Accepts both the
+    int-vector format ali-to-phones writes (read via kaldi_io's
+    read_ali_ark convention) and single-column float matrices.
     """
 
     def __init__(self, chunks, ali_rxfiles: Dict[str, str], **kwargs):
@@ -203,9 +205,9 @@ class ChunkEgsMultiTask(ChunkEgs):
 
     def _collate(self, batch):
         out = super()._collate(batch)
-        phones = []
-        for c in batch:
-            ali = read_mat(self.ali_rxfiles[c.utt], row_range=(c.start, c.end))
-            phones.append(ali[:, 0].astype(np.int32))
+        phones = [
+            read_ali(self.ali_rxfiles[c.utt], row_range=(c.start, c.end))
+            for c in batch
+        ]
         out["phone_y"] = np.stack(phones)
         return out

@@ -128,6 +128,61 @@ def _read_vec_flt_binary(fd: BinaryIO) -> np.ndarray:
     return np.frombuffer(fd.read(dim * size), dtype=dtype).copy()
 
 
+def read_vec_int(
+    fd_or_path, row_range: Optional[Tuple[int, int]] = None
+) -> np.ndarray:
+    """Read a Kaldi int32 vector (alignment format written by
+    ali-to-phones): '\\0B' + int32 dim + per-element ('\\x04' + int32)
+    pairs (parity: kaldi_io.py:191-229). row_range=(start, end) slices
+    elements [start, end) — the reference's inclusive `chunk` arg, except
+    we consume exactly this record so ark iteration stays aligned (the
+    reference overreads into the next record when chunk[0] > 0,
+    kaldi_io.py:214-217)."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        return _read_vec_int_binary(fd, row_range)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def _read_vec_int_binary(
+    fd: BinaryIO, row_range: Optional[Tuple[int, int]] = None
+) -> np.ndarray:
+    _expect_binary(fd)
+    dim = _read_int32(fd)
+    if dim == 0:
+        return np.array([], dtype=np.int32)
+    raw = fd.read(dim * 5)
+    pairs = np.frombuffer(raw, dtype=[("size", "int8"), ("value", "<i4")],
+                          count=dim)
+    vec = pairs["value"]
+    if row_range is not None:
+        s, e = row_range
+        vec = vec[s:e]
+    return np.ascontiguousarray(vec)
+
+
+def read_vec_int_ark(fd_or_path) -> Iterator[Tuple[str, np.ndarray]]:
+    """Iterate (key, int32 vector) over an alignment ark
+    (parity: kaldi_io.py:175-189 read_vec_int_ark / read_ali_ark)."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        while True:
+            key = read_key(fd)
+            if key is None:
+                return
+            yield key, _read_vec_int_binary(fd)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def read_vec_int_scp(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    for key, rxfile in read_scp(path):
+        yield key, read_vec_int(rxfile)
+
+
 def read_mat(
     fd_or_path, row_range: Optional[Tuple[int, int]] = None
 ) -> np.ndarray:
@@ -137,22 +192,54 @@ def read_mat(
     fd = open_or_fd(fd_or_path)
     try:
         _expect_binary(fd)
-        header = fd.read(3)
-        if header in (b"FM ", b"DM "):
-            dtype, esize = (np.float32, 4) if header == b"FM " else (np.float64, 8)
-            rows = _read_int32(fd)
-            cols = _read_int32(fd)
+        return _read_mat_body(fd, fd.read(3), row_range)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def _read_mat_body(
+    fd: BinaryIO, header: bytes, row_range: Optional[Tuple[int, int]]
+) -> np.ndarray:
+    if header in (b"FM ", b"DM "):
+        dtype, esize = (np.float32, 4) if header == b"FM " else (np.float64, 8)
+        rows = _read_int32(fd)
+        cols = _read_int32(fd)
+        if row_range is not None:
+            s, e = row_range
+            s, e = max(0, s), min(rows, e)
+            fd.seek(s * cols * esize, io.SEEK_CUR)
+            data = np.frombuffer(fd.read((e - s) * cols * esize), dtype=dtype)
+            return data.reshape(e - s, cols).copy()
+        data = np.frombuffer(fd.read(rows * cols * esize), dtype=dtype)
+        return data.reshape(rows, cols).copy()
+    if header in (b"CM ", b"CM2", b"CM3"):
+        return _read_compressed_mat(fd, header, row_range)
+    raise ValueError(f"unknown matrix header {header!r}")
+
+
+def read_ali(
+    fd_or_path, row_range: Optional[Tuple[int, int]] = None
+) -> np.ndarray:
+    """Per-frame integer labels from EITHER a Kaldi int-vector alignment
+    entry (what ali-to-phones writes; reference read_ali_ark,
+    kaldi_io.py:169-173) or a single-column float matrix — sniffed from
+    the byte after '\\0B'."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        _expect_binary(fd)
+        first = fd.read(1)
+        if first == b"\x04":  # int32 dim marker -> int vector
+            dim = struct.unpack("<i", fd.read(4))[0]
+            pairs = np.frombuffer(fd.read(dim * 5),
+                                  dtype=[("size", "int8"), ("value", "<i4")],
+                                  count=dim)
+            vec = pairs["value"]
             if row_range is not None:
-                s, e = row_range
-                s, e = max(0, s), min(rows, e)
-                fd.seek(s * cols * esize, io.SEEK_CUR)
-                data = np.frombuffer(fd.read((e - s) * cols * esize), dtype=dtype)
-                return data.reshape(e - s, cols).copy()
-            data = np.frombuffer(fd.read(rows * cols * esize), dtype=dtype)
-            return data.reshape(rows, cols).copy()
-        if header in (b"CM ", b"CM2", b"CM3"):
-            return _read_compressed_mat(fd, header, row_range)
-        raise ValueError(f"unknown matrix header {header!r}")
+                vec = vec[row_range[0]:row_range[1]]
+            return np.ascontiguousarray(vec)
+        mat = _read_mat_body(fd, first + fd.read(2), row_range)
+        return mat[:, 0].astype(np.int32)
     finally:
         if fd is not fd_or_path:
             fd.close()
@@ -266,6 +353,26 @@ def write_vec_flt(fd_or_path, vec: np.ndarray, key: str) -> int:
             fd.write(b"FV ")
         _write_int32(fd, v.shape[0])
         fd.write(v.tobytes())
+        return offset
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def write_vec_int(fd_or_path, vec: np.ndarray, key: str) -> int:
+    """Write a Kaldi int32 vector ('\\x04'-prefixed elements, parity:
+    kaldi_io.py:236-267). Returns the value byte offset (for scp)."""
+    fd = open_or_fd(fd_or_path, "ab")
+    try:
+        fd.write((key + " ").encode())
+        offset = fd.tell() if hasattr(fd, "tell") else -1
+        fd.write(b"\x00B")
+        v = np.ascontiguousarray(vec, dtype="<i4")
+        _write_int32(fd, v.shape[0])
+        body = np.empty(v.shape[0], dtype=[("size", "int8"), ("value", "<i4")])
+        body["size"] = 4
+        body["value"] = v
+        fd.write(body.tobytes())
         return offset
     finally:
         if fd is not fd_or_path:
