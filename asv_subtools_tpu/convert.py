@@ -388,12 +388,19 @@ def _ln(sd: Dict, prefix: str) -> Dict:
 def convert_conformer_state_dict(
     sd: Dict, num_blocks: int, freq_out: int
 ) -> Tuple[Dict, Dict]:
-    """ASV-Subtools TransformerXvector (conformer, rel_pos, conv2d 4x)
-    state_dict -> (params, batch_stats) for models.ConformerXvector.
+    """ASV-Subtools TransformerXvector (conformer) state_dict ->
+    (params, batch_stats) for models.ConformerXvector.
 
-    freq_out: F' after the two stride-2 subsampling convs
-    (((F-1)//2 - 1)//2) — the flatten permutation mirror of the resnet
-    converter. q/k/v linears fuse into our single qkv kernel.
+    Handles every subsampling variant (conv2d2/conv2d/conv2d6 have two
+    convs at torch indices conv.0/conv.2, conv2d8 adds conv.4) and every
+    positional-encoding type: rel_pos params (linear_pos + pos_bias_u/v)
+    convert when present; abs_pos/rot_pos/no_pos have no positional
+    parameters (encoder.py:127-141). q/k/v linears fuse into our single
+    qkv kernel.
+
+    freq_out: F' after the subsampling convs — conv2d: ((F-1)//2-1)//2;
+    conv2d2: F-4 (SVConv2dSubsampling2, time-only stride);
+    conv2d6: ((F-1)//2-2)//3; conv2d8: (((F-1)//2-1)//2-1)//2.
     """
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd.items()}
@@ -411,19 +418,19 @@ def convert_conformer_state_dict(
         for c in range(c_dim):
             perm[f * c_dim + c] = c * freq_out + f
     tp["embed"] = {
-        "conv1": {
-            "kernel": sub_kernel(sd["transformer.embed.conv.0.weight"]),
-            "bias": np.asarray(sd["transformer.embed.conv.0.bias"], np.float32),
-        },
-        "conv2": {
-            "kernel": sub_kernel(sd["transformer.embed.conv.2.weight"]),
-            "bias": np.asarray(sd["transformer.embed.conv.2.bias"], np.float32),
-        },
         "proj": {
             "kernel": np.transpose(proj_w[:, perm], (1, 0)),
             "bias": np.asarray(sd["transformer.embed.out.0.bias"], np.float32),
         },
     }
+    for n, idx in (("conv1", 0), ("conv2", 2), ("conv3", 4)):
+        wkey = f"transformer.embed.conv.{idx}.weight"
+        if wkey in sd:
+            tp["embed"][n] = {
+                "kernel": sub_kernel(sd[wkey]),
+                "bias": np.asarray(
+                    sd[f"transformer.embed.conv.{idx}.bias"], np.float32),
+            }
 
     for i in range(num_blocks):
         pre = f"transformer.encoders.{i}"
@@ -457,9 +464,6 @@ def convert_conformer_state_dict(
             "norm_mha": _ln(sd, f"{pre}.norm_mha"),
             "self_attn": {
                 "qkv": {"kernel": qkv_w, "bias": qkv_b},
-                "pos": {"kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_pos.weight"])},
-                "pos_bias_u": np.asarray(sd[f"{pre}.self_attn.pos_bias_u"], np.float32),
-                "pos_bias_v": np.asarray(sd[f"{pre}.self_attn.pos_bias_v"], np.float32),
                 "out": {
                     "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_out.weight"]),
                     "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
@@ -494,6 +498,14 @@ def convert_conformer_state_dict(
             },
             "norm_final": _ln(sd, f"{pre}.norm_final"),
         }
+        if f"{pre}.self_attn.linear_pos.weight" in sd:  # rel_pos only
+            blk["self_attn"]["pos"] = {
+                "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_pos.weight"])
+            }
+            blk["self_attn"]["pos_bias_u"] = np.asarray(
+                sd[f"{pre}.self_attn.pos_bias_u"], np.float32)
+            blk["self_attn"]["pos_bias_v"] = np.asarray(
+                sd[f"{pre}.self_attn.pos_bias_v"], np.float32)
         tp[f"block_{i}"] = blk
 
     tp["after_norm"] = _ln(sd, "transformer.after_norm")

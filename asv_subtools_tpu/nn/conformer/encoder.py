@@ -296,6 +296,11 @@ class ConformerEncoder(nn.Module):
         pos_emb = None
         if self.pos_enc_type == "abs_pos":
             h = abs_position_encoding(h)
+        elif self.pos_enc_type == "rot_pos":
+            # RoPositionalEncoding.forward scales x by sqrt(d) like abs_pos
+            # (embedding.py:179-192); the rotation itself happens inside
+            # RoPESelfAttention on q/k(/v).
+            h = h * float(np.sqrt(self.attention_dim))
         elif self.pos_enc_type == "rel_pos":
             # wenet RelPositionalEncoding scales x by sqrt(d); pos_emb is the
             # standard table at positions 0..T-1 (no XL rel-shift)

@@ -39,7 +39,9 @@ class LinearNoSubsampling(nn.Module):
 
 
 class Conv2dSubsampling2(nn.Module):
-    """1/2 rate: one stride-2 conv over time (SVConv2dSubsampling2)."""
+    """1/2 rate: stride 2 over time only, then stride 1
+    (SVConv2dSubsampling2, subsampling.py:365-384 — conv1 stride is (2,1),
+    so frequency only loses the two 3-kernel margins: F' = F - 4)."""
 
     odim: int = 256
     dropout_rate: float = 0.1
@@ -48,7 +50,7 @@ class Conv2dSubsampling2(nn.Module):
     def __call__(self, x, mask=None, deterministic: bool = True):
         b, t, f = x.shape
         h = x[..., None]
-        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID", name="conv1")(h))
+        h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 1), padding="VALID", name="conv1")(h))
         h = jax.nn.relu(nn.Conv(self.odim, (3, 3), strides=(1, 1), padding="VALID", name="conv2")(h))
         b2, t2, f2, c = h.shape
         h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))

@@ -452,3 +452,77 @@ class TestSnowdarParity:
         )
         assert our_emb.shape == ref_np.shape
         np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
+
+class TestConformerVariantParity:
+    """Converter parity for the OTHER encoder variants: abs_pos / rot_pos /
+    no_pos positional encodings and conv2d2 / conv2d6 / conv2d8
+    subsampling (reference encoder.py:127-156). The base test covers only
+    rel_pos + conv2d."""
+
+    def _roundtrip(self, reference_conformer, pos_enc, input_layer,
+                   freq_out_fn, seed=0, feat=30, tol=3e-3):
+        from asv_subtools_tpu.convert import convert_conformer_state_dict
+        from asv_subtools_tpu.models import ConformerXvector
+
+        torch.manual_seed(seed)
+        d_att, blocks = 32, 2
+        ref = reference_conformer.TransformerXvector(
+            feat, 50, training=False, embd_dim=16,
+            transformer_params={
+                "attention_dim": d_att, "attention_heads": 2,
+                "linear_units": 64, "num_blocks": blocks,
+                "pos_enc_type": pos_enc, "input_layer": input_layer,
+                "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+            },
+            tansformer_out={"out_dim": 48},
+        )
+        ref.eval()
+        params, stats = convert_conformer_state_dict(
+            ref.state_dict(), blocks, freq_out_fn(feat)
+        )
+        ours = ConformerXvector(
+            embd_dim=16, attention_dim=d_att, attention_heads=2,
+            linear_units=64, num_blocks=blocks, out_dim=48,
+            dropout_rate=0.0, pos_enc_type=pos_enc, input_layer=input_layer,
+        )
+        variables = {"params": params, "batch_stats": stats}
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.ones((1, 80, feat)), train=False,
+        )
+        shapes = lambda t: jax.tree_util.tree_map(lambda x: tuple(np.shape(x)), t)
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(2, 80, feat)).astype(np.float32)
+        with torch.no_grad():
+            ref_emb = ref.extract_embedding_jit(
+                torch.from_numpy(np.transpose(x, (0, 2, 1))), position="near"
+            )
+        ref_np = ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=tol, atol=tol)
+
+    def test_abs_pos_conv2d2(self, reference_conformer):
+        """abs_pos sinusoidal + SVConv2dSubsampling2 (time-only stride,
+        F' = F - 4, subsampling.py:365-384)."""
+        self._roundtrip(reference_conformer, "abs_pos", "conv2d2",
+                        lambda f: f - 4, seed=1)
+
+    def test_rot_pos_conv2d(self, reference_conformer):
+        """RoPE attention (rotary q/k/v, RoPESelfAttention attention.py:255)
+        with the standard 4x subsampling."""
+        self._roundtrip(reference_conformer, "rot_pos", "conv2d",
+                        lambda f: ((f - 1) // 2 - 1) // 2, seed=2)
+
+    def test_no_pos_conv2d6(self, reference_conformer):
+        self._roundtrip(reference_conformer, "no_pos", "conv2d6",
+                        lambda f: ((f - 1) // 2 - 2) // 3, seed=3)
+
+    def test_abs_pos_conv2d8(self, reference_conformer):
+        self._roundtrip(reference_conformer, "abs_pos", "conv2d8",
+                        lambda f: (((f - 1) // 2 - 1) // 2 - 1) // 2, seed=4)
