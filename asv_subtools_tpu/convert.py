@@ -434,21 +434,71 @@ def convert_conformer_state_dict(
 
     for i in range(num_blocks):
         pre = f"transformer.encoders.{i}"
-        qkv_w = np.concatenate(
-            [
-                _dense_kernel(sd[f"{pre}.self_attn.linear_q.weight"]),
-                _dense_kernel(sd[f"{pre}.self_attn.linear_k.weight"]),
-                _dense_kernel(sd[f"{pre}.self_attn.linear_v.weight"]),
-            ],
-            axis=1,
-        )
-        qkv_b = np.concatenate(
-            [
-                np.asarray(sd[f"{pre}.self_attn.linear_q.bias"], np.float32),
-                np.asarray(sd[f"{pre}.self_attn.linear_k.bias"], np.float32),
-                np.asarray(sd[f"{pre}.self_attn.linear_v.bias"], np.float32),
-            ]
-        )
+        if f"{pre}.self_attn.to_gate.0.weight" in sd:
+            # GAU (att_type="gau", attention.py:394-520): to_gate / to_v /
+            # to_qk linears fuse into our single uv projection (split order
+            # u=gate, v, base=qk in nn.conformer.attention.GAU); the two
+            # OffsetScale modules stack into gamma/beta rows [q, k].
+            attn = {
+                "uv": {
+                    "kernel": np.concatenate(
+                        [
+                            _dense_kernel(sd[f"{pre}.self_attn.to_gate.0.weight"]),
+                            _dense_kernel(sd[f"{pre}.self_attn.to_v.0.weight"]),
+                            _dense_kernel(sd[f"{pre}.self_attn.to_qk.0.weight"]),
+                        ],
+                        axis=1,
+                    ),
+                    "bias": np.concatenate(
+                        [
+                            np.asarray(sd[f"{pre}.self_attn.to_gate.0.bias"], np.float32),
+                            np.asarray(sd[f"{pre}.self_attn.to_v.0.bias"], np.float32),
+                            np.asarray(sd[f"{pre}.self_attn.to_qk.0.bias"], np.float32),
+                        ]
+                    ),
+                },
+                "gamma": np.concatenate(
+                    [
+                        np.asarray(sd[f"{pre}.self_attn.scale_q.gamma"], np.float32),
+                        np.asarray(sd[f"{pre}.self_attn.scale_k.gamma"], np.float32),
+                    ],
+                    axis=0,
+                ),
+                "beta": np.concatenate(
+                    [
+                        np.asarray(sd[f"{pre}.self_attn.scale_q.beta"], np.float32),
+                        np.asarray(sd[f"{pre}.self_attn.scale_k.beta"], np.float32),
+                    ],
+                    axis=0,
+                ),
+                "out": {
+                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.to_out.0.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.self_attn.to_out.0.bias"], np.float32),
+                },
+            }
+        else:
+            qkv_w = np.concatenate(
+                [
+                    _dense_kernel(sd[f"{pre}.self_attn.linear_q.weight"]),
+                    _dense_kernel(sd[f"{pre}.self_attn.linear_k.weight"]),
+                    _dense_kernel(sd[f"{pre}.self_attn.linear_v.weight"]),
+                ],
+                axis=1,
+            )
+            qkv_b = np.concatenate(
+                [
+                    np.asarray(sd[f"{pre}.self_attn.linear_q.bias"], np.float32),
+                    np.asarray(sd[f"{pre}.self_attn.linear_k.bias"], np.float32),
+                    np.asarray(sd[f"{pre}.self_attn.linear_v.bias"], np.float32),
+                ]
+            )
+            attn = {
+                "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                "out": {
+                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_out.weight"]),
+                    "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
+                },
+            }
         blk = {
             "norm_ff_macaron": _ln(sd, f"{pre}.norm_ff_macaron"),
             "ff_macaron": {
@@ -462,13 +512,7 @@ def convert_conformer_state_dict(
                 },
             },
             "norm_mha": _ln(sd, f"{pre}.norm_mha"),
-            "self_attn": {
-                "qkv": {"kernel": qkv_w, "bias": qkv_b},
-                "out": {
-                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_out.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
-                },
-            },
+            "self_attn": attn,
             "norm_conv": _ln(sd, f"{pre}.norm_conv"),
             "conv_module": {
                 "pointwise1": {
@@ -498,6 +542,14 @@ def convert_conformer_state_dict(
             },
             "norm_final": _ln(sd, f"{pre}.norm_final"),
         }
+        if f"{pre}.self_attn.t5rel_module.relative_attention_bias.weight" in sd:
+            # add_t5rel_bias: per-layer learned bucket bias (attention.py:38)
+            blk["t5_bias"] = {
+                "rel_bias": np.asarray(
+                    sd[f"{pre}.self_attn.t5rel_module.relative_attention_bias.weight"],
+                    np.float32,
+                )
+            }
         if f"{pre}.self_attn.linear_pos.weight" in sd:  # rel_pos only
             blk["self_attn"]["pos"] = {
                 "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_pos.weight"])

@@ -187,17 +187,23 @@ class T5RelPositionBias(nn.Module):
 
     @staticmethod
     def _bucket(rel, num_buckets, max_distance):
-        n = num_buckets // 2
-        ret = jnp.where(rel < 0, 0, n)
-        rel = jnp.abs(rel)
-        max_exact = n // 2
+        """Reference-exact non-causal bucketing
+        (attention.py:332-357 _relative_position_bucket): n = -(k - q);
+        future keys (n < 0) take the upper half, |n| is bucketed linearly
+        below num_buckets//4 and logarithmically up to max_distance. The
+        diagonal (n == 0) lands in bucket 0."""
+        half = num_buckets // 2
+        n = -rel
+        ret = jnp.where(n < 0, half, 0)
+        n = jnp.abs(n)
+        max_exact = half // 2
         val_if_large = max_exact + (
-            jnp.log(rel.astype(jnp.float32) / max_exact + 1e-6)
+            jnp.log(jnp.maximum(n, 1).astype(jnp.float32) / max_exact)
             / math.log(max_distance / max_exact)
-            * (n - max_exact)
+            * (half - max_exact)
         ).astype(jnp.int32)
-        val_if_large = jnp.minimum(val_if_large, n - 1)
-        return ret + jnp.where(rel < max_exact, rel, val_if_large)
+        val_if_large = jnp.minimum(val_if_large, half - 1)
+        return ret + jnp.where(n < max_exact, n, val_if_large)
 
     @nn.compact
     def __call__(self, t: int) -> jax.Array:
@@ -229,6 +235,7 @@ class GAU(nn.Module):
         mask: Optional[jax.Array] = None,
         pos_emb: Optional[jax.Array] = None,
         deterministic: bool = True,
+        extra_score: Optional[jax.Array] = None,
     ) -> jax.Array:
         b, t, d = x.shape
         e = self.expansion_units
@@ -246,6 +253,11 @@ class GAU(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
         scores = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(s)
+        if extra_score is not None:
+            # T5 relative bias (GAU path: attention.py:574-576 adds
+            # bias*sqrt(d_k) before att_norm's /sqrt(d_k) — net raw bias)
+            ex = extra_score[:, 0] if extra_score.ndim == 4 else extra_score
+            scores = scores + ex
         if mask is not None:
             m = mask[:, 0] if mask.ndim == 4 else mask
             scores = jnp.where(m, scores, NEG_INF)

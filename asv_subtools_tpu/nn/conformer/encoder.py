@@ -113,6 +113,7 @@ class ConformerBlock(nn.Module):
     att_type: str = "multi"
     gau_units: int = 512
     gau_key: int = 64
+    add_t5rel_bias: bool = False
     macaron: bool = True
     use_cnn: bool = True
     cnn_kernel: int = 15
@@ -176,7 +177,11 @@ class ConformerBlock(nn.Module):
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
         )
-        if self.att_type != "gau" and extra_score is not None:
+        if self.add_t5rel_bias:
+            # per-LAYER learned bias: each reference attention layer owns
+            # its own T5RelPositionBias (attention.py:38, no sharing)
+            extra_score = T5RelPositionBias(name="t5_bias")(x.shape[1])
+        if extra_score is not None:
             h_att = att(h, mask=att_mask, pos_emb=pos_emb, deterministic=det,
                         extra_score=extra_score)
         else:
@@ -316,10 +321,6 @@ class ConformerEncoder(nn.Module):
             mask, t, self.static_chunk_size, self.left_chunk_size
         )
 
-        extra = None
-        if self.add_t5rel_bias:
-            extra = T5RelPositionBias(name="t5_bias")(t)
-
         aux_outputs = []
         aux_layers = list(
             range(self.aux_layer_start, self.num_blocks, self.aux_layer_period)
@@ -334,6 +335,7 @@ class ConformerEncoder(nn.Module):
                 att_type=self.att_type,
                 gau_units=self.gau_units,
                 gau_key=self.gau_key,
+                add_t5rel_bias=self.add_t5rel_bias,
                 macaron=self.macaron,
                 use_cnn=self.use_cnn,
                 cnn_kernel=self.cnn_kernel,
@@ -348,7 +350,7 @@ class ConformerEncoder(nn.Module):
                 axis_name=self.axis_name,
                 name=f"block_{i}",
             )(h, att_mask=att_mask, pad_mask=pad_mask, pos_emb=pos_emb,
-              extra_score=extra, train=train)
+              train=train)
             if i in aux_layers or i == self.num_blocks - 1:
                 aux_outputs.append(h)
 

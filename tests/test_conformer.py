@@ -213,7 +213,9 @@ class TestT5BiasWired:
 
         p2 = flax.core.unfreeze(v["params"]) if hasattr(flax.core, "unfreeze") else dict(v["params"])
         p2 = jax.tree_util.tree_map(lambda a: a, v["params"])
-        p2 = {**p2, "t5_bias": {"rel_bias": jnp.full_like(p2["t5_bias"]["rel_bias"], 3.0)}}
+        blk = dict(p2["block_0"])
+        blk["t5_bias"] = {"rel_bias": jnp.full_like(blk["t5_bias"]["rel_bias"], 3.0)}
+        p2 = {**p2, "block_0": blk}
         y2, _ = enc_with.apply({"params": p2}, x, train=False)
         assert not np.allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 

@@ -461,7 +461,8 @@ class TestConformerVariantParity:
     rel_pos + conv2d."""
 
     def _roundtrip(self, reference_conformer, pos_enc, input_layer,
-                   freq_out_fn, seed=0, feat=30, tol=3e-3):
+                   freq_out_fn, seed=0, feat=30, tol=3e-3,
+                   ref_extra=None, ours_extra=None):
         from asv_subtools_tpu.convert import convert_conformer_state_dict
         from asv_subtools_tpu.models import ConformerXvector
 
@@ -474,6 +475,7 @@ class TestConformerVariantParity:
                 "linear_units": 64, "num_blocks": blocks,
                 "pos_enc_type": pos_enc, "input_layer": input_layer,
                 "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+                **(ref_extra or {}),
             },
             tansformer_out={"out_dim": 48},
         )
@@ -485,6 +487,7 @@ class TestConformerVariantParity:
             embd_dim=16, attention_dim=d_att, attention_heads=2,
             linear_units=64, num_blocks=blocks, out_dim=48,
             dropout_rate=0.0, pos_enc_type=pos_enc, input_layer=input_layer,
+            **(ours_extra or {}),
         )
         variables = {"params": params, "batch_stats": stats}
         init_v = ours.init(
@@ -526,3 +529,56 @@ class TestConformerVariantParity:
     def test_abs_pos_conv2d8(self, reference_conformer):
         self._roundtrip(reference_conformer, "abs_pos", "conv2d8",
                         lambda f: (((f - 1) // 2 - 1) // 2 - 1) // 2, seed=4)
+
+    @staticmethod
+    def _shim_balancer():
+        """Reference latent defect: GAU with re_scale=False constructs
+        `ActivationBalancer()` without the required channel_dim argument
+        (attention.py:420-436), so the reference GAU cannot instantiate as
+        shipped. ActivationBalancer is forward-identity (it only clamps
+        gradients), so patching it with nn.Identity preserves eval
+        semantics exactly."""
+        import importlib as _il
+
+        att_mod = _il.import_module("libs.nnet.transformer.attention")
+        att_mod.ActivationBalancer = lambda *a, **k: torch.nn.Identity()
+
+    def test_gau_rot_pos(self, reference_conformer):
+        """Gated attention unit with RoPE (RoPEGAU, attention.py:580-640):
+        to_gate/to_v/to_qk fuse into our uv projection, OffsetScale pairs
+        stack into gamma/beta rows."""
+        self._shim_balancer()
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=5,
+            ref_extra={"att_type": "gau", "gau_units": 64, "gau_key": 16},
+            ours_extra={"att_type": "gau",
+                        "encoder_params": {"gau_units": 64, "gau_key": 16}},
+        )
+
+    def test_t5_bias_abs_pos(self, reference_conformer):
+        """add_t5rel_bias: per-layer learned bucket bias added to the raw
+        q@k^T scores before the /sqrt(d_k) normalize (attention.py:135-137;
+        the module's sqrt(d_k) scale cancels against AttentionNormalize, so
+        our post-scale raw-bias addition is net-identical)."""
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=7,
+            ref_extra={"add_t5rel_bias": True},
+            ours_extra={"encoder_params": {"add_t5rel_bias": True}},
+        )
+
+    def test_gau_abs_pos(self, reference_conformer):
+        """Plain (non-rotary) GAU with sinusoidal input positions — the
+        only other GAU config that runs in the reference: get_gau_layer
+        (encoder.py:314-317) picks RoPEGAU for everything except abs_pos,
+        and with no_pos/rel_pos RoPEGAU receives a d_model-sized zero
+        pos_emb and crashes in apply_rotary (latent defect)."""
+        self._shim_balancer()
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=6,
+            ref_extra={"att_type": "gau", "gau_units": 64, "gau_key": 16},
+            ours_extra={"att_type": "gau",
+                        "encoder_params": {"gau_units": 64, "gau_key": 16}},
+        )
