@@ -542,6 +542,17 @@ def convert_conformer_state_dict(
             },
             "norm_final": _ln(sd, f"{pre}.norm_final"),
         }
+        # AttentionNormalize learned params (attention.py:640-672): present
+        # only when the option is on (scale_adapt / softmax_plus / g_sa)
+        for tkey, okey in (
+            ("att_norm.scale", "att_scale"),
+            ("att_norm.train_len", "train_len"),
+            ("att_norm.omiga", "g_sa_omiga"),
+            ("att_norm.bias", "g_sa_bias"),
+        ):
+            full = f"{pre}.self_attn.{tkey}"
+            if full in sd:
+                attn[okey] = np.asarray(sd[full], np.float32)
         if f"{pre}.self_attn.t5rel_module.relative_attention_bias.weight" in sd:
             # add_t5rel_bias: per-layer learned bucket bias (attention.py:38)
             blk["t5_bias"] = {

@@ -24,18 +24,102 @@ from .embedding import apply_rope, rel_position_encoding, rope_freqs
 NEG_INF = -1.0e9
 
 
-def _attend(q, k, v, mask, dropout_rate, deterministic, module, extra_score=None):
-    """Scaled dot-product attention. q/k/v [B, H, T, Dh]; mask [B, 1, T, T]
-    or [B, 1, 1, T] additive-compatible boolean (True = keep)."""
-    d_k = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d_k)
-    if extra_score is not None:
-        scores = scores + extra_score
-    if mask is not None:
-        scores = jnp.where(mask, scores, NEG_INF)
-    attn = jax.nn.softmax(scores, axis=-1)
+def attention_normalize(
+    module: nn.Module,
+    scores_raw: jax.Array,
+    mask: Optional[jax.Array],
+    d_k: int,
+    *,
+    norm_method: str = "softmax",
+    scale_adapt: bool = False,
+    g_sa: bool = False,
+    diag_mask: bool = False,
+    train_len: float = 512.0,
+) -> jax.Array:
+    """AttentionNormalize (attention.py:640-733), reference-exact.
+
+    scores_raw is the UN-scaled q@k^T with any additive biases already at
+    raw scale (the reference adds t5/gaussian priors before the 1/sqrt(d_k)
+    normalize). Options:
+      - scale_adapt: learned log-scale (init log(d_k^-0.5)) instead of the
+        fixed 1/sqrt(d_k)
+      - g_sa: learned gaussian locality prior -| |dis^2*omiga| - |bias| |
+        added to the raw scores (attention.py:675-683)
+      - diag_mask: mask out the diagonal (:691-692)
+      - norm_method: softmax | relu_plus (relu(a)^2/len, arXiv:2202.10447)
+        | softmax_plus (scores * log(len)/train_len with LEARNED
+        log(train_len), kexue.fm/archives/8823)
+    mask is boolean (True = keep), broadcastable to scores. Returns attn
+    with invalid entries zeroed.
+    """
+    if g_sa:
+        t1, t2 = scores_raw.shape[-2], scores_raw.shape[-1]
+        omiga = module.param("g_sa_omiga", nn.initializers.constant(0.001), ())
+        gbias = module.param("g_sa_bias", nn.initializers.constant(-0.001), (1,))
+        qpos = jnp.arange(t2 - t1, t2)[:, None]
+        kpos = jnp.arange(t2)[None, :]
+        dis = ((kpos - qpos) ** 2).astype(scores_raw.dtype)
+        prior = -jnp.abs(jnp.abs(dis * omiga) - jnp.abs(gbias))
+        scores_raw = scores_raw + prior
+    if scale_adapt:
+        log_scale = module.param(
+            "att_scale", nn.initializers.constant(math.log(d_k**-0.5)), ()
+        )
+        scores = scores_raw * jnp.exp(log_scale)
+    else:
+        scores = scores_raw / math.sqrt(d_k)
+    if diag_mask:
+        t1, t2 = scores.shape[-2], scores.shape[-1]
+        off_diag = ~jnp.eye(t1, t2, dtype=bool)
+        mask = off_diag if mask is None else jnp.logical_and(mask, off_diag)
+
+    if norm_method == "softmax":
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        attn = jax.nn.softmax(scores, axis=-1)
+    else:
+        if mask is not None:
+            length = jnp.maximum(
+                jnp.sum(mask, axis=-1, keepdims=True).astype(scores.dtype), 1.0
+            )
+        else:
+            length = jnp.asarray(float(scores.shape[-1]), scores.dtype)
+        if norm_method == "relu_plus":
+            if mask is not None:
+                scores = jnp.where(mask, scores, 0.0)
+            attn = jax.nn.relu(scores) ** 2 / length
+        elif norm_method == "softmax_plus":
+            log_train_len = module.param(
+                "train_len", nn.initializers.constant(math.log(train_len)), ()
+            )
+            scores = scores * (jnp.log(length) / log_train_len)
+            if mask is not None:
+                scores = jnp.where(mask, scores, NEG_INF)
+            attn = jax.nn.softmax(scores, axis=-1)
+        else:
+            raise ValueError(f"unknown norm_method {norm_method!r}")
     if mask is not None:
         attn = jnp.where(mask, attn, 0.0)
+    return attn
+
+
+def _attend(q, k, v, mask, dropout_rate, deterministic, module, extra_score=None):
+    """Scaled dot-product attention. q/k/v [B, H, T, Dh]; mask [B, 1, T, T]
+    or [B, 1, 1, T] additive-compatible boolean (True = keep). extra_score
+    (T5 bias) enters at RAW scale: the reference t5 module pre-multiplies by
+    sqrt(d_k) which the subsequent normalize divides out (attention.py:38,
+    135-137) — under scale_adapt the two no longer cancel, so we reproduce
+    the raw-score formulation exactly."""
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if extra_score is not None:
+        scores = scores + extra_score * math.sqrt(d_k)
+    attn = attention_normalize(
+        module, scores, mask, d_k,
+        norm_method=module.norm_method, scale_adapt=module.scale_adapt,
+        g_sa=module.g_sa, diag_mask=module.diag_mask,
+        train_len=module.train_len,
+    )
     if dropout_rate > 0.0 and not deterministic:
         attn = nn.Dropout(rate=dropout_rate, deterministic=False)(attn)
     return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -46,6 +130,11 @@ class MultiHeadedAttention(nn.Module):
 
     num_heads: int = 4
     dropout_rate: float = 0.0
+    norm_method: str = "softmax"
+    scale_adapt: bool = False
+    g_sa: bool = False
+    diag_mask: bool = False
+    train_len: float = 512.0
 
     @nn.compact
     def __call__(
@@ -83,6 +172,11 @@ class RelPositionMultiHeadedAttention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.0
     rel_shift: bool = False
+    norm_method: str = "softmax"
+    scale_adapt: bool = False
+    g_sa: bool = False
+    diag_mask: bool = False
+    train_len: float = 512.0
 
     @staticmethod
     def _rel_shift(x):
@@ -130,14 +224,14 @@ class RelPositionMultiHeadedAttention(nn.Module):
         bd = jnp.einsum("bhqd,hpd->bhqp", q_v, p)  # [B, H, T, P]
         if self.rel_shift:
             bd = self._rel_shift(bd)
-        scores = (ac + bd) / math.sqrt(dh)
+        scores = ac + bd  # raw scale; normalize handles 1/sqrt(dh)
         if extra_score is not None:  # T5 relative bias (add_t5rel_bias)
-            scores = scores + extra_score
-        if mask is not None:
-            scores = jnp.where(mask, scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
-        if mask is not None:
-            attn = jnp.where(mask, attn, 0.0)
+            scores = scores + extra_score * math.sqrt(dh)
+        attn = attention_normalize(
+            self, scores, mask, dh,
+            norm_method=self.norm_method, scale_adapt=self.scale_adapt,
+            g_sa=self.g_sa, diag_mask=self.diag_mask, train_len=self.train_len,
+        )
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -151,6 +245,11 @@ class RoPESelfAttention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.0
     rotary_value: bool = True
+    norm_method: str = "softmax"
+    scale_adapt: bool = False
+    g_sa: bool = False
+    diag_mask: bool = False
+    train_len: float = 512.0
 
     @nn.compact
     def __call__(
@@ -227,6 +326,11 @@ class GAU(nn.Module):
     key_dim: int = 64
     dropout_rate: float = 0.0
     use_rope: bool = True
+    norm_method: str = "softmax"
+    scale_adapt: bool = False
+    g_sa: bool = False
+    diag_mask: bool = False
+    train_len: float = 512.0
 
     @nn.compact
     def __call__(
@@ -252,18 +356,20 @@ class GAU(nn.Module):
             cos, sin = rope_freqs(t, s)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        scores = jnp.einsum("bqd,bkd->bqk", q, k) / math.sqrt(s)
+        scores = jnp.einsum("bqd,bkd->bqk", q, k)  # raw scale
         if extra_score is not None:
-            # T5 relative bias (GAU path: attention.py:574-576 adds
-            # bias*sqrt(d_k) before att_norm's /sqrt(d_k) — net raw bias)
+            # T5 relative bias (GAU path: attention.py:574-576, raw scale
+            # with the module's sqrt(d_k) factor)
             ex = extra_score[:, 0] if extra_score.ndim == 4 else extra_score
-            scores = scores + ex
+            scores = scores + ex * math.sqrt(s)
+        m = None
         if mask is not None:
             m = mask[:, 0] if mask.ndim == 4 else mask
-            scores = jnp.where(m, scores, NEG_INF)
-        attn = jax.nn.softmax(scores, axis=-1)
-        if mask is not None:
-            attn = jnp.where(m, attn, 0.0)
+        attn = attention_normalize(
+            self, scores, m, s,
+            norm_method=self.norm_method, scale_adapt=self.scale_adapt,
+            g_sa=self.g_sa, diag_mask=self.diag_mask, train_len=self.train_len,
+        )
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
         out = u * jnp.einsum("bqk,bke->bqe", attn, v)

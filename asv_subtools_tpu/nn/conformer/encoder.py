@@ -82,19 +82,28 @@ class MultiLayeredConv1d(nn.Module):
         return nn.Conv(d, (self.kernel_size,), padding="SAME", name="w2")(h)
 
 
-def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key, name):
+def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
+                    name, norm_args=None):
+    # attention_norm_args (transformer_xvector.py:112-115; the shipped
+    # voxceleb conformer launcher uses norm_method=softmax_plus)
+    na = dict(norm_args or {})
+    kw = {
+        k: na[k]
+        for k in ("norm_method", "scale_adapt", "g_sa", "diag_mask", "train_len")
+        if k in na
+    }
     if att_type == "gau":
         return GAU(
             expansion_units=gau_units, key_dim=gau_key, dropout_rate=dropout,
-            use_rope=(pos_enc_type == "rot_pos"), name=name,
+            use_rope=(pos_enc_type == "rot_pos"), name=name, **kw,
         )
     if pos_enc_type == "rel_pos":
         return RelPositionMultiHeadedAttention(
-            num_heads=heads, dropout_rate=dropout, name=name
+            num_heads=heads, dropout_rate=dropout, name=name, **kw
         )
     if pos_enc_type == "rot_pos":
-        return RoPESelfAttention(num_heads=heads, dropout_rate=dropout, name=name)
-    return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout, name=name)
+        return RoPESelfAttention(num_heads=heads, dropout_rate=dropout, name=name, **kw)
+    return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout, name=name, **kw)
 
 
 class ConformerBlock(nn.Module):
@@ -114,6 +123,7 @@ class ConformerBlock(nn.Module):
     gau_units: int = 512
     gau_key: int = 64
     add_t5rel_bias: bool = False
+    attention_norm_args: Any = None  # dict: norm_method/scale_adapt/g_sa/...
     macaron: bool = True
     use_cnn: bool = True
     cnn_kernel: int = 15
@@ -176,6 +186,7 @@ class ConformerBlock(nn.Module):
         att = _make_attention(
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
+            norm_args=self.attention_norm_args,
         )
         if self.add_t5rel_bias:
             # per-LAYER learned bias: each reference attention layer owns
@@ -268,6 +279,7 @@ class ConformerEncoder(nn.Module):
     gau_units: int = 512
     gau_key: int = 64
     add_t5rel_bias: bool = False
+    attention_norm_args: Any = None  # dict: norm_method/scale_adapt/g_sa/...
     macaron: bool = True
     use_cnn: bool = True
     cnn_kernel: int = 15
@@ -336,6 +348,7 @@ class ConformerEncoder(nn.Module):
                 gau_units=self.gau_units,
                 gau_key=self.gau_key,
                 add_t5rel_bias=self.add_t5rel_bias,
+                attention_norm_args=self.attention_norm_args,
                 macaron=self.macaron,
                 use_cnn=self.use_cnn,
                 cnn_kernel=self.cnn_kernel,

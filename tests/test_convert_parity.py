@@ -556,6 +556,55 @@ class TestConformerVariantParity:
                         "encoder_params": {"gau_units": 64, "gau_key": 16}},
         )
 
+    def test_softmax_plus_rot_pos(self, reference_conformer):
+        """The SHIPPED voxceleb conformer launcher config
+        (runTransformerXvector.py:237-243): rot_pos + softmax_plus
+        length-scaled attention with a LEARNED log(train_len)
+        (attention.py:672,725-727)."""
+        na = {"norm_method": "softmax_plus", "train_len": 300}
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=8,
+            ref_extra={"attention_norm_args": na},
+            ours_extra={"encoder_params": {"attention_norm_args": na}},
+        )
+
+    def test_relu_plus_abs_pos(self, reference_conformer):
+        """relu_plus attention normalize: relu(a)^2 / len (attention.py:722)."""
+        na = {"norm_method": "relu_plus"}
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=9,
+            ref_extra={"attention_norm_args": na},
+            ours_extra={"encoder_params": {"attention_norm_args": na}},
+        )
+
+    def test_scale_adapt_gsa_rel_pos(self, reference_conformer):
+        """Learned log-scale (scale_adapt) + gaussian locality prior (g_sa)
+        + diag_mask, on the rel_pos attention (attention.py:653-692)."""
+        na = {"scale_adapt": True, "g_sa": True, "diag_mask": True}
+        self._roundtrip(
+            reference_conformer, "rel_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=10,
+            ref_extra={"attention_norm_args": na},
+            ours_extra={"encoder_params": {"attention_norm_args": na}},
+        )
+
+    def test_gau_softmax_plus(self, reference_conformer):
+        """GAU with softmax_plus (the AttentionNormalize path is shared,
+        attention.py:446: att_type='gau')."""
+        self._shim_balancer()
+        na = {"norm_method": "softmax_plus", "train_len": 300}
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=11,
+            ref_extra={"att_type": "gau", "gau_units": 64, "gau_key": 16,
+                       "attention_norm_args": na},
+            ours_extra={"att_type": "gau",
+                        "encoder_params": {"gau_units": 64, "gau_key": 16,
+                                           "attention_norm_args": na}},
+        )
+
     def test_t5_bias_abs_pos(self, reference_conformer):
         """add_t5rel_bias: per-layer learned bucket bias added to the raw
         q@k^T scores before the /sqrt(d_k) normalize (attention.py:135-137;
