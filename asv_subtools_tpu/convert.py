@@ -432,50 +432,87 @@ def convert_conformer_state_dict(
                     sd[f"transformer.embed.conv.{idx}.bias"], np.float32),
             }
 
+    def _gau(prefix: str) -> Dict:
+        """GAU params (attention.py:394-520): to_gate / to_v / to_qk fuse
+        into our single uv projection (split order u=gate, v, base=qk in
+        nn.conformer.attention.GAU); the two OffsetScale modules stack into
+        gamma/beta rows [q, k]. to_out is a Linear, or a kernel-3 Conv1d
+        when conv_out (attention.py:437-441). AttentionNormalize learned
+        params convert when present."""
+        out_w = np.asarray(sd[f"{prefix}.to_out.0.weight"])
+        out = {
+            "kernel": (
+                np.transpose(out_w.astype(np.float32), (2, 1, 0))
+                if out_w.ndim == 3 else _dense_kernel(out_w)
+            ),
+            "bias": np.asarray(sd[f"{prefix}.to_out.0.bias"], np.float32),
+        }
+        g = {
+            "uv": {
+                "kernel": np.concatenate(
+                    [
+                        _dense_kernel(sd[f"{prefix}.to_gate.0.weight"]),
+                        _dense_kernel(sd[f"{prefix}.to_v.0.weight"]),
+                        _dense_kernel(sd[f"{prefix}.to_qk.0.weight"]),
+                    ],
+                    axis=1,
+                ),
+                "bias": np.concatenate(
+                    [
+                        np.asarray(sd[f"{prefix}.to_gate.0.bias"], np.float32),
+                        np.asarray(sd[f"{prefix}.to_v.0.bias"], np.float32),
+                        np.asarray(sd[f"{prefix}.to_qk.0.bias"], np.float32),
+                    ]
+                ),
+            },
+            "gamma": np.concatenate(
+                [
+                    np.asarray(sd[f"{prefix}.scale_q.gamma"], np.float32),
+                    np.asarray(sd[f"{prefix}.scale_k.gamma"], np.float32),
+                ],
+                axis=0,
+            ),
+            "beta": np.concatenate(
+                [
+                    np.asarray(sd[f"{prefix}.scale_q.beta"], np.float32),
+                    np.asarray(sd[f"{prefix}.scale_k.beta"], np.float32),
+                ],
+                axis=0,
+            ),
+            "out": out,
+        }
+        for tkey, okey in (
+            ("att_norm.scale", "att_scale"),
+            ("att_norm.train_len", "train_len"),
+            ("att_norm.omiga", "g_sa_omiga"),
+            ("att_norm.bias", "g_sa_bias"),
+        ):
+            if f"{prefix}.{tkey}" in sd:
+                g[okey] = np.asarray(sd[f"{prefix}.{tkey}"], np.float32)
+        return g
+
+    def _pw(prefix: str) -> Dict:
+        """Positionwise layer: a GAU (positionwise_layer_type='gau'), or
+        w_1/w_2 where each weight may be Linear [out, in] or Conv1d
+        [out, in, k] (multi_layer_conv.py: conv1d / conv1d-linear)."""
+        if f"{prefix}.to_gate.0.weight" in sd:
+            return _gau(prefix)
+        layer = {}
+        for t, o in (("w_1", "w1"), ("w_2", "w2")):
+            w = np.asarray(sd[f"{prefix}.{t}.weight"])
+            layer[o] = {
+                "kernel": (
+                    np.transpose(w.astype(np.float32), (2, 1, 0))
+                    if w.ndim == 3 else _dense_kernel(w)
+                ),
+                "bias": np.asarray(sd[f"{prefix}.{t}.bias"], np.float32),
+            }
+        return layer
+
     for i in range(num_blocks):
         pre = f"transformer.encoders.{i}"
         if f"{pre}.self_attn.to_gate.0.weight" in sd:
-            # GAU (att_type="gau", attention.py:394-520): to_gate / to_v /
-            # to_qk linears fuse into our single uv projection (split order
-            # u=gate, v, base=qk in nn.conformer.attention.GAU); the two
-            # OffsetScale modules stack into gamma/beta rows [q, k].
-            attn = {
-                "uv": {
-                    "kernel": np.concatenate(
-                        [
-                            _dense_kernel(sd[f"{pre}.self_attn.to_gate.0.weight"]),
-                            _dense_kernel(sd[f"{pre}.self_attn.to_v.0.weight"]),
-                            _dense_kernel(sd[f"{pre}.self_attn.to_qk.0.weight"]),
-                        ],
-                        axis=1,
-                    ),
-                    "bias": np.concatenate(
-                        [
-                            np.asarray(sd[f"{pre}.self_attn.to_gate.0.bias"], np.float32),
-                            np.asarray(sd[f"{pre}.self_attn.to_v.0.bias"], np.float32),
-                            np.asarray(sd[f"{pre}.self_attn.to_qk.0.bias"], np.float32),
-                        ]
-                    ),
-                },
-                "gamma": np.concatenate(
-                    [
-                        np.asarray(sd[f"{pre}.self_attn.scale_q.gamma"], np.float32),
-                        np.asarray(sd[f"{pre}.self_attn.scale_k.gamma"], np.float32),
-                    ],
-                    axis=0,
-                ),
-                "beta": np.concatenate(
-                    [
-                        np.asarray(sd[f"{pre}.self_attn.scale_q.beta"], np.float32),
-                        np.asarray(sd[f"{pre}.self_attn.scale_k.beta"], np.float32),
-                    ],
-                    axis=0,
-                ),
-                "out": {
-                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.to_out.0.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.self_attn.to_out.0.bias"], np.float32),
-                },
-            }
+            attn = _gau(f"{pre}.self_attn")
         else:
             qkv_w = np.concatenate(
                 [
@@ -501,16 +538,7 @@ def convert_conformer_state_dict(
             }
         blk = {
             "norm_ff_macaron": _ln(sd, f"{pre}.norm_ff_macaron"),
-            "ff_macaron": {
-                "w1": {
-                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward_macaron.w_1.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.feed_forward_macaron.w_1.bias"], np.float32),
-                },
-                "w2": {
-                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward_macaron.w_2.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.feed_forward_macaron.w_2.bias"], np.float32),
-                },
-            },
+            "ff_macaron": _pw(f"{pre}.feed_forward_macaron"),
             "norm_mha": _ln(sd, f"{pre}.norm_mha"),
             "self_attn": attn,
             "norm_conv": _ln(sd, f"{pre}.norm_conv"),
@@ -530,16 +558,7 @@ def convert_conformer_state_dict(
                 },
             },
             "norm_ff": _ln(sd, f"{pre}.norm_ff"),
-            "ff": {
-                "w1": {
-                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward.w_1.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.feed_forward.w_1.bias"], np.float32),
-                },
-                "w2": {
-                    "kernel": _dense_kernel(sd[f"{pre}.feed_forward.w_2.weight"]),
-                    "bias": np.asarray(sd[f"{pre}.feed_forward.w_2.bias"], np.float32),
-                },
-            },
+            "ff": _pw(f"{pre}.feed_forward"),
             "norm_final": _ln(sd, f"{pre}.norm_final"),
         }
         # AttentionNormalize learned params (attention.py:640-672): present

@@ -326,6 +326,7 @@ class GAU(nn.Module):
     key_dim: int = 64
     dropout_rate: float = 0.0
     use_rope: bool = True
+    conv_out: bool = False  # kernel-3 conv output proj (attention.py:437-441)
     norm_method: str = "softmax"
     scale_adapt: bool = False
     g_sa: bool = False
@@ -373,4 +374,6 @@ class GAU(nn.Module):
         if self.dropout_rate > 0.0 and not deterministic:
             attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
         out = u * jnp.einsum("bqk,bke->bqe", attn, v)
+        if self.conv_out:
+            return nn.Conv(d, (3,), padding="SAME", name="out")(out)
         return nn.Dense(d, name="out")(out)

@@ -61,7 +61,7 @@ class PositionwiseFeedForward(nn.Module):
 
 
 class MultiLayeredConv1d(nn.Module):
-    """Conv1d positionwise layer (multi_layer_conv.py)."""
+    """Conv1d positionwise layer (multi_layer_conv.py:9-61)."""
 
     hidden_units: int = 2048
     kernel_size: int = 3
@@ -82,8 +82,31 @@ class MultiLayeredConv1d(nn.Module):
         return nn.Conv(d, (self.kernel_size,), padding="SAME", name="w2")(h)
 
 
+class Conv1dLinear(nn.Module):
+    """Conv1d + Linear positionwise layer (multi_layer_conv.py:63-112):
+    MultiLayeredConv1d with the second conv replaced by a linear."""
+
+    hidden_units: int = 2048
+    kernel_size: int = 3
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    use_balancer: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        d = x.shape[-1]
+        act = get_activation(self.activation)
+        h = nn.Conv(self.hidden_units, (self.kernel_size,), padding="SAME", name="w1")(x)
+        if self.use_balancer:
+            h = activation_balancer(h)
+        h = act(h)
+        if self.dropout_rate > 0 and not deterministic:
+            h = nn.Dropout(self.dropout_rate, deterministic=False)(h)
+        return nn.Dense(d, name="w2")(h)
+
+
 def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
-                    name, norm_args=None):
+                    name, norm_args=None, conv_out=False):
     # attention_norm_args (transformer_xvector.py:112-115; the shipped
     # voxceleb conformer launcher uses norm_method=softmax_plus)
     na = dict(norm_args or {})
@@ -95,7 +118,8 @@ def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
     if att_type == "gau":
         return GAU(
             expansion_units=gau_units, key_dim=gau_key, dropout_rate=dropout,
-            use_rope=(pos_enc_type == "rot_pos"), name=name, **kw,
+            use_rope=(pos_enc_type == "rot_pos"), conv_out=conv_out,
+            name=name, **kw,
         )
     if pos_enc_type == "rel_pos":
         return RelPositionMultiHeadedAttention(
@@ -137,6 +161,7 @@ class ConformerBlock(nn.Module):
     use_balancer: bool = False  # ReConformer ActivationBalancer in ff/conv
     re_scale: bool = False  # learned residual-branch scales (ReConformer)
     causal_conv: bool = False  # causal conv module (streaming chunks)
+    convfnn: bool = False  # conv-FFN head block (encoder convfnn_blocks)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -162,20 +187,51 @@ class ConformerBlock(nn.Module):
             return self.param(name, nn.initializers.ones, ())
 
         ff_scale = 0.5 if self.macaron else 1.0
-        pw_cls = (
-            PositionwiseFeedForward
-            if self.positionwise_layer_type == "linear"
-            else MultiLayeredConv1d
-        )
+        # convfnn head blocks force a conv positionwise layer (gau mode: a
+        # conv_out GAU instead) — encoder.py:612-646
+        pw_type = self.positionwise_layer_type
+        if self.convfnn and pw_type != "gau":
+            pw_type = "conv1d"
+
+        def apply_pw(h, name, att_mask=None):
+            if pw_type == "gau":
+                na = dict(self.attention_norm_args or {})
+                kw = {
+                    k: na[k]
+                    for k in ("norm_method", "scale_adapt", "g_sa", "diag_mask",
+                              "train_len")
+                    if k in na
+                }
+                # GAU positionwise (get_gau_layer as FFN, encoder.py:262-270):
+                # hidden = linear_units, called with the attention mask.
+                # QUIRK: the reference builds positionwise GAUs through
+                # get_positionwise_layer, which never forwards the model's
+                # gau_key — its own default (64) always wins (encoder.py:
+                # 158-169 passes 8 positionals + attention_norm_args only).
+                return GAU(
+                    expansion_units=self.linear_units, key_dim=64,
+                    dropout_rate=self.dropout_rate,
+                    use_rope=(self.pos_enc_type == "rot_pos"),
+                    conv_out=self.convfnn, name=name, **kw,
+                )(h, mask=att_mask, deterministic=det)
+            if pw_type == "linear":
+                return PositionwiseFeedForward(
+                    hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
+                    activation=self.activation_type,
+                    use_balancer=self.use_balancer, name=name,
+                )(h, deterministic=det)
+            cls = MultiLayeredConv1d if pw_type == "conv1d" else Conv1dLinear
+            return cls(
+                hidden_units=self.linear_units,
+                kernel_size=self.positionwise_conv_kernel_size,
+                dropout_rate=self.dropout_rate, activation=self.activation_type,
+                use_balancer=self.use_balancer, name=name,
+            )(h, deterministic=det)
 
         if self.macaron:
             res = x
             h = _make_norm(self.norm_type, "norm_ff_macaron")(x) if self.normalize_before else x
-            h = pw_cls(
-                hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
-                activation=self.activation_type,
-                use_balancer=self.use_balancer, name="ff_macaron",
-            )(h, deterministic=det)
+            h = apply_pw(h, "ff_macaron", att_mask=att_mask)
             x = res + res_scale("scale_ff_macaron") * ff_scale * drop(h)
             if not self.normalize_before:
                 x = _make_norm(self.norm_type, "norm_ff_macaron")(x)
@@ -187,6 +243,7 @@ class ConformerBlock(nn.Module):
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
             norm_args=self.attention_norm_args,
+            conv_out=self.convfnn,  # convfnn gau blocks use conv_out GAUs
         )
         if self.add_t5rel_bias:
             # per-LAYER learned bias: each reference attention layer owns
@@ -220,11 +277,7 @@ class ConformerBlock(nn.Module):
 
         res = x
         h = _make_norm(self.norm_type, "norm_ff")(x) if self.normalize_before else x
-        h = pw_cls(
-            hidden_units=self.linear_units, dropout_rate=self.dropout_rate,
-            activation=self.activation_type,
-            use_balancer=self.use_balancer, name="ff",
-        )(h, deterministic=det)
+        h = apply_pw(h, "ff", att_mask=att_mask)
         x = res + res_scale("scale_ff") * ff_scale * drop(h)
         if not self.normalize_before:
             x = _make_norm(self.norm_type, "norm_ff")(x)
@@ -286,6 +339,8 @@ class ConformerEncoder(nn.Module):
     cnn_norm_type: str = "layer_norm"
     normalize_before: bool = True
     positionwise_layer_type: str = "linear"
+    positionwise_conv_kernel_size: int = 1
+    convfnn_blocks: int = 0  # head blocks with conv positionwise (encoder.py:612)
     activation_type: str = "swish"
     combiner_type: str = "norm"
     aux_layer_period: int = 3
@@ -357,9 +412,11 @@ class ConformerEncoder(nn.Module):
                 use_balancer=self.use_balancer,
                 normalize_before=self.normalize_before,
                 positionwise_layer_type=self.positionwise_layer_type,
+                positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
                 activation_type=self.activation_type,
                 re_scale=self.re_scale,
                 causal_conv=self.static_chunk_size > 0,
+                convfnn=i < self.convfnn_blocks,
                 axis_name=self.axis_name,
                 name=f"block_{i}",
             )(h, att_mask=att_mask, pad_mask=pad_mask, pos_emb=pos_emb,

@@ -605,6 +605,57 @@ class TestConformerVariantParity:
                                            "attention_norm_args": na}},
         )
 
+    def test_positionwise_conv1d(self, reference_conformer):
+        """conv1d positionwise FFN (MultiLayeredConv1d, multi_layer_conv.py:9)."""
+        pw = {"positionwise_layer_type": "conv1d",
+              "positionwise_conv_kernel_size": 3}
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=12,
+            ref_extra=pw, ours_extra={"encoder_params": pw},
+        )
+
+    def test_positionwise_conv1d_linear(self, reference_conformer):
+        """conv1d-linear positionwise FFN (Conv1dLinear, multi_layer_conv.py:63)."""
+        pw = {"positionwise_layer_type": "conv1d-linear",
+              "positionwise_conv_kernel_size": 3}
+        self._roundtrip(
+            reference_conformer, "rel_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=13,
+            ref_extra=pw, ours_extra={"encoder_params": pw},
+        )
+
+    def test_full_gau(self, reference_conformer):
+        """att_type=gau AND positionwise_layer_type=gau: every sub-layer is
+        a gated attention unit (the FLASH architecture; encoder.py:262-270
+        builds GAU FFNs via get_gau_layer). QUIRK: the positionwise GAU's
+        key dim is pinned at get_positionwise_layer's default 64 (the call
+        never forwards the configured gau_key), so with rot_pos the config
+        only runs when gau_key == 64 — any other value crashes the
+        reference in apply_rotary (pos_emb is sized for the attention
+        GAU's key)."""
+        self._shim_balancer()
+        cfg = {"att_type": "gau", "gau_units": 96, "gau_key": 64,
+               "positionwise_layer_type": "gau"}
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=14,
+            ref_extra=cfg,
+            ours_extra={"att_type": "gau",
+                        "encoder_params": {"gau_units": 96, "gau_key": 64,
+                                           "positionwise_layer_type": "gau"}},
+        )
+
+    def test_convfnn_blocks(self, reference_conformer):
+        """convfnn_blocks=1: the first block's FFNs become conv1d
+        (encoder.py:636-646) while later blocks keep linear FFNs."""
+        cfg = {"convfnn_blocks": 1, "positionwise_conv_kernel_size": 3}
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=15,
+            ref_extra=cfg, ours_extra={"encoder_params": cfg},
+        )
+
     def test_t5_bias_abs_pos(self, reference_conformer):
         """add_t5rel_bias: per-layer learned bucket bias added to the raw
         q@k^T scores before the /sqrt(d_k) normalize (attention.py:135-137;
