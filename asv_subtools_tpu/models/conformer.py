@@ -49,6 +49,7 @@ class ConformerXvector(nn.Module):
         mask: Optional[jax.Array] = None,
         train: bool = True,
         position: str = "near",
+        warmup: jax.Array | float = 1.0,
     ) -> jax.Array:
         enc_cls = (
             ConformerEncoder if self.transformer_type == "conformer" else TransformerEncoder
@@ -67,7 +68,7 @@ class ConformerXvector(nn.Module):
             name="transformer",
             **dict(self.encoder_params or {}),
         )
-        h, sub_mask = enc(x, mask=mask, train=train)
+        h, sub_mask = enc(x, mask=mask, train=train, warmup=warmup)
 
         # transform_out: affine + swish + LayerNorm (ln_replace default)
         h = nn.Dense(self.out_dim, name="transform_out_affine")(h)

@@ -18,6 +18,7 @@ functionally:
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -49,8 +50,15 @@ class SpeakerNet(nn.Module):
         train: bool = True,
         lambda_m: jax.Array | float = 1.0,
         margin_offset: jax.Array | float = 0.0,
+        warmup: jax.Array | float = 1.0,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        emb = self.backbone(x, mask=mask, train=train)
+        # model-level warmup is a transformer-only input (reference
+        # trainer_online.py:227-248 appends it just for TransformerXvector);
+        # forward it only to backbones that accept it
+        bk = {}
+        if "warmup" in inspect.signature(type(self.backbone).__call__).parameters:
+            bk["warmup"] = warmup
+        emb = self.backbone(x, mask=mask, train=train, **bk)
         loss_cls = LOSSES[self.loss_name]
         params = dict(self.loss_params or {})
         kwargs = {}

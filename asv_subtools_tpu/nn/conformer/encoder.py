@@ -162,6 +162,7 @@ class ConformerBlock(nn.Module):
     re_scale: bool = False  # learned residual-branch scales (ReConformer)
     causal_conv: bool = False  # causal conv module (streaming chunks)
     convfnn: bool = False  # conv-FFN head block (encoder convfnn_blocks)
+    layer_dropout: float = 0.0  # stochastic-depth bypass (encoder_layer.py:80-87)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -173,8 +174,25 @@ class ConformerBlock(nn.Module):
         pos_emb: Optional[jax.Array] = None,
         extra_score: Optional[jax.Array] = None,
         train: bool = False,
+        warmup: jax.Array | float = 1.0,
     ) -> jax.Array:
         det = not train
+
+        # zipformer-style layer bypass (encoder_layer.py:224-232, :331-333):
+        # alpha = min(0.1+warmup, 1) with prob 1-layer_dropout else 0.1 in
+        # training; the whole block blends x_out*alpha + x_in*(1-alpha).
+        alpha = None
+        if train:
+            warmup_scale = jnp.minimum(0.1 + warmup, 1.0)
+            if self.layer_dropout > 0.0:
+                keep = (
+                    jax.random.uniform(self.make_rng("dropout"), ())
+                    <= 1.0 - self.layer_dropout
+                )
+                alpha = jnp.where(keep, warmup_scale, 0.1)
+            else:
+                alpha = warmup_scale
+        x_orig = x
 
         def drop(h):
             if self.dropout_rate > 0 and train:
@@ -284,6 +302,8 @@ class ConformerBlock(nn.Module):
 
         if self.use_cnn and self.normalize_before:
             x = _make_norm(self.norm_type, "norm_final")(x)
+        if alpha is not None:
+            x = alpha * x + (1.0 - alpha) * x_orig
         return x
 
 
@@ -326,6 +346,7 @@ class ConformerEncoder(nn.Module):
     num_blocks: int = 6
     dropout_rate: float = 0.1
     attention_dropout_rate: float = 0.0
+    layer_dropout: float = 0.0  # stochastic-depth rate (encoder.py:436)
     input_layer: str = "conv2d"
     pos_enc_type: str = "rel_pos"
     att_type: str = "multi"
@@ -358,6 +379,7 @@ class ConformerEncoder(nn.Module):
         x: jax.Array,
         mask: Optional[jax.Array] = None,
         train: bool = False,
+        warmup: jax.Array | float = 1.0,
     ) -> Tuple[jax.Array, Optional[jax.Array]]:
         sub = SUBSAMPLINGS[self.input_layer](
             odim=self.attention_dim, dropout_rate=self.dropout_rate, name="embed"
@@ -417,10 +439,11 @@ class ConformerEncoder(nn.Module):
                 re_scale=self.re_scale,
                 causal_conv=self.static_chunk_size > 0,
                 convfnn=i < self.convfnn_blocks,
+                layer_dropout=self.layer_dropout,
                 axis_name=self.axis_name,
                 name=f"block_{i}",
             )(h, att_mask=att_mask, pad_mask=pad_mask, pos_emb=pos_emb,
-              train=train)
+              train=train, warmup=warmup)
             if i in aux_layers or i == self.num_blocks - 1:
                 aux_outputs.append(h)
 

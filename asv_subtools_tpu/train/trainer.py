@@ -22,6 +22,7 @@ TPU-first:
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
@@ -79,6 +80,10 @@ class TrainStepConfig:
     #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     #   "full" - store nothing, recompute the whole forward
     remat: Optional[str] = None
+    # model-level warmup for transformer stochastic depth (reference
+    # trainer_online.py:227: warmup = cur_step / warmup_steps, fed to the
+    # encoder's layer-bypass alpha). 0 = always 1.0 (off).
+    model_warmup_steps: int = 0
 
 
 def device_spec_augment(
@@ -131,7 +136,13 @@ def make_train_step(
     accum_grad>1, B must divide it; microbatches run under lax.scan.
     """
 
-    def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset):
+    # model-level warmup is a transformer-only net input; only pass it to
+    # nets that declare it (SpeakerNet; MultiTaskNet etc. don't take it)
+    net_takes_warmup = "warmup" in inspect.signature(type(net).__call__).parameters
+
+    def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset,
+                warmup=1.0):
+        warm_kw = {"warmup": warmup} if net_takes_warmup else {}
         # multi-task batches carry dict targets {"spk": [B], "phone": [B,T]};
         # accuracy is always speaker accuracy (reference get_accuracy,
         # multi_task_xvector_fix.py:258-266)
@@ -185,6 +196,7 @@ def make_train_step(
                     {"params": params, "batch_stats": batch_stats},
                     xc, targets, mask=mask, train=True,
                     lambda_m=lambda_m, margin_offset=margin_offset,
+                    **warm_kw,
                     mutable=["batch_stats"], rngs={"dropout": r},
                 )
 
@@ -202,6 +214,7 @@ def make_train_step(
             train=True,
             lambda_m=lambda_m,
             margin_offset=margin_offset,
+            **warm_kw,
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
@@ -222,6 +235,10 @@ def make_train_step(
     def step(state, batch, rng, lambda_m=1.0, margin_offset=0.0, lr_scale=1.0):
         x, y = batch["x"], batch["y"]
         mask = batch.get("mask")
+        warmup = (
+            state.step.astype(jnp.float32) / config.model_warmup_steps
+            if config.model_warmup_steps > 0 else 1.0
+        )
         a = config.accum_grad
         if a > 1:
             b = x.shape[0]
@@ -237,7 +254,8 @@ def make_train_step(
                 grads_acc, bs, loss_acc, acc_acc = carry
                 xi, yi, ri, mi = inp
                 (loss, (bs2, acc)), grads = grad_fn(
-                    state.params, bs, xi, yi, mi, ri, lambda_m, margin_offset
+                    state.params, bs, xi, yi, mi, ri, lambda_m, margin_offset,
+                    warmup,
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 return (grads_acc, bs2, loss_acc + loss, acc_acc + acc), None
@@ -254,7 +272,8 @@ def make_train_step(
                     grads_acc, bs, loss_acc, acc_acc = carry
                     xi, yi, ri, _ = inp
                     (loss, (bs2, acc)), grads = grad_fn(
-                        state.params, bs, xi, yi, None, ri, lambda_m, margin_offset
+                        state.params, bs, xi, yi, None, ri, lambda_m,
+                        margin_offset, warmup,
                     )
                     grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                     return (grads_acc, bs2, loss_acc + loss, acc_acc + acc), None
@@ -273,7 +292,7 @@ def make_train_step(
         else:
             (loss, (new_bs, acc)), grads = grad_fn(
                 state.params, state.batch_stats, x, y, mask, rng,
-                lambda_m, margin_offset,
+                lambda_m, margin_offset, warmup,
             )
 
         gnorm = optax.global_norm(grads)

@@ -89,7 +89,8 @@ def _to_f64(tree):
     )
 
 
-def _jax_sgd_step(net, params, batch_stats, x_btd, y, max_change):
+def _jax_sgd_step(net, params, batch_stats, x_btd, y, max_change,
+                  config_extra=None):
     with jax.enable_x64():
         params = _to_f64(params)
         batch_stats = _to_f64(batch_stats)
@@ -98,7 +99,7 @@ def _jax_sgd_step(net, params, batch_stats, x_btd, y, max_change):
             net, tx,
             config=TrainStepConfig(
                 max_change=max_change, compute_dtype=jnp.float64,
-                skip_nonfinite=False,
+                skip_nonfinite=False, **(config_extra or {}),
             ),
         )
         state = TrainState(
@@ -145,14 +146,15 @@ def _softmax_loss_tree(sd):
 
 def _run_parity(ref, net, convert_fn, x_btd, y, max_change, expect_clipped,
                 forward_fn=None, rtol=1e-6, atol=1e-8,
-                loss_tree_fn=_margin_loss_tree):
+                loss_tree_fn=_margin_loss_tree, config_extra=None):
     ref.double()
     params_bb, stats_bb = convert_fn(ref.state_dict())
     params = {"backbone": params_bb, **loss_tree_fn(ref.state_dict())}
     batch_stats = {"backbone": stats_bb}
 
     new_state, metrics = _jax_sgd_step(
-        net, params, batch_stats, x_btd, y, max_change
+        net, params, batch_stats, x_btd, y, max_change,
+        config_extra=config_extra,
     )
     x_bdt = np.ascontiguousarray(np.transpose(x_btd, (0, 2, 1)))
     ref_loss, ref_gnorm = _torch_sgd_step(
@@ -287,6 +289,70 @@ class TestConformerTrainParity:
                 t, torch.full((t.shape[0],), t_frames, dtype=torch.long)
             ),
             rtol=2e-5, atol=1e-7,
+        )
+
+    def test_one_step_model_warmup(self):
+        """Model-level warmup (trainer_online.py:227-248 feeds
+        warmup=cur_step/warmup_steps into the transformer; each encoder
+        layer blends alpha*x_out + (1-alpha)*x_in with
+        alpha=min(0.1+warmup, 1), encoder_layer.py:224-232,331-333).
+        At step 0 with model_warmup_steps=4 our warmup is 0.0 ->
+        alpha=0.1, deterministic since layer_dropout=0."""
+        from asv_subtools_tpu.convert import convert_conformer_state_dict
+        from asv_subtools_tpu.models import ConformerXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/transformer_xvector.py",
+            "conf_tref_warm",
+        )
+        torch.manual_seed(1)
+        feat, d_att, blocks = 30, 32, 2
+        old_dtype = torch.get_default_dtype()
+        torch.set_default_dtype(torch.float64)
+        try:
+            ref = ref_mod.TransformerXvector(
+                feat, N_TARGETS, training=True, embd_dim=16,
+                transformer_params={
+                    "attention_dim": d_att, "attention_heads": 2,
+                    "linear_units": 64, "num_blocks": blocks,
+                    "pos_enc_type": "rel_pos", "input_layer": "conv2d",
+                    "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+                    "attention_dropout_rate": 0.0,
+                },
+                tansformer_out={"out_dim": 48},
+                margin_loss=True, margin_loss_params=dict(MARGIN),
+            )
+        finally:
+            torch.set_default_dtype(old_dtype)
+        freq_out = ((feat - 1) // 2 - 1) // 2
+        net = SpeakerNet(
+            backbone=ConformerXvector(
+                embd_dim=16, attention_dim=d_att, attention_heads=2,
+                linear_units=64, num_blocks=blocks, out_dim=48,
+                dropout_rate=0.0,
+            ),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+
+        def conv(sd):
+            return convert_conformer_state_dict(sd, blocks, freq_out)
+
+        t_frames = x.shape[1]
+        _run_parity(
+            ref, net, conv, x, y, max_change=1e4, expect_clipped=False,
+            # warmup passed positionally: the reference wraps forward in
+            # for_device_free whose wrapper takes *args only
+            forward_fn=lambda t: ref.forward(
+                t, torch.full((t.shape[0],), t_frames, dtype=torch.long),
+                torch.tensor([0.0], dtype=torch.float64),
+            ),
+            rtol=2e-5, atol=1e-7,
+            config_extra={"model_warmup_steps": 4},
         )
 
 
