@@ -385,6 +385,22 @@ def _ln(sd: Dict, prefix: str) -> Dict:
     }
 
 
+def _enc_norm(sd: Dict, prefix: str) -> Tuple[Dict, Optional[Dict]]:
+    """Encoder-block norm: LayerNorm (norm_type=layer_norm) or a
+    BatchNorm1d (norm_type=batch_norm). Trans_Bat (layer_norm.py:8-31)
+    nests its working BatchNorm1d at `.norm` (the inherited BatchNorm1d
+    buffers on the wrapper itself are dead weight and are skipped); the
+    conv module's BatchNorm1d (convolution.py:64) sits at the prefix
+    directly. Returns (params, batch_stats-or-None)."""
+    if f"{prefix}.norm.running_mean" in sd:  # Trans_Bat wrapper
+        return _bn(sd, f"{prefix}.norm")
+    if f"{prefix}.running_mean" in sd:  # bare BatchNorm1d (cnn module)
+        return _bn(sd, prefix)
+    if f"{prefix}.eps" in sd:  # BasicNorm: learnable log-eps scalar
+        return {"eps": np.asarray(sd[f"{prefix}.eps"], np.float32)}, None
+    return _ln(sd, prefix), None
+
+
 def convert_conformer_state_dict(
     sd: Dict, num_blocks: int, freq_out: int
 ) -> Tuple[Dict, Dict]:
@@ -536,12 +552,23 @@ def convert_conformer_state_dict(
                     "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
                 },
             }
+        blk_stats: Dict = {}
+
+        def _norm_into(key: str, torch_prefix: str) -> Dict:
+            p_, s_ = _enc_norm(sd, torch_prefix)
+            if s_ is not None:
+                blk_stats[key] = s_
+            return p_
+
+        cm_norm = _norm_into("__cm_norm__", f"{pre}.conv_module.norm")
+        if "__cm_norm__" in blk_stats:  # cnn_module_norm = batch_norm
+            blk_stats["conv_module"] = {"norm": blk_stats.pop("__cm_norm__")}
         blk = {
-            "norm_ff_macaron": _ln(sd, f"{pre}.norm_ff_macaron"),
+            "norm_ff_macaron": _norm_into("norm_ff_macaron", f"{pre}.norm_ff_macaron"),
             "ff_macaron": _pw(f"{pre}.feed_forward_macaron"),
-            "norm_mha": _ln(sd, f"{pre}.norm_mha"),
+            "norm_mha": _norm_into("norm_mha", f"{pre}.norm_mha"),
             "self_attn": attn,
-            "norm_conv": _ln(sd, f"{pre}.norm_conv"),
+            "norm_conv": _norm_into("norm_conv", f"{pre}.norm_conv"),
             "conv_module": {
                 "pointwise1": {
                     "kernel": _conv_kernel(sd[f"{pre}.conv_module.pointwise_conv1.weight"]),
@@ -551,16 +578,18 @@ def convert_conformer_state_dict(
                     "kernel": _conv_kernel(sd[f"{pre}.conv_module.depthwise_conv.weight"]),
                     "bias": np.asarray(sd[f"{pre}.conv_module.depthwise_conv.bias"], np.float32),
                 },
-                "norm": _ln(sd, f"{pre}.conv_module.norm"),
+                "norm": cm_norm,
                 "pointwise2": {
                     "kernel": _conv_kernel(sd[f"{pre}.conv_module.pointwise_conv2.weight"]),
                     "bias": np.asarray(sd[f"{pre}.conv_module.pointwise_conv2.bias"], np.float32),
                 },
             },
-            "norm_ff": _ln(sd, f"{pre}.norm_ff"),
+            "norm_ff": _norm_into("norm_ff", f"{pre}.norm_ff"),
             "ff": _pw(f"{pre}.feed_forward"),
-            "norm_final": _ln(sd, f"{pre}.norm_final"),
+            "norm_final": _norm_into("norm_final", f"{pre}.norm_final"),
         }
+        if blk_stats:
+            stats.setdefault("transformer", {})[f"block_{i}"] = blk_stats
         # AttentionNormalize learned params (attention.py:640-672): present
         # only when the option is on (scale_adapt / softmax_plus / g_sa)
         for tkey, okey in (
@@ -590,7 +619,17 @@ def convert_conformer_state_dict(
                 sd[f"{pre}.self_attn.pos_bias_v"], np.float32)
         tp[f"block_{i}"] = blk
 
-    tp["after_norm"] = _ln(sd, "transformer.after_norm")
+    if (
+        "transformer.after_norm.weight" in sd
+        or "transformer.after_norm.norm.weight" in sd
+        or "transformer.after_norm.eps" in sd
+    ):
+        # after_norm exists iff normalize_before or combiner_type == "mfa"
+        # (encoder.py:204-214); Trans_Bat when norm_type == "batch_norm"
+        an_p, an_s = _enc_norm(sd, "transformer.after_norm")
+        tp["after_norm"] = an_p
+        if an_s is not None:
+            stats.setdefault("transformer", {})["after_norm"] = an_s
 
     params["transform_out_affine"] = {
         "kernel": _dense_kernel(sd["transform_out.affine.weight"]),

@@ -17,6 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..activations import get_activation
+from ..norm import BatchNorm
 from .attention import (
     GAU,
     MultiHeadedAttention,
@@ -30,10 +31,17 @@ from .scaling import BasicNorm, activation_balancer
 from .subsampling import SUBSAMPLINGS
 
 
-def _make_norm(norm_type: str, name: str):
-    """Block-level norm factory (reference encoder_layer.py:180-197:
-    layer_norm -> LayerNorm, anything else -> BasicNorm; the ReConformer
-    configs use norm_type="basic_norm")."""
+def _make_norm(norm_type: str, name: str, train: bool = False):
+    """Block-level norm factory (reference encoder_layer.py:178-197:
+    layer_norm -> LayerNorm, batch_norm -> Trans_Bat, else BasicNorm; the
+    ReConformer configs use norm_type="basic_norm"). Returns a callable
+    `x -> normed x`. Trans_Bat (layer_norm.py:8-31) is a plain BatchNorm1d
+    over the transposed [B, D, T] layout — channels-last that is simply a
+    feature-axis BatchNorm with statistics over (B, T), padded frames
+    included (the reference does not mask them)."""
+    if norm_type == "batch_norm":
+        bn = BatchNorm(momentum=0.1, epsilon=1e-5, name=name)
+        return lambda h: bn(h, train=train)
     if norm_type == "basic_norm":
         return BasicNorm(name=name)
     if norm_type != "layer_norm":
@@ -248,15 +256,15 @@ class ConformerBlock(nn.Module):
 
         if self.macaron:
             res = x
-            h = _make_norm(self.norm_type, "norm_ff_macaron")(x) if self.normalize_before else x
+            h = _make_norm(self.norm_type, "norm_ff_macaron", train)(x) if self.normalize_before else x
             h = apply_pw(h, "ff_macaron", att_mask=att_mask)
             x = res + res_scale("scale_ff_macaron") * ff_scale * drop(h)
             if not self.normalize_before:
-                x = _make_norm(self.norm_type, "norm_ff_macaron")(x)
+                x = _make_norm(self.norm_type, "norm_ff_macaron", train)(x)
 
         # self-attention
         res = x
-        h = _make_norm(self.norm_type, "norm_mha")(x) if self.normalize_before else x
+        h = _make_norm(self.norm_type, "norm_mha", train)(x) if self.normalize_before else x
         att = _make_attention(
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
@@ -279,11 +287,11 @@ class ConformerBlock(nn.Module):
         else:
             x = res + res_scale("scale_mha") * drop(h_att)
         if not self.normalize_before:
-            x = _make_norm(self.norm_type, "norm_mha")(x)
+            x = _make_norm(self.norm_type, "norm_mha", train)(x)
 
         if self.use_cnn:
             res = x
-            h = _make_norm(self.norm_type, "norm_conv")(x) if self.normalize_before else x
+            h = _make_norm(self.norm_type, "norm_conv", train)(x) if self.normalize_before else x
             h = ConvolutionModule(
                 kernel_size=self.cnn_kernel, norm_type=self.cnn_norm_type,
                 causal=self.causal_conv, use_balancer=self.use_balancer,
@@ -291,46 +299,79 @@ class ConformerBlock(nn.Module):
             )(h, mask=pad_mask, train=train)
             x = res + res_scale("scale_conv") * drop(h)
             if not self.normalize_before:
-                x = _make_norm(self.norm_type, "norm_conv")(x)
+                x = _make_norm(self.norm_type, "norm_conv", train)(x)
 
         res = x
-        h = _make_norm(self.norm_type, "norm_ff")(x) if self.normalize_before else x
+        h = _make_norm(self.norm_type, "norm_ff", train)(x) if self.normalize_before else x
         h = apply_pw(h, "ff", att_mask=att_mask)
         x = res + res_scale("scale_ff") * ff_scale * drop(h)
         if not self.normalize_before:
-            x = _make_norm(self.norm_type, "norm_ff")(x)
+            x = _make_norm(self.norm_type, "norm_ff", train)(x)
 
         if self.use_cnn and self.normalize_before:
-            x = _make_norm(self.norm_type, "norm_final")(x)
+            x = _make_norm(self.norm_type, "norm_final", train)(x)
         if alpha is not None:
             x = alpha * x + (1.0 - alpha) * x_orig
         return x
 
 
+def _random_pure_weights(rng, num, n, final_weight):
+    """One-hot weights [num, n]: final layer with prob final_weight, else a
+    uniform non-final layer (encoder.py _get_random_pure_weights)."""
+    r1, r2 = jax.random.split(rng)
+    nonfinal = jax.random.randint(r1, (num,), 0, n - 1)
+    idx = jnp.where(jax.random.uniform(r2, (num,)) < final_weight, n - 1, nonfinal)
+    return jax.nn.one_hot(idx, n)
+
+
+def _random_mixed_weights(rng, num, n, final_weight, stddev):
+    """softmax(N(0, stddev) + final_log_weight on the last column)
+    (encoder.py _get_random_mixed_weights)."""
+    final_log_weight = float(np.log(final_weight / (1.0 - final_weight) * (n - 1)))
+    logprobs = jax.random.normal(rng, (num, n)) * stddev
+    logprobs = logprobs.at[:, -1].add(final_log_weight)
+    return jax.nn.softmax(logprobs, axis=1)
+
+
 class RandomCombine(nn.Module):
-    """Stochastic layer combination (encoder.py:834-940; zipformer-style):
-    in training, randomly pick one of the aux-layer outputs (biased toward
-    the final); in eval, a fixed weighted average favoring the final."""
+    """Stochastic layer combination (encoder.py:834-1050; iterated-loss /
+    Deja-Vu style): in TRAINING, combine the aux-layer outputs with
+    randomized weights — with prob `pure_prob` a one-hot choice (final
+    layer with prob `final_weight`, else a uniform non-final layer), else
+    a softmax of noisy log-weights biased toward the final layer. Weights
+    are drawn per FRAME (combiner_type="random_frame", reference
+    forward_rand_frame) or per UTTERANCE ("random_layer",
+    forward_rand_layer). In EVAL it returns the final layer's output
+    (forward :899-903 — NOT an average)."""
 
     num_inputs: int
+    combiner_type: str = "random_layer"
     final_weight: float = 0.5
+    pure_prob: float = 0.333
+    stddev: float = 2.0
 
     @nn.compact
     def __call__(self, layer_outputs: Sequence[jax.Array], train: bool = False):
         n = len(layer_outputs)
-        if n == 1:
-            return layer_outputs[0]
+        if not train or n == 1:
+            return layer_outputs[-1]
+        b, t = layer_outputs[0].shape[0], layer_outputs[0].shape[1]
+        num = b * t if self.combiner_type == "random_frame" else b
+        rng = self.make_rng("dropout")
+        r_pure, r_mix, r_sel = jax.random.split(rng, 3)
+        if self.pure_prob <= 0.0:
+            w = _random_mixed_weights(r_mix, num, n, self.final_weight, self.stddev)
+        elif self.pure_prob >= 1.0:
+            w = _random_pure_weights(r_pure, num, n, self.final_weight)
+        else:
+            p = _random_pure_weights(r_pure, num, n, self.final_weight)
+            m = _random_mixed_weights(r_mix, num, n, self.final_weight, self.stddev)
+            w = jnp.where(jax.random.uniform(r_sel, (num, 1)) < self.pure_prob, p, m)
         stacked = jnp.stack(layer_outputs, axis=0)  # [N, B, T, D]
-        if train:
-            rng = self.make_rng("dropout")
-            # choose final with prob final_weight, else uniform over others
-            probs = jnp.full((n,), (1.0 - self.final_weight) / (n - 1))
-            probs = probs.at[-1].set(self.final_weight)
-            idx = jax.random.choice(rng, n, p=probs)
-            return stacked[idx]
-        w = jnp.full((n,), (1.0 - self.final_weight) / (n - 1))
-        w = w.at[-1].set(self.final_weight)
-        return jnp.einsum("n,nbtd->btd", w, stacked)
+        if self.combiner_type == "random_frame":
+            w = w.reshape(b, t, n)
+            return jnp.einsum("btn,nbtd->btd", w, stacked)
+        return jnp.einsum("bn,nbtd->btd", w, stacked)
 
 
 class ConformerEncoder(nn.Module):
@@ -368,6 +409,8 @@ class ConformerEncoder(nn.Module):
     aux_layer_start: int = 1
     static_chunk_size: int = 0  # >0: chunk-causal attention (streaming)
     left_chunk_size: int = -1
+    use_dynamic_chunk: bool = False  # wenet dynamic-chunk training (mask.py:72)
+    use_dynamic_left_chunk: bool = False
     re_scale: bool = False  # ReConformer variant (encoder.py:684)
     norm_type: str = "layer_norm"  # layer_norm | basic_norm (ReConformer)
     use_balancer: bool = False  # ActivationBalancer in ff/conv (ReConformer)
@@ -406,14 +449,31 @@ class ConformerEncoder(nn.Module):
         pad_mask = mask
         from .mask import add_optional_chunk_mask
 
+        chunk_rng = None
+        if self.use_dynamic_chunk and train:
+            chunk_rng = self.make_rng("dropout")
         att_mask = add_optional_chunk_mask(
-            mask, t, self.static_chunk_size, self.left_chunk_size
+            mask, t, self.static_chunk_size, self.left_chunk_size,
+            use_dynamic_chunk=self.use_dynamic_chunk,
+            use_dynamic_left_chunk=self.use_dynamic_left_chunk,
+            rng=chunk_rng,
         )
 
         aux_outputs = []
-        aux_layers = list(
-            range(self.aux_layer_start, self.num_blocks, self.aux_layer_period)
-        )
+        # reference get_combiner (encoder.py:322-349): aux taps start at
+        # num_blocks // aux_layer_start (integer division — with the
+        # unexposed default aux_layer_start=1 the range is EMPTY and only
+        # the final layer is collected), step aux_layer_period, final
+        # layer always appended.
+        aux_layers = [
+            i
+            for i in range(
+                self.num_blocks // self.aux_layer_start,
+                self.num_blocks - 1,
+                self.aux_layer_period,
+            )
+            if i != self.num_blocks - 1
+        ]
         for i in range(self.num_blocks):
             h = ConformerBlock(
                 attention_heads=self.attention_heads,
@@ -450,13 +510,17 @@ class ConformerEncoder(nn.Module):
         if self.combiner_type == "mfa":
             out = jnp.concatenate(aux_outputs, axis=-1)
         elif self.combiner_type in ("random_layer", "random_frame"):
-            out = RandomCombine(num_inputs=len(aux_outputs), name="combiner")(
-                aux_outputs, train=train
-            )
-        else:  # norm
+            out = RandomCombine(
+                num_inputs=len(aux_outputs), combiner_type=self.combiner_type,
+                final_weight=0.5, pure_prob=0.333, stddev=2.0, name="combiner",
+            )(aux_outputs, train=train)
+        else:  # norm: the combiner returns the final layer (forward_norm)
             out = h
-        if self.normalize_before and self.combiner_type != "mfa":
-            out = _make_norm(self.norm_type, "after_norm")(out)
+        # after_norm exists iff normalize_before or mfa (encoder.py:204-214)
+        # and is applied to the COMBINED output — for mfa its width is
+        # attention_dim * len(aux_layers).
+        if self.normalize_before or self.combiner_type == "mfa":
+            out = _make_norm(self.norm_type, "after_norm", train)(out)
         return out, mask
 
 

@@ -125,14 +125,122 @@ class TestEncoders:
         assert y.shape == (2, 32, 32)
 
     def test_mfa_combiner(self):
+        # reference aux taps (encoder.py:322-341): start at
+        # num_blocks // aux_layer_start, step aux_layer_period, plus the
+        # final layer. num_blocks=4, start=2, period=3 -> [2, 3] -> 2 taps.
         x = jax.random.normal(KEY, (2, 32, 24))
         enc = ConformerEncoder(
             attention_dim=32, num_blocks=4, input_layer="linear",
             combiner_type="mfa", linear_units=64, attention_heads=2,
+            aux_layer_start=2,
         )
         v = enc.init(RNGS, x, train=False)
         y, _ = enc.apply(v, x, train=False)
-        assert y.shape[-1] % 32 == 0 and y.shape[-1] > 32
+        assert y.shape[-1] == 64
+        # after_norm IS applied to the mfa concat (encoder.py:206, :414-417)
+        assert "after_norm" in v["params"]
+        assert v["params"]["after_norm"]["scale"].shape == (64,)
+        # default aux_layer_start=1 -> empty range -> final layer only
+        enc1 = ConformerEncoder(
+            attention_dim=32, num_blocks=4, input_layer="linear",
+            combiner_type="mfa", linear_units=64, attention_heads=2,
+        )
+        v1 = enc1.init(RNGS, x, train=False)
+        y1, _ = enc1.apply(v1, x, train=False)
+        assert y1.shape[-1] == 32
+
+    def test_batch_norm_norm_type(self):
+        # norm_type="batch_norm" (Trans_Bat, layer_norm.py:8-31): block
+        # norms and after_norm are feature-axis BatchNorms with running
+        # statistics.
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = ConformerEncoder(
+            attention_dim=32, num_blocks=2, input_layer="linear",
+            linear_units=64, attention_heads=2, norm_type="batch_norm",
+        )
+        v = enc.init(RNGS, x, train=False)
+        assert "mean" in v["batch_stats"]["block_0"]["norm_mha"]
+        assert "mean" in v["batch_stats"]["after_norm"]
+        y, _ = enc.apply(v, x, train=False)
+        assert np.all(np.isfinite(np.asarray(y)))
+        (y_tr, _), mut = enc.apply(
+            v, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)},
+            mutable=["batch_stats"],
+        )
+        # running stats must move in train mode
+        assert not np.allclose(
+            np.asarray(mut["batch_stats"]["block_0"]["norm_mha"]["mean"]), 0.0
+        )
+
+    def test_random_combiner_eval_is_last_layer(self):
+        # forward_rand_layer/_frame return inputs[-1] in eval
+        # (encoder.py:899-903) — identical to combiner_type="norm".
+        x = jax.random.normal(KEY, (2, 32, 24))
+        kw = dict(
+            attention_dim=32, num_blocks=4, input_layer="linear",
+            linear_units=64, attention_heads=2, aux_layer_start=2,
+        )
+        vr = ConformerEncoder(combiner_type="random_layer", **kw).init(
+            RNGS, x, train=False
+        )
+        yr, _ = ConformerEncoder(combiner_type="random_layer", **kw).apply(
+            vr, x, train=False
+        )
+        yn, _ = ConformerEncoder(combiner_type="norm", **kw).apply(
+            vr, x, train=False
+        )
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(yn), atol=1e-6)
+        # train mode: random weights -> generally different, still finite
+        for ct in ("random_layer", "random_frame"):
+            yt, _ = ConformerEncoder(combiner_type=ct, **kw).apply(
+                vr, x, train=True, rngs={"dropout": jax.random.PRNGKey(5)},
+            )
+            assert np.all(np.isfinite(np.asarray(yt)))
+
+    def test_dynamic_chunk_training(self):
+        from asv_subtools_tpu.nn.conformer.mask import (
+            add_optional_chunk_mask,
+            dynamic_chunk_mask,
+        )
+
+        # sampled mask is chunk-causal: no future beyond the chunk edge
+        m = np.asarray(dynamic_chunk_mask(jax.random.PRNGKey(0), 16))
+        assert m.shape == (16, 16)
+        assert np.all(np.diag(m))  # every frame attends to itself
+        # row i's attendable set is a contiguous prefix ending at i's
+        # chunk boundary: True entries form a prefix, none after it
+        for i in range(16):
+            row = m[i]
+            last_true = np.max(np.nonzero(row)[0])
+            first_true = np.min(np.nonzero(row)[0])
+            assert row[first_true : last_true + 1].all()
+            assert last_true >= i  # chunk edge at/after the diagonal
+        # decoding_chunk_size < 0 under dynamic chunk -> full context
+        full = add_optional_chunk_mask(
+            jnp.ones((1, 8), bool), 8, use_dynamic_chunk=True,
+            rng=jax.random.PRNGKey(0), decoding_chunk_size=-1,
+        )
+        assert np.asarray(full).all()
+        # encoder trains with a per-batch random chunk policy
+        x = jax.random.normal(KEY, (2, 32, 24))
+        enc = ConformerEncoder(
+            attention_dim=32, num_blocks=2, input_layer="linear",
+            linear_units=64, attention_heads=2, use_dynamic_chunk=True,
+            use_dynamic_left_chunk=True,
+        )
+        v = enc.init(RNGS, x, train=False)
+        y, _ = enc.apply(
+            v, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)},
+        )
+        assert np.all(np.isfinite(np.asarray(y)))
+        # eval without a decode chunk falls back to full context == norm path
+        y_eval, _ = enc.apply(v, x, train=False)
+        base = ConformerEncoder(
+            attention_dim=32, num_blocks=2, input_layer="linear",
+            linear_units=64, attention_heads=2,
+        )
+        y_base, _ = base.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_base), atol=1e-6)
 
     def test_transformer_encoder(self):
         x = jax.random.normal(KEY, (2, 32, 24))

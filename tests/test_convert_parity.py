@@ -462,12 +462,13 @@ class TestConformerVariantParity:
 
     def _roundtrip(self, reference_conformer, pos_enc, input_layer,
                    freq_out_fn, seed=0, feat=30, tol=3e-3,
-                   ref_extra=None, ours_extra=None):
+                   ref_extra=None, ours_extra=None, blocks=2,
+                   randomize_bn_stats=False):
         from asv_subtools_tpu.convert import convert_conformer_state_dict
         from asv_subtools_tpu.models import ConformerXvector
 
         torch.manual_seed(seed)
-        d_att, blocks = 32, 2
+        d_att = 32
         ref = reference_conformer.TransformerXvector(
             feat, 50, training=False, embd_dim=16,
             transformer_params={
@@ -480,6 +481,15 @@ class TestConformerVariantParity:
             tansformer_out={"out_dim": 48},
         )
         ref.eval()
+        if randomize_bn_stats:
+            # fresh BatchNorm1d running stats are (0, 1) — the norm would
+            # be a no-op in eval; randomize them so the parity check is
+            # sensitive to the running-stats conversion
+            with torch.no_grad():
+                for m in ref.modules():
+                    if isinstance(m, torch.nn.BatchNorm1d):
+                        m.running_mean.uniform_(-0.5, 0.5)
+                        m.running_var.uniform_(0.5, 1.5)
         params, stats = convert_conformer_state_dict(
             ref.state_dict(), blocks, freq_out_fn(feat)
         )
@@ -529,6 +539,45 @@ class TestConformerVariantParity:
     def test_abs_pos_conv2d8(self, reference_conformer):
         self._roundtrip(reference_conformer, "abs_pos", "conv2d8",
                         lambda f: (((f - 1) // 2 - 1) // 2 - 1) // 2, seed=4)
+
+    def test_batch_norm_trans_bat(self, reference_conformer):
+        """norm_type="batch_norm": every block norm and the after_norm are
+        Trans_Bat (BatchNorm1d over [B, D, T], layer_norm.py:8-31), and the
+        cnn module norm is a bare BatchNorm1d (convolution.py:62-64) —
+        running stats must convert into our batch_stats tree."""
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=7,
+            ref_extra={"norm_type": "batch_norm",
+                       "cnn_module_norm": "batch_norm"},
+            ours_extra={"encoder_params": {"norm_type": "batch_norm",
+                                           "cnn_norm_type": "batch_norm"}},
+            randomize_bn_stats=True,
+        )
+
+    def test_mfa_combiner_after_norm(self, reference_conformer):
+        """combiner_type="mfa": aux taps from get_combiner
+        (encoder.py:322-341: start num_blocks // aux_layer_start, step
+        aux_layer_period, + final) concat to attention_dim * n_taps and the
+        after_norm IS applied to the concat (encoder.py:206, :414-417).
+        blocks=4, aux_layer_start=2 -> taps [2, 3] -> 64-wide concat."""
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=8, blocks=4,
+            ref_extra={"combiner_type": "mfa", "aux_layer_start": 2},
+            ours_extra={"combiner_type": "mfa",
+                        "encoder_params": {"aux_layer_start": 2}},
+        )
+
+    def test_mfa_default_single_tap(self, reference_conformer):
+        """With the (unexposed) default aux_layer_start=1 the reference tap
+        range is EMPTY — mfa concatenates only the final layer."""
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=9, blocks=3,
+            ref_extra={"combiner_type": "mfa"},
+            ours_extra={"combiner_type": "mfa"},
+        )
 
     @staticmethod
     def _shim_balancer():
