@@ -590,6 +590,13 @@ def convert_conformer_state_dict(
         }
         if blk_stats:
             stats.setdefault("transformer", {})[f"block_{i}"] = blk_stats
+        if f"{pre}.concat_linear.weight" in sd:
+            # concat_after=True: x + concat_linear([x; att(x)])
+            # (encoder_layer.py:85-86, :268-270)
+            blk["concat_linear"] = {
+                "kernel": _dense_kernel(sd[f"{pre}.concat_linear.weight"]),
+                "bias": np.asarray(sd[f"{pre}.concat_linear.bias"], np.float32),
+            }
         # AttentionNormalize learned params (attention.py:640-672): present
         # only when the option is on (scale_adapt / softmax_plus / g_sa)
         for tkey, okey in (

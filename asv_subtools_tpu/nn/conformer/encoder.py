@@ -114,7 +114,7 @@ class Conv1dLinear(nn.Module):
 
 
 def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
-                    name, norm_args=None, conv_out=False):
+                    name, norm_args=None, conv_out=False, rotary_value=True):
     # attention_norm_args (transformer_xvector.py:112-115; the shipped
     # voxceleb conformer launcher uses norm_method=softmax_plus)
     na = dict(norm_args or {})
@@ -134,7 +134,8 @@ def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
             num_heads=heads, dropout_rate=dropout, name=name, **kw
         )
     if pos_enc_type == "rot_pos":
-        return RoPESelfAttention(num_heads=heads, dropout_rate=dropout, name=name, **kw)
+        return RoPESelfAttention(num_heads=heads, dropout_rate=dropout,
+                                 rotary_value=rotary_value, name=name, **kw)
     return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout, name=name, **kw)
 
 
@@ -161,6 +162,7 @@ class ConformerBlock(nn.Module):
     cnn_kernel: int = 15
     normalize_before: bool = True
     concat_after: bool = False
+    rotary_value: bool = True  # rotate v too (RoPESelfAttention default)
     positionwise_layer_type: str = "linear"
     positionwise_conv_kernel_size: int = 1
     activation_type: str = "swish"
@@ -270,6 +272,7 @@ class ConformerBlock(nn.Module):
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
             norm_args=self.attention_norm_args,
             conv_out=self.convfnn,  # convfnn gau blocks use conv_out GAUs
+            rotary_value=self.rotary_value,
         )
         if self.add_t5rel_bias:
             # per-LAYER learned bias: each reference attention layer owns
@@ -411,6 +414,9 @@ class ConformerEncoder(nn.Module):
     left_chunk_size: int = -1
     use_dynamic_chunk: bool = False  # wenet dynamic-chunk training (mask.py:72)
     use_dynamic_left_chunk: bool = False
+    concat_after: bool = False  # x + linear([x; att(x)]) (encoder_layer.py:86)
+    rotary_value: bool = True  # rot_pos: rotate v as well (encoder.py:98)
+    rope_abs_plus: bool = False  # rot_pos: add abs sinusoid PE too (embedding.py:193)
     re_scale: bool = False  # ReConformer variant (encoder.py:684)
     norm_type: str = "layer_norm"  # layer_norm | basic_norm (ReConformer)
     use_balancer: bool = False  # ActivationBalancer in ff/conv (ReConformer)
@@ -436,8 +442,13 @@ class ConformerEncoder(nn.Module):
         elif self.pos_enc_type == "rot_pos":
             # RoPositionalEncoding.forward scales x by sqrt(d) like abs_pos
             # (embedding.py:179-192); the rotation itself happens inside
-            # RoPESelfAttention on q/k(/v).
-            h = h * float(np.sqrt(self.attention_dim))
+            # RoPESelfAttention on q/k(/v). rope_abs_plus additionally adds
+            # the standard absolute sinusoid table (embedding.py:193-196),
+            # i.e. exactly abs_position_encoding.
+            if self.rope_abs_plus:
+                h = abs_position_encoding(h)
+            else:
+                h = h * float(np.sqrt(self.attention_dim))
         elif self.pos_enc_type == "rel_pos":
             # wenet RelPositionalEncoding scales x by sqrt(d); pos_emb is the
             # standard table at positions 0..T-1 (no XL rel-shift)
@@ -493,6 +504,8 @@ class ConformerEncoder(nn.Module):
                 norm_type=self.norm_type,
                 use_balancer=self.use_balancer,
                 normalize_before=self.normalize_before,
+                concat_after=self.concat_after,
+                rotary_value=self.rotary_value,
                 positionwise_layer_type=self.positionwise_layer_type,
                 positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
                 activation_type=self.activation_type,

@@ -569,6 +569,38 @@ class TestConformerVariantParity:
                         "encoder_params": {"aux_layer_start": 2}},
         )
 
+    def test_concat_after(self, reference_conformer):
+        """concat_after=True: the attention residual becomes
+        x + concat_linear([normed_x; att(x)]) with NO dropout on the branch
+        (encoder_layer.py:85-86, :264-270)."""
+        self._roundtrip(
+            reference_conformer, "abs_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=10,
+            ref_extra={"concat_after": True},
+            ours_extra={"encoder_params": {"concat_after": True}},
+        )
+
+    def test_rope_abs_plus(self, reference_conformer):
+        """rot_pos + rope_abs_plus: the absolute sinusoid table is ALSO
+        added to the scaled input (embedding.py:190-196) on top of the
+        rotary q/k/v rotation."""
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=11,
+            ref_extra={"rope_abs_plus": True},
+            ours_extra={"encoder_params": {"rope_abs_plus": True}},
+        )
+
+    def test_rotary_value_off(self, reference_conformer):
+        """rot_pos + rotary_value=False: only q/k are rotated, v passes
+        through unrotated (attention.py RoPESelfAttention)."""
+        self._roundtrip(
+            reference_conformer, "rot_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=12,
+            ref_extra={"rotary_value": False},
+            ours_extra={"encoder_params": {"rotary_value": False}},
+        )
+
     def test_mfa_default_single_tap(self, reference_conformer):
         """With the (unexposed) default aux_layer_start=1 the reference tap
         range is EMPTY — mfa concatenates only the final layer."""
