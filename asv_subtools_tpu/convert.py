@@ -420,13 +420,39 @@ def convert_conformer_state_dict(
     """
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in sd.items()}
+    # Fold ScaledLinear/ScaledConv1d/2d parameterizations (ReConformer,
+    # scaling.py:105-260): effective weight = weight * exp(weight_scale),
+    # bias = bias * exp(bias_scale). After folding, every downstream
+    # mapping sees ordinary weights.
+    folded = {}
+    for k, v in sd.items():
+        if (k.endswith(".weight_scale") or k.endswith(".bias_scale")) and (
+            k.rsplit("_scale", 1)[0] in sd
+        ):
+            continue
+        sc = sd.get(f"{k}_scale")
+        if sc is not None and (k.endswith(".weight") or k.endswith(".bias")):
+            v = (np.asarray(v, np.float64) * np.exp(np.asarray(sc, np.float64))).astype(
+                np.float32
+            )
+        folded[k] = v
+    sd = folded
     params: Dict = {"transformer": {}}
     stats: Dict = {}
     tp = params["transformer"]
 
     # subsampling: torch maps are [B, 1, T, F] -> kernel [out, in, kT, kF]
     sub_kernel = lambda w: np.transpose(np.asarray(w), (2, 3, 1, 0))
-    proj_w = np.asarray(sd["transformer.embed.out.0.weight"])  # [d, C*F']
+    # ReConv2dSubsampling4 interleaves balancers/DoubleSwish in the conv
+    # Sequential (torch indices 0/3/6) and its `out` is a bare ScaledLinear
+    # (subsampling.py:150-250); the plain classes use indices 0/2/4 and
+    # out.0.
+    re_embed = "transformer.embed.conv.3.weight" in sd
+    out_key = (
+        "transformer.embed.out.weight" if re_embed
+        else "transformer.embed.out.0.weight"
+    )
+    proj_w = np.asarray(sd[out_key])  # [d, C*F']
     d_att, in_dim = proj_w.shape
     c_dim = in_dim // freq_out
     perm = np.zeros(in_dim, np.int64)
@@ -436,10 +462,12 @@ def convert_conformer_state_dict(
     tp["embed"] = {
         "proj": {
             "kernel": np.transpose(proj_w[:, perm], (1, 0)),
-            "bias": np.asarray(sd["transformer.embed.out.0.bias"], np.float32),
+            "bias": np.asarray(sd[out_key.rsplit(".weight", 1)[0] + ".bias"], np.float32),
         },
     }
-    for n, idx in (("conv1", 0), ("conv2", 2), ("conv3", 4)):
+    conv_idx = (("conv1", 0), ("conv2", 3), ("conv3", 6)) if re_embed else (
+        ("conv1", 0), ("conv2", 2), ("conv3", 4))
+    for n, idx in conv_idx:
         wkey = f"transformer.embed.conv.{idx}.weight"
         if wkey in sd:
             tp["embed"][n] = {
@@ -554,7 +582,14 @@ def convert_conformer_state_dict(
             }
         blk_stats: Dict = {}
 
-        def _norm_into(key: str, torch_prefix: str) -> Dict:
+        def _norm_into(key: str, torch_prefix: str):
+            # Re layers carry no per-branch norms (encoder_layer.py
+            # ReConformerEncoderLayer) — return None and the caller prunes
+            if not any(
+                f"{torch_prefix}{suf}" in sd
+                for suf in (".weight", ".norm.running_mean", ".running_mean", ".eps")
+            ):
+                return None
             p_, s_ = _enc_norm(sd, torch_prefix)
             if s_ is not None:
                 blk_stats[key] = s_
@@ -588,6 +623,9 @@ def convert_conformer_state_dict(
             "ff": _pw(f"{pre}.feed_forward"),
             "norm_final": _norm_into("norm_final", f"{pre}.norm_final"),
         }
+        if cm_norm is None:
+            del blk["conv_module"]["norm"]
+        blk = {k: v for k, v in blk.items() if v is not None}
         if blk_stats:
             stats.setdefault("transformer", {})[f"block_{i}"] = blk_stats
         if f"{pre}.concat_linear.weight" in sd:

@@ -51,9 +51,23 @@ class ConformerXvector(nn.Module):
         position: str = "near",
         warmup: jax.Array | float = 1.0,
     ) -> jax.Array:
-        enc_cls = (
-            ConformerEncoder if self.transformer_type == "conformer" else TransformerEncoder
-        )
+        re_defaults = {}
+        if self.transformer_type == "re_conformer":
+            # ReConformerEncoder (encoder.py:684-760): basic_norm +
+            # balancers + double_swish, NO per-branch norms (re_layer),
+            # post-norm-free stack (normalize_before=False asserted),
+            # conv1d positionwise kernel 3. Scaled* weights fold into
+            # plain kernels at conversion.
+            enc_cls = ConformerEncoder
+            re_defaults = {
+                "norm_type": "basic_norm", "normalize_before": False,
+                "use_balancer": True, "activation_type": "double_swish",
+                "positionwise_conv_kernel_size": 3, "re_layer": True,
+            }
+        elif self.transformer_type == "conformer":
+            enc_cls = ConformerEncoder
+        else:
+            enc_cls = TransformerEncoder
         enc = enc_cls(
             attention_dim=self.attention_dim,
             attention_heads=self.attention_heads,
@@ -66,7 +80,7 @@ class ConformerXvector(nn.Module):
             combiner_type=self.combiner_type,
             axis_name=self.axis_name,
             name="transformer",
-            **dict(self.encoder_params or {}),
+            **{**re_defaults, **dict(self.encoder_params or {})},
         )
         h, sub_mask = enc(x, mask=mask, train=train, warmup=warmup)
 

@@ -24,6 +24,10 @@ class ConvolutionModule(nn.Module):
     momentum: float = 0.1
     axis_name: Optional[str] = None
     use_balancer: bool = False  # ReConformer (reference convolution.py:77-122)
+    re_module: bool = False  # ReConvolutionModule (convolution.py:139-243):
+    # balancers replace the norm entirely; activation is double_swish; the
+    # ScaledConv1d weights fold into the plain convs at conversion time
+    activation: str = "swish"
 
     @nn.compact
     def __call__(
@@ -49,7 +53,11 @@ class ConvolutionModule(nn.Module):
             d, (self.kernel_size,), padding=pad, feature_group_count=d,
             name="depthwise",
         )(h)
-        if self.norm_type == "batch_norm":
+        if self.re_module:
+            # ReConvolutionModule: no norm between depthwise and the
+            # activation — only the (forward-identity) balancer
+            pass
+        elif self.norm_type == "batch_norm":
             h = BatchNorm(momentum=self.momentum, axis_name=self.axis_name, name="norm")(
                 h, train=train, mask=mask
             )
@@ -61,7 +69,12 @@ class ConvolutionModule(nn.Module):
             raise ValueError(f"unknown norm_type {self.norm_type!r}")
         if self.use_balancer:
             h = activation_balancer(h, -1, 0.05, 1.0, 0.01, 0.2, 100.0)
-        h = h * jax.nn.sigmoid(h)  # swish
+        if self.activation == "double_swish":
+            from ..activations import double_swish
+
+            h = double_swish(h)
+        else:
+            h = h * jax.nn.sigmoid(h)  # swish
         h = nn.Conv(d, (1,), name="pointwise2")(h)
         if mask is not None:
             h = h * mask[..., None].astype(h.dtype)

@@ -173,6 +173,9 @@ class ConformerBlock(nn.Module):
     causal_conv: bool = False  # causal conv module (streaming chunks)
     convfnn: bool = False  # conv-FFN head block (encoder convfnn_blocks)
     layer_dropout: float = 0.0  # stochastic-depth bypass (encoder_layer.py:80-87)
+    re_layer: bool = False  # ReConformerEncoderLayer (encoder_layer.py:140-):
+    # NO per-branch norms, full-scale macaron FF, and a final
+    # balancer+BasicNorm; branch weights are Scaled* (folded at conversion)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -214,7 +217,19 @@ class ConformerBlock(nn.Module):
                 return 1.0
             return self.param(name, nn.initializers.ones, ())
 
-        ff_scale = 0.5 if self.macaron else 1.0
+        # ReConformer layers add macaron FF at FULL scale (encoder_layer
+        # ReConformerEncoderLayer.forward: x = residual + dropout(ff(x)))
+        ff_scale = 0.5 if (self.macaron and not self.re_layer) else 1.0
+
+        def pre_norm(name, h):
+            if self.re_layer or not self.normalize_before:
+                return h
+            return _make_norm(self.norm_type, name, train)(h)
+
+        def post_norm(name, h):
+            if self.re_layer or self.normalize_before:
+                return h
+            return _make_norm(self.norm_type, name, train)(h)
         # convfnn head blocks force a conv positionwise layer (gau mode: a
         # conv_out GAU instead) — encoder.py:612-646
         pw_type = self.positionwise_layer_type
@@ -258,15 +273,14 @@ class ConformerBlock(nn.Module):
 
         if self.macaron:
             res = x
-            h = _make_norm(self.norm_type, "norm_ff_macaron", train)(x) if self.normalize_before else x
+            h = pre_norm("norm_ff_macaron", x)
             h = apply_pw(h, "ff_macaron", att_mask=att_mask)
             x = res + res_scale("scale_ff_macaron") * ff_scale * drop(h)
-            if not self.normalize_before:
-                x = _make_norm(self.norm_type, "norm_ff_macaron", train)(x)
+            x = post_norm("norm_ff_macaron", x)
 
         # self-attention
         res = x
-        h = _make_norm(self.norm_type, "norm_mha", train)(x) if self.normalize_before else x
+        h = pre_norm("norm_mha", x)
         att = _make_attention(
             self.att_type, self.pos_enc_type, self.attention_heads,
             self.attention_dropout_rate, self.gau_units, self.gau_key, "self_attn",
@@ -289,29 +303,31 @@ class ConformerBlock(nn.Module):
             )
         else:
             x = res + res_scale("scale_mha") * drop(h_att)
-        if not self.normalize_before:
-            x = _make_norm(self.norm_type, "norm_mha", train)(x)
+        x = post_norm("norm_mha", x)
 
         if self.use_cnn:
             res = x
-            h = _make_norm(self.norm_type, "norm_conv", train)(x) if self.normalize_before else x
+            h = pre_norm("norm_conv", x)
             h = ConvolutionModule(
                 kernel_size=self.cnn_kernel, norm_type=self.cnn_norm_type,
                 causal=self.causal_conv, use_balancer=self.use_balancer,
+                re_module=self.re_layer, activation=self.activation_type,
                 axis_name=self.axis_name, name="conv_module",
             )(h, mask=pad_mask, train=train)
             x = res + res_scale("scale_conv") * drop(h)
-            if not self.normalize_before:
-                x = _make_norm(self.norm_type, "norm_conv", train)(x)
+            x = post_norm("norm_conv", x)
 
         res = x
-        h = _make_norm(self.norm_type, "norm_ff", train)(x) if self.normalize_before else x
+        h = pre_norm("norm_ff", x)
         h = apply_pw(h, "ff", att_mask=att_mask)
         x = res + res_scale("scale_ff") * ff_scale * drop(h)
-        if not self.normalize_before:
-            x = _make_norm(self.norm_type, "norm_ff", train)(x)
+        x = post_norm("norm_ff", x)
 
-        if self.use_cnn and self.normalize_before:
+        if self.re_layer:
+            # norm_final = BasicNorm(balancer(x)), ALWAYS applied
+            # (ReConformerEncoderLayer.forward tail)
+            x = BasicNorm(name="norm_final")(activation_balancer(x))
+        elif self.use_cnn and self.normalize_before:
             x = _make_norm(self.norm_type, "norm_final", train)(x)
         if alpha is not None:
             x = alpha * x + (1.0 - alpha) * x_orig
@@ -417,7 +433,8 @@ class ConformerEncoder(nn.Module):
     concat_after: bool = False  # x + linear([x; att(x)]) (encoder_layer.py:86)
     rotary_value: bool = True  # rot_pos: rotate v as well (encoder.py:98)
     rope_abs_plus: bool = False  # rot_pos: add abs sinusoid PE too (embedding.py:193)
-    re_scale: bool = False  # ReConformer variant (encoder.py:684)
+    re_scale: bool = False  # learned residual scales (our extension)
+    re_layer: bool = False  # exact ReConformerEncoderLayer structure
     norm_type: str = "layer_norm"  # layer_norm | basic_norm (ReConformer)
     use_balancer: bool = False  # ActivationBalancer in ff/conv (ReConformer)
     axis_name: Optional[str] = None
@@ -512,6 +529,7 @@ class ConformerEncoder(nn.Module):
                 re_scale=self.re_scale,
                 causal_conv=self.static_chunk_size > 0,
                 convfnn=i < self.convfnn_blocks,
+                re_layer=self.re_layer,
                 layer_dropout=self.layer_dropout,
                 axis_name=self.axis_name,
                 name=f"block_{i}",

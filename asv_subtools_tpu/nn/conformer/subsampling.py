@@ -107,10 +107,48 @@ class Conv2dSubsampling8(nn.Module):
         return h, _subsample_mask(mask, t2, 8, offset=14)
 
 
+class ReConv2dSubsampling4(nn.Module):
+    """1/4 rate, ReConformer flavor (ReConv2dSubsampling4,
+    subsampling.py:150-250): three convs at channels 8/32/128 — the first
+    stride-1 with padding 1, then two stride-2 VALID — each followed by a
+    DoubleSwish (the interleaved ActivationBalancers shape gradients only
+    and are forward-identity), then a projection (ScaledLinear, folded to a
+    plain Dense by the converter), a fixed-eps BasicNorm and an output
+    balancer. Same time map and mask striding as conv2d."""
+
+    odim: int = 256
+    dropout_rate: float = 0.1
+    layer1_channels: int = 8
+    layer2_channels: int = 32
+    layer3_channels: int = 128
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        from ..activations import double_swish
+        from .scaling import BasicNorm, activation_balancer
+
+        h = x[..., None]
+        h = nn.Conv(self.layer1_channels, (3, 3), strides=(1, 1),
+                    padding=((1, 1), (1, 1)), name="conv1")(h)
+        h = double_swish(activation_balancer(h))
+        h = nn.Conv(self.layer2_channels, (3, 3), strides=(2, 2),
+                    padding="VALID", name="conv2")(h)
+        h = double_swish(activation_balancer(h))
+        h = nn.Conv(self.layer3_channels, (3, 3), strides=(2, 2),
+                    padding="VALID", name="conv3")(h)
+        h = double_swish(activation_balancer(h))
+        b2, t2, f2, c = h.shape
+        h = nn.Dense(self.odim, name="proj")(h.reshape(b2, t2, f2 * c))
+        h = BasicNorm(learn_eps=False, name="out_norm")(h)
+        h = activation_balancer(h, -1, 0.45, 0.55)
+        return h, _subsample_mask(mask, t2, 4, offset=6)
+
+
 SUBSAMPLINGS = {
     "linear": LinearNoSubsampling,
     "conv2d2": Conv2dSubsampling2,
     "conv2d": Conv2dSubsampling4,
+    "re_conv2d": ReConv2dSubsampling4,
     "conv2d6": Conv2dSubsampling6,
     "conv2d8": Conv2dSubsampling8,
 }

@@ -463,7 +463,7 @@ class TestConformerVariantParity:
     def _roundtrip(self, reference_conformer, pos_enc, input_layer,
                    freq_out_fn, seed=0, feat=30, tol=3e-3,
                    ref_extra=None, ours_extra=None, blocks=2,
-                   randomize_bn_stats=False):
+                   randomize_bn_stats=False, transformer_type="conformer"):
         from asv_subtools_tpu.convert import convert_conformer_state_dict
         from asv_subtools_tpu.models import ConformerXvector
 
@@ -471,6 +471,7 @@ class TestConformerVariantParity:
         d_att = 32
         ref = reference_conformer.TransformerXvector(
             feat, 50, training=False, embd_dim=16,
+            transformer_type=transformer_type,
             transformer_params={
                 "attention_dim": d_att, "attention_heads": 2,
                 "linear_units": 64, "num_blocks": blocks,
@@ -497,6 +498,7 @@ class TestConformerVariantParity:
             embd_dim=16, attention_dim=d_att, attention_heads=2,
             linear_units=64, num_blocks=blocks, out_dim=48,
             dropout_rate=0.0, pos_enc_type=pos_enc, input_layer=input_layer,
+            transformer_type=transformer_type,
             **(ours_extra or {}),
         )
         variables = {"params": params, "batch_stats": stats}
@@ -599,6 +601,28 @@ class TestConformerVariantParity:
             lambda f: ((f - 1) // 2 - 1) // 2, seed=12,
             ref_extra={"rotary_value": False},
             ours_extra={"encoder_params": {"rotary_value": False}},
+        )
+
+    def test_re_conformer(self, reference_conformer):
+        """transformer_type="re_conformer" (ReConformerEncoder,
+        encoder.py:684-827): no per-branch norms, full-scale macaron FF,
+        final balancer+BasicNorm per layer, Re conv module without a norm,
+        and every Scaled* weight folded (w * exp(w_scale)) into plain
+        kernels by the converter."""
+        self._roundtrip(
+            reference_conformer, "rel_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=13,
+            transformer_type="re_conformer",
+        )
+
+    def test_re_conformer_re_conv2d(self, reference_conformer):
+        """Re subsampling (ReConv2dSubsampling4, subsampling.py:150-250):
+        8/32/128-channel convs (first stride 1 padding 1) with DoubleSwish,
+        ScaledLinear out folded to Dense, fixed-eps BasicNorm."""
+        self._roundtrip(
+            reference_conformer, "rel_pos", "re_conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=14,
+            transformer_type="re_conformer",
         )
 
     def test_mfa_default_single_tap(self, reference_conformer):
