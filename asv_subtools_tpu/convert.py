@@ -573,10 +573,16 @@ def convert_conformer_state_dict(
                     np.asarray(sd[f"{pre}.self_attn.linear_v.bias"], np.float32),
                 ]
             )
+            out_w = np.asarray(sd[f"{pre}.self_attn.linear_out.weight"])
             attn = {
                 "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                # attention_conv_out: linear_out is a k=3 Conv1d
+                # (attention.py:43-45) -> flax conv kernel [k, in, out]
                 "out": {
-                    "kernel": _dense_kernel(sd[f"{pre}.self_attn.linear_out.weight"]),
+                    "kernel": (
+                        np.transpose(out_w.astype(np.float32), (2, 1, 0))
+                        if out_w.ndim == 3 else _dense_kernel(out_w)
+                    ),
                     "bias": np.asarray(sd[f"{pre}.self_attn.linear_out.bias"], np.float32),
                 },
             }

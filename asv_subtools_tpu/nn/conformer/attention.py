@@ -24,6 +24,14 @@ from .embedding import apply_rope, rel_position_encoding, rope_freqs
 NEG_INF = -1.0e9
 
 
+def _out_proj(module: nn.Module, d: int, h: jax.Array) -> jax.Array:
+    """Attention output projection: Dense, or a kernel-3 SAME conv1d over
+    time when conv_out (attention.py:43-45; applied at :113-114)."""
+    if module.conv_out:
+        return nn.Conv(d, (3,), padding="SAME", name="out")(h)
+    return nn.Dense(d, name="out")(h)
+
+
 def attention_normalize(
     module: nn.Module,
     scores_raw: jax.Array,
@@ -130,6 +138,7 @@ class MultiHeadedAttention(nn.Module):
 
     num_heads: int = 4
     dropout_rate: float = 0.0
+    conv_out: bool = False  # out proj is a k=3 conv1d (attention.py:43-45)
     norm_method: str = "softmax"
     scale_adapt: bool = False
     g_sa: bool = False
@@ -156,7 +165,7 @@ class MultiHeadedAttention(nn.Module):
         out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self,
                       extra_score=extra_score)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, name="out")(out)
+        return _out_proj(self, d, out)
 
 
 class RelPositionMultiHeadedAttention(nn.Module):
@@ -172,6 +181,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.0
     rel_shift: bool = False
+    conv_out: bool = False  # out proj is a k=3 conv1d (attention.py:43-45)
     norm_method: str = "softmax"
     scale_adapt: bool = False
     g_sa: bool = False
@@ -236,7 +246,7 @@ class RelPositionMultiHeadedAttention(nn.Module):
             attn = nn.Dropout(rate=self.dropout_rate, deterministic=False)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, name="out")(out)
+        return _out_proj(self, d, out)
 
 
 class RoPESelfAttention(nn.Module):
@@ -245,6 +255,7 @@ class RoPESelfAttention(nn.Module):
     num_heads: int = 4
     dropout_rate: float = 0.0
     rotary_value: bool = True
+    conv_out: bool = False  # out proj is a k=3 conv1d (attention.py:43-45)
     norm_method: str = "softmax"
     scale_adapt: bool = False
     g_sa: bool = False
@@ -274,7 +285,7 @@ class RoPESelfAttention(nn.Module):
             v = apply_rope(v, cos, sin)
         out = _attend(q, k, v, mask, self.dropout_rate, deterministic, self)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-        return nn.Dense(d, name="out")(out)
+        return _out_proj(self, d, out)
 
 
 class T5RelPositionBias(nn.Module):

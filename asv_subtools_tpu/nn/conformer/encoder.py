@@ -114,7 +114,8 @@ class Conv1dLinear(nn.Module):
 
 
 def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
-                    name, norm_args=None, conv_out=False, rotary_value=True):
+                    name, norm_args=None, conv_out=False, rotary_value=True,
+                    att_conv_out=False):
     # attention_norm_args (transformer_xvector.py:112-115; the shipped
     # voxceleb conformer launcher uses norm_method=softmax_plus)
     na = dict(norm_args or {})
@@ -126,17 +127,24 @@ def _make_attention(att_type, pos_enc_type, heads, dropout, gau_units, gau_key,
     if att_type == "gau":
         return GAU(
             expansion_units=gau_units, key_dim=gau_key, dropout_rate=dropout,
-            use_rope=(pos_enc_type == "rot_pos"), conv_out=conv_out,
+            use_rope=(pos_enc_type == "rot_pos"),
+            conv_out=conv_out or att_conv_out,
             name=name, **kw,
         )
+    # attention_conv_out (encoder.py:94, attention.py:43-45): the MHA-family
+    # out projection becomes a k=3 conv1d. Unlike GAU, convfnn head blocks
+    # do NOT force it (encoder.py:612-646 keeps the standard selfattn).
     if pos_enc_type == "rel_pos":
         return RelPositionMultiHeadedAttention(
-            num_heads=heads, dropout_rate=dropout, name=name, **kw
+            num_heads=heads, dropout_rate=dropout, conv_out=att_conv_out,
+            name=name, **kw
         )
     if pos_enc_type == "rot_pos":
         return RoPESelfAttention(num_heads=heads, dropout_rate=dropout,
-                                 rotary_value=rotary_value, name=name, **kw)
-    return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout, name=name, **kw)
+                                 rotary_value=rotary_value,
+                                 conv_out=att_conv_out, name=name, **kw)
+    return MultiHeadedAttention(num_heads=heads, dropout_rate=dropout,
+                                conv_out=att_conv_out, name=name, **kw)
 
 
 class ConformerBlock(nn.Module):
@@ -163,6 +171,7 @@ class ConformerBlock(nn.Module):
     normalize_before: bool = True
     concat_after: bool = False
     rotary_value: bool = True  # rotate v too (RoPESelfAttention default)
+    attention_conv_out: bool = False  # k=3 conv1d attention out (encoder.py:94)
     positionwise_layer_type: str = "linear"
     positionwise_conv_kernel_size: int = 1
     activation_type: str = "swish"
@@ -287,6 +296,7 @@ class ConformerBlock(nn.Module):
             norm_args=self.attention_norm_args,
             conv_out=self.convfnn,  # convfnn gau blocks use conv_out GAUs
             rotary_value=self.rotary_value,
+            att_conv_out=self.attention_conv_out,
         )
         if self.add_t5rel_bias:
             # per-LAYER learned bias: each reference attention layer owns
@@ -433,6 +443,7 @@ class ConformerEncoder(nn.Module):
     concat_after: bool = False  # x + linear([x; att(x)]) (encoder_layer.py:86)
     rotary_value: bool = True  # rot_pos: rotate v as well (encoder.py:98)
     rope_abs_plus: bool = False  # rot_pos: add abs sinusoid PE too (embedding.py:193)
+    attention_conv_out: bool = False  # k=3 conv1d attention out (encoder.py:94)
     re_scale: bool = False  # learned residual scales (our extension)
     re_layer: bool = False  # exact ReConformerEncoderLayer structure
     norm_type: str = "layer_norm"  # layer_norm | basic_norm (ReConformer)
@@ -523,6 +534,7 @@ class ConformerEncoder(nn.Module):
                 normalize_before=self.normalize_before,
                 concat_after=self.concat_after,
                 rotary_value=self.rotary_value,
+                attention_conv_out=self.attention_conv_out,
                 positionwise_layer_type=self.positionwise_layer_type,
                 positionwise_conv_kernel_size=self.positionwise_conv_kernel_size,
                 activation_type=self.activation_type,

@@ -603,6 +603,16 @@ class TestConformerVariantParity:
             ours_extra={"encoder_params": {"rotary_value": False}},
         )
 
+    def test_attention_conv_out(self, reference_conformer):
+        """attention_conv_out=True: the MHA output projection is a k=3
+        padding-1 Conv1d over time (attention.py:43-45, applied :113-114)."""
+        self._roundtrip(
+            reference_conformer, "rel_pos", "conv2d",
+            lambda f: ((f - 1) // 2 - 1) // 2, seed=15,
+            ref_extra={"attention_conv_out": True},
+            ours_extra={"encoder_params": {"attention_conv_out": True}},
+        )
+
     def test_re_conformer(self, reference_conformer):
         """transformer_type="re_conformer" (ReConformerEncoder,
         encoder.py:684-827): no per-branch norms, full-scale macaron FF,
