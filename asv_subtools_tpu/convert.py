@@ -790,3 +790,105 @@ def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
     if p7 is not None:
         params["tdnn7_bn"] = p7
     return params, stats
+
+
+def convert_ecapa_lawlict_state_dict(
+    sd: Dict, scale: int = 8
+) -> Tuple[Dict, Dict]:
+    """lawlict ECAPA_TDNN state_dict (pytorch/model/ecapa-tdnn-xvector.py)
+    -> (params, batch_stats) for models.EcapaLawlict.
+
+    Layout notes vs the primary ECAPA converter: Conv1dReluBn convs have no
+    bias; the res2 chain stores full [out, in, 3] dilated kernels (no tap
+    masking); SE is two Linear layers; the MFA conv keeps its width and has
+    a bias; fc1/fc2 are reference ReluBatchNormTdnnLayer (affine+batchnorm).
+    """
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in sd.items()}
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv_relu_bn(prefix: str, bias: bool = False) -> Tuple[Dict, Dict]:
+        conv: Dict = {"kernel": _conv_kernel(sd[f"{prefix}.conv.weight"])}
+        if bias:
+            conv["bias"] = np.asarray(sd[f"{prefix}.conv.bias"], np.float32)
+        p_bn, s_bn = _bn(sd, f"{prefix}.bn")
+        p = {"affine": {"conv": conv}, "act_bn": {"bn": p_bn}}
+        return p, {"act_bn": {"bn": s_bn}}
+
+    params["layer1"], stats["layer1"] = conv_relu_bn("layer1")
+
+    for li in (2, 3, 4):
+        name = f"layer{li}"
+        p: Dict = {}
+        s: Dict = {}
+        p["conv1"], s["conv1"] = conv_relu_bn(f"{name}.0")
+        res_p: Dict = {}
+        res_s: Dict = {}
+        for b in range(scale - 1):
+            bp_bn, bs_bn = _bn(sd, f"{name}.1.bns.{b}")
+            res_p[f"block_{b}"] = {
+                "affine": {
+                    "conv": {
+                        "kernel": _conv_kernel(sd[f"{name}.1.convs.{b}.weight"])
+                    }
+                },
+                "act_bn": {"bn": bp_bn},
+            }
+            res_s[f"block_{b}"] = {"act_bn": {"bn": bs_bn}}
+        p["res2net"] = res_p
+        s["res2net"] = res_s
+        p["conv2"], s["conv2"] = conv_relu_bn(f"{name}.2")
+        p["se"] = {
+            "linear1": {
+                "kernel": _dense_kernel(sd[f"{name}.3.linear1.weight"]),
+                "bias": np.asarray(sd[f"{name}.3.linear1.bias"], np.float32),
+            },
+            "linear2": {
+                "kernel": _dense_kernel(sd[f"{name}.3.linear2.weight"]),
+                "bias": np.asarray(sd[f"{name}.3.linear2.bias"], np.float32),
+            },
+        }
+        params[name] = p
+        stats[name] = s
+
+    # model-level conv + bn_conv -> our "mfa" ReluBatchNormTdnnLayer
+    p_bn, s_bn = _bn(sd, "bn_conv")
+    params["mfa"] = {
+        "affine": {
+            "conv": {
+                "kernel": _conv_kernel(sd["conv.weight"]),
+                "bias": np.asarray(sd["conv.bias"], np.float32),
+            }
+        },
+        "act_bn": {"bn": p_bn},
+    }
+    stats["mfa"] = {"act_bn": {"bn": s_bn}}
+
+    params["stats"] = {
+        "linear1": {
+            "kernel": _conv_kernel(sd["stats.linear1.weight"]),
+            "bias": np.asarray(sd["stats.linear1.bias"], np.float32),
+        },
+        "linear2": {
+            "kernel": _conv_kernel(sd["stats.linear2.weight"]),
+            "bias": np.asarray(sd["stats.linear2.bias"], np.float32),
+        },
+    }
+
+    params["bn_stats"], stats["bn_stats"] = _bn(sd, "bn_stats")
+
+    if "fc1.affine.weight" in sd:
+        params["fc1_affine"] = {
+            "kernel": _dense_kernel(sd["fc1.affine.weight"]),
+            "bias": np.asarray(sd["fc1.affine.bias"], np.float32),
+        }
+        params["fc1_bn"], stats["fc1_bn"] = _bn(sd, "fc1.batchnorm")
+
+    params["fc2_affine"] = {
+        "kernel": _dense_kernel(sd["fc2.affine.weight"]),
+        "bias": np.asarray(sd["fc2.affine.bias"], np.float32),
+    }
+    params["fc2_bn"], stats["fc2_bn"] = _bn(sd, "fc2.batchnorm")
+
+    return params, stats

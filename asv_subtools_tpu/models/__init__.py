@@ -6,6 +6,7 @@ Parity map (reference pytorch/model/):
   extended_xvector.py   -> ExtendedXvector
   factored_xvector.py   -> FactoredXvector (F-TDNN, semi-orth)
   ecapa_tdnn_xvector.py -> EcapaTdnn
+  ecapa-tdnn-xvector.py -> EcapaLawlict (the lawlict second impl)
   resnet_xvector.py     -> ResNetXvector
   repvgg_xvector.py     -> RepVggXvector
   transformer_xvector.py-> ConformerXvector (models/conformer.py)
@@ -13,6 +14,7 @@ Parity map (reference pytorch/model/):
 
 from .conformer import ConformerXvector
 from .ecapa import EcapaTdnn
+from .ecapa_lawlict import EcapaLawlict
 from .framework import (
     SpeakerNet,
     chunk_utterance,
@@ -37,6 +39,7 @@ MODELS = {
     "extended_xvector": ExtendedXvector,
     "factored_xvector": FactoredXvector,
     "ecapa_tdnn": EcapaTdnn,
+    "ecapa_lawlict": EcapaLawlict,
     "resnet_xvector": ResNetXvector,
     "repvgg_xvector": RepVggXvector,
     "conformer_xvector": ConformerXvector,

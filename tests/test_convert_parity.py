@@ -797,3 +797,91 @@ class TestConformerVariantParity:
             ours_extra={"att_type": "gau",
                         "encoder_params": {"gau_units": 64, "gau_key": 16}},
         )
+
+
+@pytest.fixture(scope="module")
+def reference_lawlict():
+    """The reference's SECOND ECAPA implementation (lawlict-derived),
+    pytorch/model/ecapa-tdnn-xvector.py — dashes require path import."""
+    sys.path.insert(0, "/root/reference/pytorch")
+    sys.path.insert(0, "/root/reference/pytorch/libs")
+    spec = importlib.util.spec_from_file_location(
+        "ecapa_lawlict_ref", "/root/reference/pytorch/model/ecapa-tdnn-xvector.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"cannot import reference lawlict model: {e}")
+    return mod
+
+
+class TestLawlictEcapaParity:
+    """lawlict ECAPA variant (reference ecapa-tdnn-xvector.py): res2 chain
+    convolves the FIRST split and passes the LAST through, SE is a
+    channels//4 Linear bottleneck, pooling is tanh attention without global
+    context, backbone BN is torch-default momentum 0.1."""
+
+    def _models(self, reference_lawlict, seed=0, channels=64, embd=16):
+        torch.manual_seed(seed)
+        ref = reference_lawlict.ECAPA_TDNN(
+            FEAT, 100, training=False, channels=channels, embd_dim=embd,
+        )
+        ref.eval()
+        from asv_subtools_tpu.convert import convert_ecapa_lawlict_state_dict
+        from asv_subtools_tpu.models import EcapaLawlict
+
+        params, stats = convert_ecapa_lawlict_state_dict(ref.state_dict())
+        ours = EcapaLawlict(channels=channels, embd_dim=embd)
+        return ref, ours, {"params": params, "batch_stats": stats}
+
+    def test_converted_tree_matches_init_structure(self, reference_lawlict):
+        _, ours, variables = self._models(reference_lawlict)
+        init_v = ours.init(
+            {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 50, FEAT)),
+            train=False,
+        )
+        shapes = lambda t: jax.tree_util.tree_map(
+            lambda x: tuple(np.shape(x)), t
+        )
+        assert shapes(init_v["params"]) == shapes(variables["params"])
+        assert shapes(init_v["batch_stats"]) == shapes(variables["batch_stats"])
+
+    def test_embeddings_allclose(self, reference_lawlict):
+        ref, ours, variables = self._models(reference_lawlict)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 80, FEAT)).astype(np.float32)
+        with torch.no_grad():
+            # forward == extract_embedding("near"): both end at the full
+            # fc2 layer (reference :268-283 vs :305-324)
+            ref_emb = ref.forward(torch.from_numpy(np.transpose(x, (0, 2, 1))))
+        ref_np = (
+            ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3 else ref_emb.numpy()
+        )
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False, position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=1e-3, atol=1e-3)
+
+    def test_near_affine_allclose(self, reference_lawlict):
+        ref, ours, variables = self._models(reference_lawlict, seed=3)
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 120, FEAT)).astype(np.float32)
+        with torch.no_grad():
+            xt = torch.from_numpy(np.transpose(x, (0, 2, 1)))
+            out1 = ref.layer1(xt)
+            out2 = ref.layer2(out1) + out1
+            out3 = ref.layer3(out1 + out2) + out1 + out2
+            out4 = ref.layer4(out1 + out2 + out3) + out1 + out2 + out3
+            out = torch.cat([out2, out3, out4], dim=1)
+            out = ref.bn_conv(torch.relu(ref.conv(out)))
+            z = ref.bn_stats(ref.stats(out)).unsqueeze(-1)
+            ref_emb = ref.fc2.affine(z)
+        ref_np = ref_emb.squeeze(-1).numpy()
+        our_emb = np.asarray(
+            ours.apply(
+                variables, jnp.asarray(x), train=False, position="near_affine"
+            )
+        )
+        np.testing.assert_allclose(our_emb, ref_np, rtol=1e-3, atol=1e-3)

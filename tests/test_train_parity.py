@@ -829,3 +829,51 @@ class TestResnetTrainParity:
             ref, net, conv, x, y, max_change=1e4, expect_clipped=False,
             forward_fn=lambda t: ref.extract_embedding_jit(t, "near"),
         )
+
+
+class TestLawlictEcapaTrainParity:
+    """10th family: the lawlict ECAPA variant (ecapa-tdnn-xvector.py) —
+    certifies its torch-default backbone BN (momentum 0.1), the res2
+    first-split-conv ordering, and the linear-SE under a real optimization
+    step."""
+
+    @pytest.fixture(scope="class")
+    def ref_mod(self):
+        return _load_ref_module(
+            "/root/reference/pytorch/model/ecapa-tdnn-xvector.py",
+            "lawlict_tref",
+        )
+
+    def _make(self, ref_mod, seed=0):
+        from asv_subtools_tpu.models import EcapaLawlict
+
+        torch.manual_seed(seed)
+        feat, channels, embd = 30, 64, 16
+        ref = ref_mod.ECAPA_TDNN(
+            feat, N_TARGETS, training=True, channels=channels, embd_dim=embd,
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=EcapaLawlict(channels=channels, embd_dim=embd),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        return ref, net, x, y
+
+    def test_one_step_no_clip(self, ref_mod):
+        from asv_subtools_tpu.convert import convert_ecapa_lawlict_state_dict
+
+        ref, net, x, y = self._make(ref_mod, seed=0)
+        _run_parity(ref, net, convert_ecapa_lawlict_state_dict, x, y,
+                    max_change=1e4, expect_clipped=False)
+
+    def test_one_step_clip_engaged(self, ref_mod):
+        from asv_subtools_tpu.convert import convert_ecapa_lawlict_state_dict
+
+        ref, net, x, y = self._make(ref_mod, seed=1)
+        _run_parity(ref, net, convert_ecapa_lawlict_state_dict, x, y,
+                    max_change=0.25, expect_clipped=True)
