@@ -273,6 +273,107 @@ def spec_augment(
             out[:, start : start + width] = 0.0
     return out
 
+def cutout(
+    feats: np.ndarray,
+    rng: np.random.Generator,
+    frequency: float = 0.25,
+    frame: float = 0.025,
+    num_cut: int = 1,
+    random_cut: bool = False,
+) -> np.ndarray:
+    """Zero random RECTANGLES (not whole bands) on a [T, D] feature matrix.
+
+    Parity: Cutout (pytorch/libs/egs/augmentation.py:114-181) — per cut,
+    a freq extent f ~ U{0..int(D*frequency)} at a random offset and a time
+    extent t ~ U{0..int(T*frame)} at a random offset are zeroed jointly;
+    random_cut draws the number of cuts from U{1..num_cut}.
+    """
+    out = feats.copy()
+    t, d = out.shape
+    max_f = int(d * frequency)
+    max_t = int(t * frame)
+    n = int(rng.integers(1, num_cut + 1)) if random_cut else num_cut
+    for _ in range(n):
+        f = int(rng.integers(0, max_f + 1))
+        f0 = int(rng.integers(0, d - f + 1))
+        w = int(rng.integers(0, max_t + 1))
+        t0 = int(rng.integers(0, t - w + 1))
+        out[t0 : t0 + w, f0 : f0 + f] = 0.0
+    return out
+
+
+def spec_augment_proportional(
+    feats: np.ndarray,
+    rng: np.random.Generator,
+    frequency: float = 0.2,
+    frame: float = 0.0,
+    rows: int = 1,
+    cols: int = 0,
+    random_rows: bool = False,
+    random_cols: bool = False,
+) -> np.ndarray:
+    """SpecAugment with proportional max widths, the offline-egs variant.
+
+    Parity: SpecAugment (pytorch/libs/egs/augmentation.py:21-113): `rows`
+    frequency masks of extent U{0..int(D*frequency)} and `cols` time masks
+    of extent U{0..int(T*frame)}; random_rows/random_cols draw the mask
+    counts from U{1..rows}/U{1..cols}. (The online-pipeline spec_augment
+    above keeps wenet's absolute max_t/max_f convention,
+    processor.py:469-494.)
+    """
+    out = feats.copy()
+    t, d = out.shape
+    if frequency > 0 and rows > 0:
+        max_f = int(d * frequency)
+        n = int(rng.integers(1, rows + 1)) if random_rows else rows
+        for _ in range(n):
+            f = int(rng.integers(0, max_f + 1))
+            f0 = int(rng.integers(0, d - f + 1))
+            out[:, f0 : f0 + f] = 0.0
+    if frame > 0 and cols > 0:
+        max_t = int(t * frame)
+        n = int(rng.integers(1, cols + 1)) if random_cols else cols
+        for _ in range(n):
+            w = int(rng.integers(0, max_t + 1))
+            t0 = int(rng.integers(0, t - w + 1))
+            out[t0 : t0 + w, :] = 0.0
+    return out
+
+
+def get_augmentation(aug: Optional[str] = None, aug_params: Optional[Dict] = None):
+    """Feature-augmentation factory for the offline chunk-egs path.
+
+    Parity: get_augmentation (pytorch/libs/egs/augmentation.py:185-210):
+    dispatches "specaugment" | "cutout" | None. Returns a callable
+    ``fn(feats [T, D], rng) -> feats`` or None.
+    """
+    p = {
+        "frequency": 0.2,
+        "frame": 0.0,
+        "rows": 1,
+        "cols": 0,
+        "random_rows": True,
+        "random_cols": False,
+        "num_cut": 1,
+        "random_cut": False,
+    }
+    p.update(aug_params or {})
+    if aug is None or aug == "" or aug is False:
+        return None
+    if aug == "specaugment":
+        return lambda feats, rng: spec_augment_proportional(
+            feats, rng, frequency=p["frequency"], frame=p["frame"],
+            rows=p["rows"], cols=p["cols"], random_rows=p["random_rows"],
+            random_cols=p["random_cols"],
+        )
+    if aug == "cutout":
+        return lambda feats, rng: cutout(
+            feats, rng, frequency=p["frequency"], frame=p["frame"],
+            num_cut=p["num_cut"], random_cut=p["random_cut"],
+        )
+    raise TypeError(f"Do not support {aug} augmentation.")
+
+
 def prepare_speechaug_csv(
     wav_dir: str,
     out_csv: str,

@@ -154,7 +154,11 @@ class ChunkEgs:
         rank: int = 0,
         world_size: int = 1,
         drop_last: bool = True,
+        aug: Optional[str] = None,
+        aug_params: Optional[Dict] = None,
     ):
+        from .augment import get_augmentation
+
         self.chunks = list(chunks)
         self.batch_size = batch_size
         self.seed = seed
@@ -162,6 +166,10 @@ class ChunkEgs:
         self.world_size = world_size
         self.drop_last = drop_last
         self.epoch = 0
+        # per-item feature aug, reference ChunkEgs egs.py:68 (specaugment
+        # or cutout via the get_augmentation factory)
+        self.aug_fn = get_augmentation(aug, aug_params)
+        self._aug_rng = np.random.default_rng(seed + 7)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -184,6 +192,8 @@ class ChunkEgs:
 
     def _collate(self, batch: List[Chunk]) -> Dict:
         feats = [read_mat(c.rxfile, row_range=(c.start, c.end)) for c in batch]
+        if self.aug_fn is not None:
+            feats = [self.aug_fn(f, self._aug_rng) for f in feats]
         x = np.stack(feats).astype(np.float32)
         y = np.asarray([c.label for c in batch], np.int32)
         return {"x": x, "y": y, "keys": [c.utt for c in batch]}

@@ -482,3 +482,78 @@ class TestShardWriterAndCsv:
             w.write("u2", np.zeros(11, np.float32))
         counts = utt2num_frames_from_vad(str(tmp_path / "vad.scp"))
         assert counts == {"u1": 37, "u2": 11}
+
+
+class TestCutoutFactory:
+    def test_cutout_zeroes_rectangle_only(self):
+        from asv_subtools_tpu.data.augment import cutout
+
+        rng = np.random.default_rng(0)
+        feats = np.ones((100, 40), np.float32)
+        out = cutout(feats, rng, frequency=0.5, frame=0.5, num_cut=1)
+        zeros = out == 0.0
+        # a cutout is a rectangle: zero rows/cols form contiguous runs and
+        # the zero region is their outer product
+        zr = np.where(zeros.any(axis=1))[0]
+        zc = np.where(zeros.any(axis=0))[0]
+        if zr.size:
+            assert np.array_equal(zr, np.arange(zr[0], zr[-1] + 1))
+            assert np.array_equal(zc, np.arange(zc[0], zc[-1] + 1))
+            assert zeros.sum() == zr.size * zc.size
+        assert not zeros.all(axis=0).any() and not zeros.all(axis=1).any() or (
+            zr.size < 100 and zc.size < 40
+        )
+        # input untouched
+        assert feats.min() == 1.0
+
+    def test_specaugment_proportional_full_bands(self):
+        from asv_subtools_tpu.data.augment import spec_augment_proportional
+
+        rng = np.random.default_rng(3)
+        feats = np.ones((50, 30), np.float32)
+        out = spec_augment_proportional(
+            feats, rng, frequency=0.4, frame=0.2, rows=1, cols=1,
+            random_rows=False,
+        )
+        # any zeroed freq column is zero across ALL frames (band mask),
+        # except where a time mask also lands
+        zero_cols = (out == 0).all(axis=0)
+        zero_rows = (out == 0).all(axis=1)
+        assert zero_cols.sum() <= int(30 * 0.4)
+        assert zero_rows.sum() <= int(50 * 0.2)
+
+    def test_factory_dispatch(self):
+        from asv_subtools_tpu.data.augment import get_augmentation
+
+        assert get_augmentation(None) is None
+        assert get_augmentation("") is None
+        fn = get_augmentation("cutout", {"frequency": 0.3, "frame": 0.1})
+        rng = np.random.default_rng(0)
+        out = fn(np.ones((20, 10), np.float32), rng)
+        assert out.shape == (20, 10)
+        fn2 = get_augmentation("specaugment")
+        assert fn2(np.ones((20, 10), np.float32), rng).shape == (20, 10)
+        with pytest.raises(TypeError):
+            get_augmentation("nope")
+
+    def test_chunk_egs_applies_aug(self, tmp_path):
+        from asv_subtools_tpu.data.egs_offline import Chunk, ChunkEgs
+        from asv_subtools_tpu.io.kaldi import ArkScpWriter
+
+        mats = {f"u{i}": np.ones((40, 8), np.float32) for i in range(4)}
+        ark = str(tmp_path / "feats.ark")
+        scp = str(tmp_path / "feats.scp")
+        with ArkScpWriter(ark, scp) as w:
+            for k, m in mats.items():
+                w.write(k, m)
+        rx = dict(l.strip().split(None, 1) for l in open(scp))
+        chunks = [Chunk(u, rx[u], 0, 40, i) for i, u in enumerate(sorted(mats))]
+        egs = ChunkEgs(chunks, batch_size=4, drop_last=False,
+                       aug="specaugment",
+                       aug_params={"frequency": 0.5, "rows": 1,
+                                   "random_rows": False})
+        batch = next(iter(egs))
+        assert (batch["x"] == 0).any(), "aug should have zeroed something"
+        egs_clean = ChunkEgs(chunks, batch_size=4, drop_last=False)
+        batch_clean = next(iter(egs_clean))
+        assert not (batch_clean["x"] == 0).any()
