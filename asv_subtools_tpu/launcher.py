@@ -75,6 +75,10 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         # mesh model-axis size (>1 shards the margin-loss classifier rows
         # over the model axis via classifier_partition_rules)
         "num_model": 1,
+        # ZeRO-3-style fully-sharded data parallelism (beyond the
+        # reference): shard every large param + its optimizer moments over
+        # the data axis (parallel.mesh.make_fsdp_rules)
+        "fsdp": False,
     },
     # extraction: mode "feature" (host fbank) or "wave" (on-chip fused fbank)
     "extract": {
@@ -223,7 +227,14 @@ class Launcher:
 
         dtype = jnp.bfloat16 if t["compute_dtype"] == "bfloat16" else jnp.float32
         partition_rules = None
-        if self.mesh.shape.get("model", 1) > 1:
+        if t.get("fsdp"):
+            from .parallel.mesh import make_fsdp_rules
+
+            partition_rules = make_fsdp_rules(
+                self.mesh,
+                classifier_model_axis=self.mesh.shape.get("model", 1) > 1,
+            )
+        elif self.mesh.shape.get("model", 1) > 1:
             from .parallel.mesh import classifier_partition_rules
 
             partition_rules = classifier_partition_rules

@@ -6,6 +6,7 @@ from .mesh import (
     classifier_partition_rules,
     host_local_slice,
     initialize_multihost,
+    make_fsdp_rules,
     make_mesh,
     opt_state_shardings,
     partition_params,

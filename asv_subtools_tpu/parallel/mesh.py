@@ -82,6 +82,53 @@ def classifier_partition_rules(path, leaf) -> P:
     return P()
 
 
+def make_fsdp_rules(
+    mesh: Mesh,
+    min_size: int = 8192,
+    axis: str = DATA_AXIS,
+    classifier_model_axis: bool = True,
+):
+    """ZeRO-3-style fully-sharded-data-parallel partition rules (factory).
+
+    Beyond the reference (SURVEY §2.7: FSDP/ZeRO absent there — its models
+    fit per-GPU). On TPU it is just a rules function: every parameter with
+    >= min_size elements is sharded over the data axis along its largest
+    axis-divisible dim, optimizer moments inherit the same sharding through
+    `opt_state_shardings`, and XLA's SPMD partitioner inserts the per-use
+    all-gather and the grad reduce-scatter on ICI. Small params (biases,
+    BN) stay replicated — sharding them costs more collective latency than
+    the bytes saved. With classifier_model_axis the margin-loss classifier
+    weight keeps its row-parallel MODEL_AXIS sharding (the two compose).
+
+    Returns rules(path, leaf) -> PartitionSpec for Trainer(partition_rules=).
+    """
+    n = int(mesh.shape[axis])
+    model_n = int(mesh.shape.get(MODEL_AXIS, 1))
+
+    def rules(path, leaf) -> P:
+        shape = tuple(getattr(leaf, "shape", ()))
+        keys = [getattr(p, "key", "") for p in path]
+        if (
+            classifier_model_axis
+            and model_n > 1
+            and "loss" in keys
+            and keys
+            and keys[-1] == "weight"
+            and len(shape) == 2
+        ):
+            return P(MODEL_AXIS, None)
+        if not shape or int(np.prod(shape)) < min_size or n <= 1:
+            return P()
+        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+            if shape[i] % n == 0:
+                spec: list = [None] * len(shape)
+                spec[i] = axis
+                return P(*spec)
+        return P()
+
+    return rules
+
+
 def partition_params(mesh: Mesh, params: Any, rules=classifier_partition_rules) -> Any:
     """NamedSharding tree for a param pytree from `rules(path, leaf) -> P`."""
     return jax.tree_util.tree_map_with_path(
