@@ -31,6 +31,7 @@ from .metrics import (
     compute_eer_kaldi,
     compute_min_dcf,
     compute_min_tdcf,
+    retrieval_map,
     roc_curve,
 )
 from .pipeline import ScoreConfig, ScoreSets

@@ -240,3 +240,32 @@ def compute_min_tdcf(
     p_miss_cm = np.concatenate([[0.0], np.cumsum(l) / n_bona])
     p_fa_cm = np.concatenate([[1.0], (n_spoof - np.cumsum(1 - l)) / n_spoof])
     return float(np.min(beta * p_miss_cm + p_fa_cm))
+
+
+def retrieval_map(
+    scores: np.ndarray,
+    relevant: np.ndarray,
+    top_n: int = 10,
+) -> float:
+    """Speaker-retrieval mean average precision @ top_n.
+
+    Parity: recipe/cnsrc/sr/cal_mAP.py (CNSRC 2022 Task 2): for each query
+    speaker, rank the pool by score, walk the top_n list accumulating
+    precision-at-i for every position (the reference adds target_num/i at
+    EVERY position, hit or miss — reproduced exactly), divide by top_n;
+    mAP is the mean over query speakers.
+
+    scores:   [n_spk, n_pool] query-vs-pool score matrix.
+    relevant: [n_spk, n_pool] bool — pool item belongs to the query speaker.
+    """
+    scores = np.asarray(scores)
+    relevant = np.asarray(relevant, bool)
+    if scores.shape != relevant.shape:
+        raise ValueError("scores and relevant must have the same shape")
+    n = min(top_n, scores.shape[1])
+    top = np.argsort(-scores, axis=1)[:, :n]  # [spk, n]
+    hits = np.take_along_axis(relevant, top, axis=1)  # [spk, n]
+    cum_hits = np.cumsum(hits, axis=1)
+    ranks = np.arange(1, n + 1)[None, :]
+    ap = (cum_hits / ranks).sum(axis=1) / top_n
+    return float(ap.mean())

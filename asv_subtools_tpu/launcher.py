@@ -215,7 +215,20 @@ class Launcher:
         t = self.params["train"]
         opt = dict(t["optimizer"])
         sched_cfg = dict(t["lr_schedule"])
-        schedule = get_lr_schedule(sched_cfg.pop("name"), **sched_cfg)
+        sched_name = sched_cfg.pop("name")
+        plateau = None
+        if sched_name == "reduceP":
+            # reduceP = constant base lr + host-side ReduceOnPlateau driven
+            # by the valid loss (reference lr_scheduler_online.py:89-117);
+            # the scale enters the jitted step as the lr_scale input
+            plateau = ReduceOnPlateau(
+                **{k: v for k, v in sched_cfg.items() if k != "base_lr"}
+            )
+            schedule = get_lr_schedule(
+                "constant", base_lr=sched_cfg.get("base_lr", 1e-3)
+            )
+        else:
+            schedule = get_lr_schedule(sched_name, **sched_cfg)
         opt["learning_rate"] = schedule
         tx = get_optimizer(opt.pop("name"), **opt)
         margin_warm = None
@@ -260,6 +273,7 @@ class Launcher:
             ),
             mesh=self.mesh,
             margin_warm=margin_warm,
+            plateau=plateau,
             report_interval=t["report_interval"],
             reporter=Reporter(log_dir=os.path.join(self.params["exp_dir"], "log")),
             partition_rules=partition_rules,

@@ -362,3 +362,37 @@ class TestGatherResults:
         )
         assert set(results) == {1, 2}
         assert results[2]["eer"] <= results[1]["eer"]
+
+
+class TestReducePSchedule:
+    def test_reducep_trains_and_wires_plateau(self, corpus, tmp_path):
+        """reduceP through the Launcher: constant base lr + host-side
+        ReduceOnPlateau fed by valid loss (reference LRSchedulerWrapper
+        'reduceP', lr_scheduler_online.py:89-117)."""
+        params = {
+            "exp_dir": str(tmp_path / "expP"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 0.5,
+                "batch_size": 8,
+                "shuffle_buffer": 8,
+                "valid_utts": 4,
+            },
+            "model": {"name": "xvector",
+                      "params": {"num_frame_channels": 16, "embd_dim": 8}},
+            "loss": {"name": "softmax", "params": {}},
+            "train": {
+                "epochs": 1,
+                "optimizer": {"name": "sgd", "learning_rate": 1e-2},
+                "lr_schedule": {"name": "reduceP", "base_lr": 1e-2,
+                                "factor": 0.5, "patience": 1},
+                "compute_dtype": "float32",
+                "report_interval": 100,
+            },
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert state is not None

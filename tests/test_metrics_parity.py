@@ -270,3 +270,49 @@ def test_svm_fusion_parity(tmp_path):
     _, _, fused = svm_fusion(sys_scores, labels)
     # the reference writes %f (6 decimals)
     assert np.allclose(fused, ref_fused, atol=2e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_retrieval_map_parity(seed, tmp_path):
+    """mAP@10 vs the live CNSRC cal_mAP.py (recipe/cnsrc/sr/cal_mAP.py):
+    build a random pool + top-10 lists, run the reference on its file
+    formats, capture its printed mAP."""
+    import contextlib
+    import importlib.util
+    import io
+
+    import numpy as np
+
+    from asv_subtools_tpu.backend import retrieval_map
+
+    rng = np.random.default_rng(seed)
+    n_spk, n_pool = 8, 60
+    pool_spk = rng.integers(0, n_spk, size=n_pool)
+    scores = rng.normal(size=(n_spk, n_pool))
+    # make targets generally score higher so hits exist in the top-10
+    scores += 1.5 * (pool_spk[None, :] == np.arange(n_spk)[:, None])
+    relevant = pool_spk[None, :] == np.arange(n_spk)[:, None]
+
+    ours = retrieval_map(scores, relevant, top_n=10)
+
+    # reference file formats: top10 = "spk utt1..utt10"; meta =
+    # "dir/utt.wav spk-xxx" per pool utt (spk parsed before '-', utt
+    # between '/' and '.wav')
+    top = np.argsort(-scores, axis=1)[:, :10]
+    with open(tmp_path / "top10", "w") as f:
+        for s in range(n_spk):
+            f.write(f"spk{s} " + " ".join(f"u{j}" for j in top[s]) + "\n")
+    with open(tmp_path / "meta", "w") as f:
+        for j, s in enumerate(pool_spk):
+            f.write(f"pool/u{j}.wav spk{s}-seg\n")
+
+    spec = importlib.util.spec_from_file_location(
+        "cal_map_ref", "/root/reference/recipe/cnsrc/sr/cal_mAP.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.cal_mAP(str(tmp_path / "top10"), str(tmp_path / "meta"))
+    ref = float(buf.getvalue().strip().split("=")[1])
+    assert abs(ours - ref) < 5e-4, (ours, ref)  # ref prints %.3f
