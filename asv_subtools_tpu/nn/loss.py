@@ -336,11 +336,26 @@ class LogisticAffinityLoss(nn.Module):
 
 
 class OCSoftmax(nn.Module):
-    """One-class softmax for anti-spoofing (reference loss.py:734-769)."""
+    """One-class softmax for anti-spoofing (reference loss.py:734-769).
 
+    Labels follow the reference: bona fide -> 1, spoof -> 0.
+
+    convention="reference" reproduces the shipped code exactly
+    (loss.py:763-765): bona-fide center-cosines pushed BELOW r_real and
+    spoof ABOVE r_fake. Note this is a latent defect — with r_fake <
+    r_real those two constraints overlap on (r_fake, r_real), so the loss
+    reaches ~0 with NO class separation (verified empirically: train loss
+    0.08, eval EER at chance). convention="paper" is Zhang et al. (2021)
+    eq. 8 as published: bona fide pushed ABOVE r_real, spoof BELOW
+    r_fake, separated by construction; the bona-fide detection score is
+    then the (positive) center cosine.
+    """
+
+    num_targets: int = 0  # unused (one-class); SpeakerNet plumbing compat
     r_real: float = 0.9
     r_fake: float = 0.2
     alpha: float = 20.0
+    convention: str = "reference"  # reference | paper
 
     @nn.compact
     def __call__(
@@ -354,7 +369,14 @@ class OCSoftmax(nn.Module):
         w = _normalize(center.astype(jnp.float32))
         scores = (x @ w.T)[:, 0]
         is_real = targets == 1
-        margin = jnp.where(is_real, scores - self.r_real, self.r_fake - scores)
+        if self.convention == "paper":
+            margin = jnp.where(
+                is_real, self.r_real - scores, scores - self.r_fake
+            )
+        else:
+            margin = jnp.where(
+                is_real, scores - self.r_real, self.r_fake - scores
+            )
         loss = jnp.mean(jax.nn.softplus(self.alpha * margin))
         return loss, scores[:, None]
 

@@ -491,3 +491,48 @@ class TestFsdp:
         w = state.params["loss"]["weight"]
         assert w.sharding.spec == jax.sharding.PartitionSpec(MODEL_AXIS, None)
         assert losses[-1] < losses[0]
+
+
+class TestOcsoftmaxTraining:
+    def test_ocsoftmax_trains_through_speakernet(self):
+        """OCSoftmax (anti-spoof one-class loss) through the standard
+        SpeakerNet/train-step machinery: loss decreases and bona-fide /
+        spoof center-cosines move toward their reference-convention sides
+        (bona fide BELOW r_real, spoof ABOVE r_fake — loss.py:763-765)."""
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=16, embd_dim=16),
+            loss_name="ocsoftmax",
+            loss_params={"r_real": 0.9, "r_fake": 0.2, "alpha": 20.0},
+            num_targets=2,
+        )
+        tx = get_optimizer("adamW", learning_rate=5e-3)
+        step = jax.jit(
+            make_train_step(net, tx, config=TrainStepConfig(
+                compute_dtype=jnp.float32))
+        )
+        rng = np.random.default_rng(0)
+        # separable classes: bona fide vs spoofed (offset) inputs
+        xb = rng.normal(size=(8, 24, 8)).astype(np.float32)
+        xs = xb + 2.0 * rng.normal(size=(1, 1, 8)).astype(np.float32)
+        x = jnp.asarray(np.concatenate([xb, xs]))
+        y = jnp.asarray([1] * 8 + [0] * 8)
+        batch = {"x": x, "y": y}
+        state = init_train_state(net, KEY, batch, tx)
+        losses = []
+        k = KEY
+        for _ in range(40):
+            k, sub = jax.random.split(k)
+            state, m = step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0] - 0.1, (losses[0], losses[-1])
+        # scores: cos(emb, center); bona fide low, spoof high
+        emb = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, None, method=net.embed,
+        )
+        e = np.array(emb, np.float32)
+        c = np.array(state.params["loss"]["center"], np.float32)[0]
+        e /= np.linalg.norm(e, axis=-1, keepdims=True) + 1e-9
+        c /= np.linalg.norm(c) + 1e-9
+        s = e @ c
+        assert s[:8].mean() < s[8:].mean()

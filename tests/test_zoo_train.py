@@ -15,6 +15,7 @@ import pytest
 from asv_subtools_tpu.models import (
     MODELS,
     ConformerXvector,
+    EcapaLawlict,
     EcapaTdnn,
     ExtendedXvector,
     FactoredXvector,
@@ -37,6 +38,7 @@ TINY = {
     "extended_xvector": lambda: ExtendedXvector(num_frame_channels=16, embd_dim=8),
     "factored_xvector": lambda: FactoredXvector(width=0.125, embd_dim=16),
     "ecapa_tdnn": lambda: EcapaTdnn(channels=16, embd_dim=8, mfa_conv=24),
+    "ecapa_lawlict": lambda: EcapaLawlict(channels=16, embd_dim=8),
     "resnet_xvector": lambda: ResNetXvector(
         base_planes=8, layers=(1, 1, 1, 1), embd_dim=8
     ),
