@@ -211,3 +211,65 @@ def test_plp_energy_column(rng):
     no_e = np.asarray(compute_plp(jnp.asarray(wave), PlpOptions(use_energy=False)))
     assert not np.allclose(with_e[:, 0], no_e[:, 0])
     np.testing.assert_allclose(with_e[:, 1:], no_e[:, 1:], rtol=1e-5)
+
+
+class TestKaldiConf:
+    """options_from_kaldi_conf parses the reference's shipped conf/*.conf
+    files unchanged (makeFeatures.sh feature configs)."""
+
+    def test_sre_fbank_81(self):
+        from asv_subtools_tpu.features import options_from_kaldi_conf
+
+        o = options_from_kaldi_conf(
+            "/root/reference/conf/sre-fbank-81.conf", "fbank"
+        )
+        assert o.frame_opts.samp_freq == 16000
+        assert o.use_energy is True
+        assert o.mel_opts.num_bins == 80
+        assert o.mel_opts.low_freq == 40
+        assert o.mel_opts.high_freq == -200
+        assert o.frame_opts.dither == 0
+        assert o.dim == 81
+
+    def test_sre_mfcc_23_with_comments(self):
+        from asv_subtools_tpu.features import options_from_kaldi_conf
+
+        o = options_from_kaldi_conf(
+            "/root/reference/conf/sre-mfcc-23.conf", "mfcc"
+        )
+        assert o.num_ceps == 23 and o.mel_opts.num_bins == 23
+        assert o.mel_opts.high_freq == -200
+
+    def test_vad_conf(self):
+        from asv_subtools_tpu.features import options_from_kaldi_conf
+
+        o = options_from_kaldi_conf("/root/reference/conf/vad-5.5.conf", "vad")
+        assert o.energy_threshold == 5.5
+        assert o.energy_mean_scale == 0.5
+
+    def test_every_shipped_feature_conf_parses(self):
+        import glob
+
+        from asv_subtools_tpu.features import options_from_kaldi_conf
+
+        mapping = {"fbank": "fbank", "mfcc": "mfcc", "plp": "plp",
+                   "spectrogram": "spectrogram", "pitch": "pitch",
+                   "vad": "vad"}
+        parsed = 0
+        for path in sorted(glob.glob("/root/reference/conf/*.conf")):
+            name = path.rsplit("/", 1)[1]
+            kind = next((v for k, v in mapping.items() if k in name), None)
+            if kind is None:
+                continue
+            o = options_from_kaldi_conf(path, kind)
+            assert o is not None, path
+            parsed += 1
+        assert parsed >= 8
+
+    def test_unknown_option_raises(self, tmp_path):
+        from asv_subtools_tpu.features import options_from_kaldi_conf
+
+        p = tmp_path / "x.conf"
+        p.write_text("--no-such-option=3\n")
+        with pytest.raises(ValueError):
+            options_from_kaldi_conf(str(p), "fbank")
