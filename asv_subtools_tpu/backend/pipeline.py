@@ -34,7 +34,13 @@ class ScoreConfig:
     """One scoring run (a row of the reference's per-set config files)."""
 
     process: str = "submean-norm"  # '-'-joined: mean|submean|lda|whiten|norm
-    classifier: str = "cosine"  # cosine | plda | aplda
+    # cosine | plda | aplda score trials pairwise; svm | lr | gmm train a
+    # per-class model on the ENROLL set (reference scoreSets.sh check
+    # "cosine svm plda aplda gmm lr", svm/gmm/lr_process blocks) — the
+    # LID path, where enroll classes come from `enroll_labels`
+    classifier: str = "cosine"
+    gmm_components: int = 64  # scoreSets.sh cnum
+    classifier_c: float = 1.0  # SVM/LR regularization
     lda_dim: int = 128
     score_norm: Optional[str] = None  # None | snorm | asnorm
     top_n: int = 300
@@ -119,19 +125,81 @@ class ScoreSets:
             return self._plda.llr_matrix(ep, tp, enroll_counts)
         raise ValueError(f"unknown classifier {self.config.classifier!r}")
 
+    def class_score_matrix(
+        self,
+        enroll: Dict[str, np.ndarray],
+        test_mat: np.ndarray,
+        enroll_labels: Optional[Dict[str, str]] = None,
+    ) -> Tuple[np.ndarray, list]:
+        """Per-class classifier scoring (the reference's svm/gmm/lr path):
+        train one-vs-rest on the transformed ENROLL vectors grouped by
+        `enroll_labels` (default: each enroll key is its own class), score
+        the test set -> ([n_class, n_test] scores, class list).
+
+        Parity: scoreSets.sh svm/gmm/lr dispatch + score/svm/svm_ratelimit,
+        scoreByGMM.sh, Logistic Regression block (:104-109).
+        """
+        from .classifiers import (
+            gmm_lid_scores,
+            train_diag_gmm,
+            train_logistic_regression,
+            train_svm,
+        )
+
+        cfg = self.config
+        e_keys = sorted(enroll)
+        labels = np.asarray(
+            [(enroll_labels or {}).get(k, k) for k in e_keys]
+        )
+        e = self.transform(np.stack([enroll[k] for k in e_keys]))
+        t = self.transform(test_mat)
+        classes = sorted(set(labels.tolist()))
+        if cfg.classifier == "gmm":
+            gmms = {
+                c: train_diag_gmm(
+                    e[labels == c],
+                    num_components=min(cfg.gmm_components,
+                                       int((labels == c).sum())),
+                )
+                for c in classes
+            }
+            scores, langs = gmm_lid_scores(gmms, t)
+            return scores.T, list(langs)
+        if cfg.classifier == "svm":
+            clf = train_svm(e, labels, c=cfg.classifier_c)
+        elif cfg.classifier == "lr":
+            clf = train_logistic_regression(e, labels, c=cfg.classifier_c)
+        else:
+            raise ValueError(f"not a class classifier {cfg.classifier!r}")
+        s = clf.scores(t)  # [n_test, C] in clf.classes order
+        order = [list(clf.classes).index(c) for c in classes]
+        return s[:, order].T, classes
+
     def run(
         self,
         enroll: Dict[str, np.ndarray],
         test: Dict[str, np.ndarray],
         trials: Trials,
         cohort: Optional[np.ndarray] = None,
+        enroll_labels: Optional[Dict[str, str]] = None,
     ) -> Dict[str, float]:
         """Score trials end-to-end; returns metric dict."""
         cfg = self.config
-        e_keys = sorted(enroll)
         t_keys = sorted(test)
-        e = np.stack([enroll[k] for k in e_keys])
         t = np.stack([test[k] for k in t_keys])
+        if cfg.classifier in ("svm", "lr", "gmm"):
+            if cfg.score_norm:
+                raise ValueError(
+                    "score_norm applies to pairwise classifiers only"
+                )
+            raw, e_keys = self.class_score_matrix(enroll, t, enroll_labels)
+            scores = trials.select_scores(
+                raw, {k: i for i, k in enumerate(e_keys)},
+                {k: i for i, k in enumerate(t_keys)},
+            )
+            return self._metrics(scores, trials)
+        e_keys = sorted(enroll)
+        e = np.stack([enroll[k] for k in e_keys])
         raw = self.score_matrix(e, t)
         if cfg.score_norm:
             if cohort is None:
@@ -148,6 +216,10 @@ class ScoreSets:
             raw, {k: i for i, k in enumerate(e_keys)},
             {k: i for i, k in enumerate(t_keys)},
         )
+        return self._metrics(scores, trials)
+
+    def _metrics(self, scores: np.ndarray, trials: Trials) -> Dict[str, float]:
+        cfg = self.config
         out: Dict[str, float] = {}
         if trials.labels is not None:
             if "eer" in cfg.metrics:

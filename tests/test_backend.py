@@ -449,3 +449,66 @@ class TestPldaDevice:
         host = plda.llr_matrix(e, t)
         dev = np.asarray(llr_matrix_device(plda, e, t))
         np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+
+
+class TestScoreSetsClassClassifiers:
+    """scoreSets.sh's svm/lr/gmm dispatch (the LID path): per-class models
+    trained on the ENROLL set, trials scored against class names."""
+
+    def _data(self, seed=0, n_class=4, per_class=30, d=16):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(n_class, d)) * 3.0
+        enroll, labels, test, t_labels = {}, {}, {}, {}
+        trials_rows = []
+        for c in range(n_class):
+            for i in range(per_class):
+                k = f"c{c}_e{i}"
+                enroll[k] = (centers[c] + rng.normal(size=d)).astype(np.float32)
+                labels[k] = f"lang{c}"
+            for i in range(6):
+                k = f"c{c}_t{i}"
+                test[k] = (centers[c] + rng.normal(size=d)).astype(np.float32)
+                t_labels[k] = f"lang{c}"
+        for tk, tc in t_labels.items():
+            for c in range(n_class):
+                trials_rows.append((f"lang{c}", tk, tc == f"lang{c}"))
+        return enroll, labels, test, trials_rows
+
+    @pytest.mark.parametrize("clf", ["lr", "svm", "gmm"])
+    def test_class_classifier_separates(self, clf):
+        from asv_subtools_tpu.backend import ScoreConfig, ScoreSets
+        from asv_subtools_tpu.backend.pipeline import Trials
+
+        enroll, labels, test, rows = self._data()
+        trials = Trials(
+            enroll_keys=[r[0] for r in rows],
+            test_keys=[r[1] for r in rows],
+            labels=np.asarray([r[2] for r in rows], int),
+        )
+        cfg = ScoreConfig(process="norm", classifier=clf,
+                          gmm_components=4)
+        pipe = ScoreSets(cfg)
+        # transforms fit on the pooled enroll vectors
+        x = np.stack(list(enroll.values()))
+        ids = np.asarray([labels[k] for k in enroll])
+        pipe.fit(x, ids)
+        out = pipe.run(enroll, test, trials, enroll_labels=labels)
+        assert out["eer"] < 0.1, (clf, out)
+
+    def test_score_norm_rejected_for_class_classifier(self):
+        from asv_subtools_tpu.backend import ScoreConfig, ScoreSets
+        from asv_subtools_tpu.backend.pipeline import Trials
+
+        enroll, labels, test, rows = self._data()
+        trials = Trials(
+            enroll_keys=[r[0] for r in rows],
+            test_keys=[r[1] for r in rows],
+            labels=np.asarray([r[2] for r in rows], int),
+        )
+        pipe = ScoreSets(ScoreConfig(process="norm", classifier="lr",
+                                     score_norm="snorm"))
+        pipe.fit(np.stack(list(enroll.values())),
+                 np.asarray([labels[k] for k in enroll]))
+        with pytest.raises(ValueError):
+            pipe.run(enroll, test, trials, cohort=np.zeros((5, 16)),
+                     enroll_labels=labels)
