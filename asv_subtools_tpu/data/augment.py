@@ -286,8 +286,14 @@ def cutout(
     Parity: Cutout (pytorch/libs/egs/augmentation.py:114-181) — per cut,
     a freq extent f ~ U{0..int(D*frequency)} at a random offset and a time
     extent t ~ U{0..int(T*frame)} at a random offset are zeroed jointly;
-    random_cut draws the number of cuts from U{1..num_cut}.
+    random_cut draws the number of cuts from U{1..num_cut}. Like the
+    reference ctor asserts (:127-128), both proportions must be in (0, 1)
+    — a zero extent would be a silent no-op.
     """
+    if not (0.0 < frequency < 1.0 and 0.0 < frame < 1.0):
+        raise ValueError(
+            f"cutout needs 0 < frequency, frame < 1; got {frequency}, {frame}"
+        )
     out = feats.copy()
     t, d = out.shape
     max_f = int(d * frequency)
@@ -317,26 +323,34 @@ def spec_augment_proportional(
     Parity: SpecAugment (pytorch/libs/egs/augmentation.py:21-113): `rows`
     frequency masks of extent U{0..int(D*frequency)} and `cols` time masks
     of extent U{0..int(T*frame)}; random_rows/random_cols draw the mask
-    counts from U{1..rows}/U{1..cols}. (The online-pipeline spec_augment
-    above keeps wenet's absolute max_t/max_f convention,
-    processor.py:469-494.)
+    counts from U{1..rows}/U{1..cols}; after each frequency mask the WHOLE
+    matrix is rescaled by D/(D-f) (the reference's inverted_factor,
+    :88-94); the op is a no-op unless BOTH proportions are > 0 (:55).
+    (The online-pipeline spec_augment above keeps wenet's absolute
+    max_t/max_f convention, processor.py:469-494.)
     """
+    if not (0.0 <= frequency < 1.0 and 0.0 <= frame < 1.0):
+        raise ValueError(
+            f"specaugment needs 0 <= frequency, frame < 1; got "
+            f"{frequency}, {frame}"
+        )
+    if not (frequency > 0.0 and frame > 0.0):
+        return feats  # reference :55: both-or-nothing gating
     out = feats.copy()
     t, d = out.shape
-    if frequency > 0 and rows > 0:
-        max_f = int(d * frequency)
-        n = int(rng.integers(1, rows + 1)) if random_rows else rows
-        for _ in range(n):
-            f = int(rng.integers(0, max_f + 1))
-            f0 = int(rng.integers(0, d - f + 1))
-            out[:, f0 : f0 + f] = 0.0
-    if frame > 0 and cols > 0:
-        max_t = int(t * frame)
-        n = int(rng.integers(1, cols + 1)) if random_cols else cols
-        for _ in range(n):
-            w = int(rng.integers(0, max_t + 1))
-            t0 = int(rng.integers(0, t - w + 1))
-            out[t0 : t0 + w, :] = 0.0
+    max_f = int(d * frequency)
+    n = int(rng.integers(1, rows + 1)) if random_rows else rows
+    for _ in range(n):
+        f = int(rng.integers(0, max_f + 1))
+        f0 = int(rng.integers(0, d - f + 1))
+        out[:, f0 : f0 + f] = 0.0
+        out *= d / (d - f)
+    max_t = int(t * frame)
+    n = int(rng.integers(1, cols + 1)) if random_cols else cols
+    for _ in range(n):
+        w = int(rng.integers(0, max_t + 1))
+        t0 = int(rng.integers(0, t - w + 1))
+        out[t0 : t0 + w, :] = 0.0
     return out
 
 

@@ -43,7 +43,10 @@ class Res2NetBlock(nn.Module):
     ) -> jax.Array:
         in_c = x.shape[-1]
         if in_c % self.scale or self.out_channels % self.scale:
-            raise ValueError("channels must divide scale")
+            raise ValueError(
+                f"channels ({in_c} -> {self.out_channels}) must be a "
+                f"multiple of scale ({self.scale})"
+            )
         hidden = self.out_channels // self.scale
         half_k = self.kernel_size // 2
         context = tuple(

@@ -61,7 +61,10 @@ class LawlictRes2Block(nn.Module):
         self, x: jax.Array, train: bool = True, mask: Optional[jax.Array] = None
     ) -> jax.Array:
         if self.channels % self.scale:
-            raise ValueError("channels must divide scale")
+            raise ValueError(
+                f"channels ({self.channels}) must be a multiple of "
+                f"scale ({self.scale})"
+            )
         width = self.channels // self.scale
         nums = self.scale if self.scale == 1 else self.scale - 1
         half_k = self.kernel_size // 2

@@ -521,6 +521,16 @@ class TestCutoutFactory:
         zero_rows = (out == 0).all(axis=1)
         assert zero_cols.sum() <= int(30 * 0.4)
         assert zero_rows.sum() <= int(50 * 0.2)
+        # reference inverted_factor (augmentation.py:88-94): surviving
+        # entries are rescaled by D/(D-f) after the frequency mask
+        f = int(zero_cols.sum())
+        if f and not zero_rows.any():
+            surv = out[:, ~zero_cols]
+            np.testing.assert_allclose(surv, 30.0 / (30.0 - f), rtol=1e-6)
+        # both-or-nothing gating (reference :55): frame=0 -> untouched
+        same = spec_augment_proportional(feats, rng, frequency=0.4,
+                                         frame=0.0, rows=1, cols=1)
+        assert (same == feats).all()
 
     def test_factory_dispatch(self):
         from asv_subtools_tpu.data.augment import get_augmentation
@@ -535,6 +545,11 @@ class TestCutoutFactory:
         assert fn2(np.ones((20, 10), np.float32), rng).shape == (20, 10)
         with pytest.raises(TypeError):
             get_augmentation("nope")
+        # cutout with the factory default frame=0.0 fails loudly, like the
+        # reference Cutout ctor assert (augmentation.py:127-128)
+        bad = get_augmentation("cutout", {"frequency": 0.3})
+        with pytest.raises(ValueError):
+            bad(np.ones((20, 10), np.float32), rng)
 
     def test_chunk_egs_applies_aug(self, tmp_path):
         from asv_subtools_tpu.data.egs_offline import Chunk, ChunkEgs
@@ -550,7 +565,8 @@ class TestCutoutFactory:
         chunks = [Chunk(u, rx[u], 0, 40, i) for i, u in enumerate(sorted(mats))]
         egs = ChunkEgs(chunks, batch_size=4, drop_last=False,
                        aug="specaugment",
-                       aug_params={"frequency": 0.5, "rows": 1,
+                       aug_params={"frequency": 0.5, "frame": 0.2,
+                                   "rows": 1, "cols": 1,
                                    "random_rows": False})
         batch = next(iter(egs))
         assert (batch["x"] == 0).any(), "aug should have zeroed something"
