@@ -55,6 +55,7 @@ from .plda import (
 from .score_norm import asnorm, asnorm_device, cosine_score_matrix, snorm
 from .transforms import (
     TransformChain,
+    PCAWhitening,
     ZCAWhitening,
     apply_lda,
     global_mean,

@@ -19,6 +19,7 @@ from .metrics import compute_eer, compute_min_dcf
 from .plda import Plda, PldaStats, estimate_plda
 from .score_norm import asnorm, cosine_score_matrix, snorm
 from .transforms import (
+    PCAWhitening,
     ZCAWhitening,
     apply_lda,
     global_mean,
@@ -33,7 +34,7 @@ from .trials import Trials
 class ScoreConfig:
     """One scoring run (a row of the reference's per-set config files)."""
 
-    process: str = "submean-norm"  # '-'-joined: mean|submean|lda|whiten|norm
+    process: str = "submean-norm"  # '-'-joined: mean|submean|lda|whiten|pcawhiten|norm
     # cosine | plda | aplda score trials pairwise; svm | lr | gmm train a
     # per-class model on the ENROLL set (reference scoreSets.sh check
     # "cosine svm plda aplda gmm lr", svm/gmm/lr_process blocks) — the
@@ -59,6 +60,7 @@ class ScoreSets:
         self._mean: Optional[np.ndarray] = None
         self._lda: Optional[np.ndarray] = None
         self._whiten: Optional[ZCAWhitening] = None
+        self._pca: Optional[PCAWhitening] = None
         self._plda: Optional[Plda] = None
 
     # -- fitting ------------------------------------------------------------
@@ -81,6 +83,10 @@ class ScoreSets:
             elif step == "whiten":
                 self._whiten = ZCAWhitening().fit(x)
                 x = self._whiten.transform(x)
+            elif step == "pcawhiten":
+                # process.sh:250-260 trainpcawhiten (Kaldi est-pca)
+                self._pca = PCAWhitening(dim=cfg.lda_dim).fit(x)
+                x = self._pca.transform(x)
             elif step == "norm":
                 x = length_norm(x)
             else:
@@ -106,6 +112,8 @@ class ScoreSets:
                 x = x @ self._lda
             elif step == "whiten":
                 x = self._whiten.transform(x)
+            elif step == "pcawhiten":
+                x = self._pca.transform(x)
             elif step == "norm":
                 x = length_norm(x)
         return x

@@ -121,6 +121,49 @@ class ZCAWhitening:
         return (vectors @ self.whiten.T).astype(vectors.dtype)
 
 
+class PCAWhitening:
+    """PCA transform (parity: score/process.sh:250-260 `trainpcawhiten`,
+    which runs Kaldi `est-pca --read-vectors=true` with default options).
+
+    Kaldi est-pca with defaults outputs the mean-centering affine PCA
+    ROTATION onto the top `dim` principal components (variance
+    normalization is off by default); `normalize_variance=True` adds the
+    1/sqrt(eig) scaling for full whitening.
+    """
+
+    def __init__(self, dim: Optional[int] = None,
+                 normalize_variance: bool = False,
+                 regularization: float = 1e-12):
+        self.dim = dim
+        self.normalize_variance = normalize_variance
+        self.regularization = regularization
+        self.mean: Optional[np.ndarray] = None
+        self.components: Optional[np.ndarray] = None  # [dim, D]
+
+    def fit(self, vectors: np.ndarray) -> "PCAWhitening":
+        x = vectors.astype(np.float64)
+        self.mean = x.mean(axis=0)
+        xc = x - self.mean
+        cov = xc.T @ xc / max(x.shape[0] - 1, 1)
+        s, u = np.linalg.eigh(cov)  # ascending
+        order = np.argsort(s)[::-1]
+        s, u = s[order], u[:, order]
+        d = self.dim or x.shape[1]
+        comp = u[:, :d].T  # [d, D]
+        if self.normalize_variance:
+            comp = comp / np.sqrt(
+                np.clip(s[:d], self.regularization, None)
+            )[:, None]
+        self.components = comp
+        return self
+
+    def transform(self, vectors: np.ndarray) -> np.ndarray:
+        if self.components is None:
+            raise RuntimeError("fit() first")
+        x = vectors.astype(np.float64) - self.mean
+        return (x @ self.components.T).astype(vectors.dtype)
+
+
 class TransformChain:
     """Composable transform chain like the reference's per-set process string
     e.g. "mean-lda-submean-whiten-norm" (score/process.sh:60-72).

@@ -512,3 +512,40 @@ class TestScoreSetsClassClassifiers:
         with pytest.raises(ValueError):
             pipe.run(enroll, test, trials, cohort=np.zeros((5, 16)),
                      enroll_labels=labels)
+
+
+class TestPcaWhitening:
+    def test_rotation_decorrelates(self):
+        from asv_subtools_tpu.backend import PCAWhitening
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(2000, 8)) @ rng.normal(size=(8, 8))
+        p = PCAWhitening().fit(a)
+        y = p.transform(a)
+        cov = np.cov(y.T)
+        off = cov - np.diag(np.diag(cov))
+        assert np.abs(off).max() < 1e-6 * np.abs(np.diag(cov)).max()
+        # variance NOT normalized by default (est-pca defaults)
+        assert np.diag(cov).max() / np.diag(cov).min() > 2.0
+
+    def test_whitening_unit_variance(self):
+        from asv_subtools_tpu.backend import PCAWhitening
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(2000, 6)) @ rng.normal(size=(6, 6))
+        p = PCAWhitening(normalize_variance=True).fit(a)
+        y = p.transform(a)
+        np.testing.assert_allclose(np.cov(y.T), np.eye(6), atol=5e-2)
+
+    def test_dim_reduction_and_pipeline_step(self):
+        from asv_subtools_tpu.backend import PCAWhitening, ScoreConfig, ScoreSets
+
+        rng = np.random.default_rng(2)
+        a = rng.normal(size=(500, 16)).astype(np.float32)
+        p = PCAWhitening(dim=4).fit(a)
+        assert p.transform(a).shape == (500, 4)
+        pipe = ScoreSets(ScoreConfig(process="submean-pcawhiten-norm",
+                                     lda_dim=8))
+        pipe.fit(a, np.arange(500) % 10)
+        out = pipe.transform(a[:3])
+        assert out.shape == (3, 8)
