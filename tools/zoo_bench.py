@@ -66,7 +66,7 @@ def bench_model(name, model, wave, opts, audio_s, ref_rtf=None):
 
 def main():
     from asv_subtools_tpu.features import FbankOptions
-    from asv_subtools_tpu.models import EcapaTdnn
+    from asv_subtools_tpu.models import EcapaLawlict, EcapaTdnn
     from asv_subtools_tpu.models.conformer import ConformerXvector
     from asv_subtools_tpu.models.resnet_xvector import (
         RepVggXvector,
@@ -98,6 +98,9 @@ def main():
         ),
         bench_model("repvgg_b32_deploy",
                     RepVggXvector(base_channels=32, deploy=True),
+                    wave, opts, audio_s),
+        bench_model("ecapa_lawlict_c512", EcapaLawlict(channels=512,
+                                                       embd_dim=192),
                     wave, opts, audio_s),
     ]
     with open("PERF_zoo.json", "w") as f:
