@@ -12,7 +12,7 @@ from .lr_scheduler import (
 )
 from .lr_finder import run_lr_finder
 from .optim import adamod, eve, get_optimizer, gradient_centralization, novograd, ralamb
-from .reporter import Reporter
+from .reporter import Reporter, grab_metric, read_report_csv
 from .trainer import (
     Trainer,
     TrainState,

@@ -84,3 +84,32 @@ class Reporter:
     def close(self):
         self._q.put(None)
         self._thread.join(timeout=5)
+
+
+def read_report_csv(path: str) -> Dict[str, list]:
+    """Read a train.csv back into columns (floats where possible)."""
+    out: Dict[str, list] = {}
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            for k, v in row.items():
+                try:
+                    v = float(v)
+                except (TypeError, ValueError):
+                    pass
+                out.setdefault(k, []).append(v)
+    return out
+
+
+def grab_metric(
+    log_path: str, metric: str = "train_loss", epoch: Optional[int] = None
+) -> list:
+    """Pull one metric's trajectory out of a training log (parity:
+    grabLossValue.sh — greps loss values from reference run logs for
+    plotting/epoch comparison). `epoch` filters to one epoch's rows."""
+    cols = read_report_csv(log_path)
+    if metric not in cols:
+        raise KeyError(f"{metric!r} not in {sorted(cols)}")
+    vals = cols[metric]
+    if epoch is not None and "epoch" in cols:
+        vals = [v for v, e in zip(vals, cols["epoch"]) if int(float(e)) == epoch]
+    return vals

@@ -76,8 +76,12 @@ class TrainStepConfig:
     # v5e train step is HBM-saturated (PERF.md) while the MXU sits at ~50%,
     # so trading activation reads for recompute FLOPs can win.
     #   None   - store all activations (XLA default)
-    #   "dots" - keep matmul/conv outputs, recompute elementwise/norms
+    #   "dots" - keep only non-batch matmul outputs; batched convs/GEMMs
+    #            are recomputed too
     #            (jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    #   "dots_batch" - keep EVERY matmul/conv output, recompute only the
+    #            elementwise/norm chains between them
+    #            (jax.checkpoint_policies.dots_saveable)
     #   "full" - store nothing, recompute the whole forward
     remat: Optional[str] = None
     # model-level warmup for transformer stochastic depth (reference
@@ -227,6 +231,10 @@ def make_train_step(
         loss_fn = jax.checkpoint(
             loss_fn,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif config.remat == "dots_batch":
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.dots_saveable
         )
     elif config.remat is not None:
         raise ValueError(f"unknown remat policy {config.remat!r}")

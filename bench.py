@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_train(with_cost=False):
+def bench_train(with_cost=False, remat=None):
     """Jitted train-step throughput: audio-s/s and ms/step on one chip.
 
     with_cost=True also returns the XLA cost analysis of one step (FLOPs,
@@ -61,7 +61,8 @@ def bench_train(with_cost=False):
     tx = optax.adamw(1e-3)
     step_fn = make_train_step(
         net, tx,
-        config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True),
+        config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True,
+                               remat=remat),
     )
 
     rng = jax.random.PRNGKey(0)

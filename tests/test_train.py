@@ -152,7 +152,7 @@ class TestTrainStep:
             make_train_step(net, tx, config=TrainStepConfig(
                 compute_dtype=jnp.float32))
         )(s0, batch, KEY)
-        for policy in ("dots", "full"):
+        for policy in ("dots", "dots_batch", "full"):
             st, m = jax.jit(
                 make_train_step(net, tx, config=TrainStepConfig(
                     compute_dtype=jnp.float32, remat=policy))
@@ -536,3 +536,26 @@ class TestOcsoftmaxTraining:
         c /= np.linalg.norm(c) + 1e-9
         s = e @ c
         assert s[:8].mean() < s[8:].mean()
+
+
+class TestReporter:
+    def test_csv_roundtrip_and_grab(self, tmp_path):
+        from asv_subtools_tpu.train.reporter import (
+            Reporter,
+            grab_metric,
+            read_report_csv,
+        )
+
+        rep = Reporter(log_dir=str(tmp_path), print_interval=10**9)
+        for e in range(2):
+            for i in range(3):
+                rep.update(epoch=e, iteration=e * 3 + i,
+                           train_loss=float(10 - e * 3 - i), accuracy=0.5)
+        rep.close()
+        path = os.path.join(str(tmp_path), "train.csv")
+        cols = read_report_csv(path)
+        assert cols["train_loss"] == [10.0, 9.0, 8.0, 7.0, 6.0, 5.0]
+        # grabLossValue.sh parity: one metric's trajectory, per-epoch filter
+        assert grab_metric(path, "train_loss", epoch=1) == [7.0, 6.0, 5.0]
+        with pytest.raises(KeyError):
+            grab_metric(path, "nope")

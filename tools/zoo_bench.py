@@ -67,6 +67,11 @@ def bench_model(name, model, wave, opts, audio_s, ref_rtf=None):
 def main():
     from asv_subtools_tpu.features import FbankOptions
     from asv_subtools_tpu.models import EcapaLawlict, EcapaTdnn
+    from asv_subtools_tpu.models.xvector import (
+        ExtendedXvector,
+        FactoredXvector,
+        SnowdarXvector,
+    )
     from asv_subtools_tpu.models.conformer import ConformerXvector
     from asv_subtools_tpu.models.resnet_xvector import (
         RepVggXvector,
@@ -101,6 +106,14 @@ def main():
                     wave, opts, audio_s),
         bench_model("ecapa_lawlict_c512", EcapaLawlict(channels=512,
                                                        embd_dim=192),
+                    wave, opts, audio_s),
+        bench_model("snowdar_xvector", SnowdarXvector(), wave, opts, audio_s),
+        bench_model("extended_xvector", ExtendedXvector(), wave, opts,
+                    audio_s),
+        bench_model("factored_xvector", FactoredXvector(), wave, opts,
+                    audio_s),
+        bench_model("xi_vector",
+                    SnowdarXvector(pooling="xi"),
                     wave, opts, audio_s),
     ]
     with open("PERF_zoo.json", "w") as f:
