@@ -8,10 +8,13 @@ from .augment import (
     DoClip,
     DropChunk,
     DropFreq,
+    EnvCorrupt,
     NoiseManifest,
     SpeechAug,
     SpeedPerturb,
+    TimeDomainSpecAugment,
     spec_augment,
+    speech_aug_from_config,
 )
 from .egs_offline import (
     Chunk,
@@ -22,6 +25,7 @@ from .egs_offline import (
 )
 from .dataset import (
     DistributedShardList,
+    MultiprocessLoader,
     ParallelMapper,
     Prefetcher,
     WavEgs,

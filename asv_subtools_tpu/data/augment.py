@@ -244,6 +244,120 @@ class SpeechAug:
         return out[0] if isinstance(out, tuple) else out
 
 
+class EnvCorrupt:
+    """Environment-corruption composition: reverb -> babble -> noise, each
+    applied with its own probability (speech_augment.py:1606-1727). The
+    reference builds this from AddReverb/AddBabble/AddNoise with chained
+    SNR semantics (babble over the reverbed signal, noise over the babbled
+    one); this class chains the same stages per-sample."""
+
+    def __init__(
+        self,
+        reverb_manifest: Optional[NoiseManifest] = None,
+        noise_manifest: Optional[NoiseManifest] = None,
+        babble_manifest: Optional[NoiseManifest] = None,
+        reverb_prob: float = 1.0,
+        noise_prob: float = 1.0,
+        babble_prob: float = 1.0,
+        babble_speaker_count: int = 0,
+        babble_snr_low: float = 13.0,
+        babble_snr_high: float = 20.0,
+        noise_snr_low: float = 0.0,
+        noise_snr_high: float = 15.0,
+    ):
+        self.reverb = (
+            AddReverb(reverb_manifest)
+            if reverb_manifest is not None and reverb_prob > 0
+            else None
+        )
+        self.babble = (
+            AddBabble(
+                babble_manifest,
+                speaker_count_low=babble_speaker_count,
+                speaker_count_high=babble_speaker_count,
+                snr_low=babble_snr_low,
+                snr_high=babble_snr_high,
+            )
+            if babble_manifest is not None
+            and babble_speaker_count > 0
+            and babble_prob > 0
+            else None
+        )
+        self.noise = (
+            AddNoise(noise_manifest, snr_low=noise_snr_low,
+                     snr_high=noise_snr_high)
+            if noise_manifest is not None and noise_prob > 0
+            else None
+        )
+        self.reverb_prob = reverb_prob
+        self.babble_prob = babble_prob
+        self.noise_prob = noise_prob
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        out = wav
+        if self.reverb is not None and rng.uniform() < self.reverb_prob:
+            out = self.reverb(out, rng)
+        if self.babble is not None and rng.uniform() < self.babble_prob:
+            out = self.babble(out, rng)
+        if self.noise is not None and rng.uniform() < self.noise_prob:
+            out = self.noise(out, rng)
+        return out
+
+
+class TimeDomainSpecAugment:
+    """Time-domain SpecAugment approximation: speed perturb -> drop_freq ->
+    drop_chunk, each with its own probability (speech_augment.py:1728-1861).
+    keep_shape trims/pads the speed-perturbed waveform back to the input
+    length (the reference's keep_shape flag) so downstream static-shape
+    batching is unaffected; the label-expanding 3-way sp-aug stays the
+    pipeline-level SpeedPerturb/WavEgs path."""
+
+    def __init__(
+        self,
+        perturb_prob: float = 1.0,
+        drop_freq_prob: float = 1.0,
+        drop_chunk_prob: float = 1.0,
+        speeds: Sequence[float] = (0.95, 1.0, 1.05),
+        sample_rate: int = 16000,
+        drop_freq_count_low: int = 0,
+        drop_freq_count_high: int = 3,
+        drop_chunk_count_low: int = 0,
+        drop_chunk_count_high: int = 5,
+        drop_chunk_length_low: int = 1000,
+        drop_chunk_length_high: int = 2000,
+        keep_shape: bool = True,
+    ):
+        self.perturb_prob = perturb_prob
+        self.drop_freq_prob = drop_freq_prob
+        self.drop_chunk_prob = drop_chunk_prob
+        self.speed = SpeedPerturb(speeds, sample_rate)
+        self.drop_freq = DropFreq(drop_count_low=drop_freq_count_low,
+                                  drop_count_high=drop_freq_count_high)
+        self.drop_chunk = DropChunk(
+            drop_count_low=drop_chunk_count_low,
+            drop_count_high=drop_chunk_count_high,
+            drop_length_low=drop_chunk_length_low,
+            drop_length_high=drop_chunk_length_high,
+        )
+        self.keep_shape = keep_shape
+
+    def __call__(self, wav: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        out = wav
+        n = len(wav)
+        if rng.uniform() < self.perturb_prob:
+            out, _ = self.speed(out, rng)
+            if self.keep_shape:
+                if len(out) >= n:
+                    out = out[:n]
+                else:
+                    out = np.pad(out, (0, n - len(out)))
+        if rng.uniform() < self.drop_freq_prob:
+            out = self.drop_freq(out, rng)
+        if rng.uniform() < self.drop_chunk_prob:
+            out = self.drop_chunk(out, rng)
+        return out
+
+
 # -- feature-level SpecAugment (host-side twin of nn.SpecAugmentDropout) ----
 
 
@@ -386,6 +500,71 @@ def get_augmentation(aug: Optional[str] = None, aug_params: Optional[Dict] = Non
             num_cut=p["num_cut"], random_cut=p["random_cut"],
         )
     raise TypeError(f"Do not support {aug} augmentation.")
+
+
+def speech_aug_from_config(cfg: Optional[Dict]) -> Optional[SpeechAug]:
+    """Build a waveform SpeechAug chain from a config dict.
+
+    Parity: the reference launchers configure waveform augmentation
+    through a speech_aug yaml fed to SpeechAug(aug_classes=[...])
+    (pytorch/launcher/runEcapaXvector_online.py egs params +
+    egs/speech_augment.py:1863-2018). Dict shape:
+
+        {"mode": "random"|"chain", "clean_prob": 0.25,
+         "stages": [
+            {"type": "add_noise", "csv": "noise.csv", "snr_low": 0, ...},
+            {"type": "add_babble", "csv": "noise.csv", ...},
+            {"type": "add_reverb", "csv": "rir.csv"},
+            {"type": "drop_freq", ...}, {"type": "drop_chunk", ...},
+            {"type": "clip", ...}, {"type": "speed_perturb", ...},
+            {"type": "env_corrupt", "reverb_csv": ..., "noise_csv": ...,
+             "babble_csv": ..., "babble_speaker_count": 3, ...},
+            {"type": "time_domain_specaug", "speeds": [0.95, 1.0, 1.05]},
+         ]}
+
+    The env_corrupt / time_domain_specaug stage types build the reference's
+    speechbrain composition wrappers (EnvCorrupt :1606, TimeDomainSpecAugment
+    :1728) — its shipped speech_aug yamls compose exactly these two.
+
+    Returns None for a falsy cfg (augmentation off).
+    """
+    if not cfg:
+        return None
+    needs_csv = {"add_noise", "add_babble", "add_reverb"}
+    builders = {
+        "add_noise": AddNoise,
+        "add_babble": AddBabble,
+        "add_reverb": AddReverb,
+        "drop_freq": DropFreq,
+        "drop_chunk": DropChunk,
+        "clip": DoClip,
+        "speed_perturb": SpeedPerturb,
+        "time_domain_specaug": TimeDomainSpecAugment,
+    }
+    stages = []
+    for s in cfg.get("stages", []):
+        s = dict(s)
+        kind = s.pop("type")
+        if kind == "env_corrupt":
+            for key in ("reverb", "noise", "babble"):
+                csv_path = s.pop(f"{key}_csv", None)
+                if csv_path:
+                    s[f"{key}_manifest"] = NoiseManifest.from_csv(csv_path)
+            stages.append(EnvCorrupt(**s))
+            continue
+        if kind not in builders:
+            raise TypeError(f"unknown speech_aug stage {kind!r} "
+                            f"(have {sorted(builders) + ['env_corrupt']})")
+        if kind in needs_csv:
+            manifest = NoiseManifest.from_csv(s.pop("csv"))
+            stages.append(builders[kind](manifest, **s))
+        else:
+            stages.append(builders[kind](**s))
+    return SpeechAug(
+        stages,
+        mode=cfg.get("mode", "random"),
+        clean_prob=float(cfg.get("clean_prob", 0.0)),
+    )
 
 
 def prepare_speechaug_csv(

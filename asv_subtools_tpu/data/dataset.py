@@ -219,6 +219,190 @@ class ParallelMapper:
                     yield result
 
 
+def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
+    """Module-level WavEgs factory (picklable for spawn workers).
+
+    cfg holds primitives only; the SpeechAug chain is built INSIDE the
+    worker from its config dict (augment.speech_aug_from_config), so
+    nothing heavier than numpy crosses the process boundary. Composes the
+    (worker, pool-size) split into WavEgs's (rank, world_size) exactly
+    like the reference's DistributedSampler modulo split
+    (egs_online.py:101-117)."""
+    from .augment import speech_aug_from_config
+
+    return WavEgs(
+        cfg["train_scp"],
+        cfg["train_u2s"],
+        cfg["spk2int"],
+        chunk_seconds=cfg["chunk_seconds"],
+        batch_size=cfg["batch_size"],
+        speed_perturb=cfg.get("speed_perturb", False),
+        num_spks=len(cfg["spk2int"]),
+        aug=speech_aug_from_config(cfg.get("speech_aug")),
+        compute_feat=cfg.get("compute_feat", True),
+        feat_opts=cfg.get("feat_opts"),
+        spec_aug=cfg.get("spec_aug", False),
+        shuffle_buffer=cfg["shuffle_buffer"],
+        seed=cfg.get("seed", 1024),
+        rank=worker_id,
+        world_size=num_workers,
+        workers=cfg.get("workers", 1) if num_workers == 1 else 1,
+    )
+
+
+def _mp_worker_loop(make_egs, num_workers, worker_id, task_q, data_q):
+    """MultiprocessLoader worker entry. Module-level so it pickles under
+    the spawn start method. Builds the pipeline once (persistent worker),
+    then serves one epoch per task-queue message."""
+    egs = None
+    while True:
+        epoch = task_q.get()
+        if epoch is None:
+            break
+        try:
+            if egs is None:
+                egs = make_egs(worker_id=worker_id, num_workers=num_workers)
+            if hasattr(egs, "set_epoch"):
+                egs.set_epoch(epoch)
+            for batch in egs:
+                data_q.put(batch)
+        except BaseException as e:  # surface in the parent
+            import traceback
+
+            data_q.put((MultiprocessLoader._ERR, worker_id,
+                        f"{e!r}\n{traceback.format_exc()}"))
+            break
+        data_q.put((MultiprocessLoader._END, worker_id, epoch))
+
+
+class MultiprocessLoader:
+    """Process-parallel egs loading (parity: the reference feeds DDP with
+    DataLoader(num_workers=...) worker PROCESSES, egs_online.py:300-346 +
+    the rank/worker modulo split :101-117).
+
+    Threads cannot scale the per-sample chain (python dispatch + partially
+    GIL-holding scipy stages — measured flat in tools/egs_bench.py), so
+    this starts a PERSISTENT pool of `num_workers` processes (torch
+    persistent_workers=True semantics); worker w builds the pipeline once
+    via `make_egs(worker_id=w, num_workers=K)` — the factory composes
+    (host_rank, w) into DistributedShardList's (rank, world_size) exactly
+    like the reference's sampler — then per epoch iterates its shard and
+    ships finished batches through a bounded queue. Batch arrival order
+    interleaves across workers (same as the reference's multi-worker
+    loader under shuffle). Call close() (or let GC) to stop the pool.
+
+    Start method: "spawn" by default — the parent is a JAX process full of
+    XLA/BLAS threads, and fork-from-threaded deadlocks probabilistically
+    (observed: forked worker wedged in inherited-lock state on the real
+    chip). Spawn requires `make_egs` to be picklable: a module-level
+    function or functools.partial over one (the Launcher builds
+    partial(_build_train_egs, cfg)). context="fork" remains available for
+    numpy-only parents (cheaper startup, closures allowed).
+
+    TPU-first: one loader per pod host feeds that host's shard of the
+    global batch; within the host, worker processes scale with cores
+    (tools/egs_bench.py measures the ms/sample budget -> cores needed to
+    keep the chip's train step fed). Workers must never touch jax/the
+    device (the host feature stage is pure numpy — processor.compute_feats).
+    """
+
+    def __init__(self, make_egs: Callable, num_workers: int = 4,
+                 prefetch: int = 8, context: str = "spawn"):
+        self.make_egs = make_egs
+        self.num_workers = int(num_workers)
+        self.prefetch = int(prefetch)
+        self.context = context
+        self.epoch = 0
+        self._procs = None
+        self._task_qs = None
+        self._data_q = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    _END = "__epoch_end__"
+    _ERR = "__worker_error__"
+
+    def _ensure_pool(self):
+        if self._procs is not None:
+            return
+        import multiprocessing as mp
+        import os
+
+        ctx = mp.get_context(self.context)
+        self._task_qs = [ctx.Queue() for _ in range(self.num_workers)]
+        self._data_q = ctx.Queue(maxsize=self.prefetch)
+        self._procs = [
+            ctx.Process(
+                target=_mp_worker_loop,
+                args=(self.make_egs, self.num_workers, w,
+                      self._task_qs[w], self._data_q),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        # Children inherit the env at exec time: pin them to CPU so a
+        # worker that touches jax (directly, or via a user main module
+        # re-imported under spawn) can never claim the TPU chip out from
+        # under the training process — only ONE process may hold it.
+        prev = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            for p in self._procs:
+                p.start()
+        finally:
+            if prev is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = prev
+
+    def close(self) -> None:
+        """Stop the persistent worker pool."""
+        if self._procs is None:
+            return
+        for q in self._task_qs:
+            try:
+                q.put(None)
+            except Exception:
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = None
+
+    def __del__(self):  # best-effort
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __iter__(self):
+        if self.num_workers <= 1:
+            egs = self.make_egs(worker_id=0, num_workers=1)
+            if hasattr(egs, "set_epoch"):
+                egs.set_epoch(self.epoch)
+            yield from egs
+            return
+
+        self._ensure_pool()
+        for q in self._task_qs:
+            q.put(self.epoch)
+        ends = 0
+        while ends < self.num_workers:
+            item = self._data_q.get()
+            if isinstance(item, tuple) and len(item) == 3 and \
+                    item[0] == self._END:
+                ends += 1
+                continue
+            if isinstance(item, tuple) and len(item) == 3 and \
+                    item[0] == self._ERR:
+                self.close()
+                raise RuntimeError(
+                    f"egs worker {item[1]} failed:\n{item[2]}")
+            yield item
+
+
 class Prefetcher:
     """Background-thread prefetch (parity: prefetch_generator.py:42,
     DataLoaderFast egs.py:218-227): overlaps host pipeline work with

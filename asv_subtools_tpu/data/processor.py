@@ -278,11 +278,13 @@ def speech_aug_stage(aug: SpeechAug, seed: int = 1024,
 
 
 def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
-    """Kaldi-compatible features via the JAX front-end, batched per sample
-    on host->device (KaldiFeature processor.py:387-466). For the training
-    path prefer fusing feature computation into the jitted train step
-    (features.compute_fbank on the waveform batch) — this stage exists for
-    host-side pipelines and extraction parity.
+    """Kaldi-compatible features on the HOST, per sample (KaldiFeature
+    processor.py:387-466). Pure numpy: the feature functions dispatch on
+    input type (features/functional.py:_backend), so this stage never
+    touches the JAX runtime — it is safe inside forked MultiprocessLoader
+    workers and never contends with the chip. For the training path prefer
+    fusing feature computation into the jitted train step
+    (features.compute_fbank on the waveform batch).
 
     feat_type: fbank | mfcc | fbank_pitch | mfcc_pitch. The *_pitch
     variants append the 3-dim Kaldi pitch feature (reference
@@ -290,8 +292,6 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
     matrix with process-pitch-feats output); CMVN runs over the
     concatenated matrix like apply-cmvn on the full dim.
     """
-    import jax.numpy as jnp
-
     from ..features import (
         FbankOptions,
         MfccOptions,
@@ -307,12 +307,11 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
 
     def stage(samples):
         for s in samples:
-            wav = jnp.asarray(s["wav"], jnp.float32)
+            wav = np.asarray(s["wav"], np.float32)
             if base_type == "fbank":
                 f = compute_fbank(wav, opts)
             else:
                 f = compute_mfcc(wav, opts)
-            f = np.asarray(f)
             if with_pitch:
                 from ..features import PitchOptions, compute_and_process_pitch
 
@@ -321,9 +320,9 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
                     np.asarray(s["wav"], np.float64), popts
                 )
                 n = min(len(f), len(p))
-                f = np.concatenate([f[:n], p[:n]], axis=1)
+                f = np.concatenate([f[:n], p[:n].astype(np.float32)], axis=1)
             if cmvn:
-                f = np.asarray(cmvn_utterance(jnp.asarray(f)))
+                f = cmvn_utterance(f)
             s["feat"] = f
             yield s
 

@@ -190,11 +190,22 @@ def dft_matrices(padded_window_size: int, num_bins_keep: int) -> tuple[np.ndarra
 # ---------------------------------------------------------------------------
 
 
+def _backend(x):
+    """numpy for numpy inputs, jnp for jax arrays/tracers.
+
+    Host data-pipeline stages (and forked loader workers, which must never
+    touch the JAX runtime) pass np.ndarray waveforms and get pure-numpy
+    compute; jitted/device paths are unchanged. One implementation, two
+    backends — the ops used are API-identical."""
+    return np if isinstance(x, np.ndarray) else jnp
+
+
 def frame_signal(wave: jax.Array, opts: FrameOptions) -> jax.Array:
     """Slice a waveform [num_samples] into frames [num_frames, window_size].
 
     Static-shape: num_frames is computed from the static length of `wave`.
     """
+    xp = _backend(wave)
     num_samples = wave.shape[-1]
     shift, length = opts.window_shift, opts.window_size
     num_frames = opts.num_frames(num_samples)
@@ -205,11 +216,11 @@ def frame_signal(wave: jax.Array, opts: FrameOptions) -> jax.Array:
         num_pad = num_new - num_samples
         left = (length - shift) // 2
         right = num_pad - left
-        wave = jnp.concatenate(
+        wave = xp.concatenate(
             [wave[..., :left][..., ::-1], wave, wave[..., num_samples - right:][..., ::-1]],
             axis=-1,
         )
-    idx = jnp.arange(num_frames)[:, None] * shift + jnp.arange(length)[None, :]
+    idx = np.arange(num_frames)[:, None] * shift + np.arange(length)[None, :]
     return wave[..., idx]
 
 
@@ -225,24 +236,29 @@ def _process_window(
     frames: [..., num_frames, window_size] float32 (Kaldi int16 sample scale).
     Returns (padded_frames [..., num_frames, padded_window_size], raw_log_energy).
     """
-    frames = frames.astype(jnp.float32)
+    xp = _backend(frames)
+    frames = frames.astype(np.float32)
     if opts.dither != 0.0 and rng is not None:
-        frames = frames + opts.dither * jax.random.normal(rng, frames.shape, frames.dtype)
+        if xp is np:
+            # host path: rng is an np.random.Generator
+            frames = frames + (opts.dither * rng.normal(size=frames.shape)).astype(np.float32)
+        else:
+            frames = frames + opts.dither * jax.random.normal(rng, frames.shape, frames.dtype)
     if opts.remove_dc_offset:
-        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-    raw_log_energy = jnp.zeros(frames.shape[:-1], jnp.float32)
+        frames = frames - xp.mean(frames, axis=-1, keepdims=True)
+    raw_log_energy = xp.zeros(frames.shape[:-1], np.float32)
     if need_raw_energy:
-        raw_log_energy = jnp.log(
-            jnp.maximum(jnp.sum(frames * frames, axis=-1), EPSILON)
+        raw_log_energy = xp.log(
+            xp.maximum(xp.sum(frames * frames, axis=-1), EPSILON)
         )
     if opts.preemph_coeff != 0.0:
         first = frames[..., :1] * (1.0 - opts.preemph_coeff)
         rest = frames[..., 1:] - opts.preemph_coeff * frames[..., :-1]
-        frames = jnp.concatenate([first, rest], axis=-1)
-    frames = frames * jnp.asarray(feature_window(opts))
+        frames = xp.concatenate([first, rest], axis=-1)
+    frames = frames * xp.asarray(feature_window(opts), dtype=np.float32)
     pad = opts.padded_window_size - opts.window_size
     if pad > 0:
-        frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
+        frames = xp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, pad)])
     return frames, raw_log_energy
 
 
@@ -255,13 +271,20 @@ def power_spectrum(
     "rfft" uses the generic FFT lowering.
     """
     n = opts.padded_window_size
+    xp = _backend(padded_frames)
     if fft_mode == "gemm":
         c, s = dft_matrices(n, keep_bins)
-        re = jnp.matmul(padded_frames, jnp.asarray(c), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-        im = jnp.matmul(padded_frames, jnp.asarray(s), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        if xp is np:
+            re = padded_frames @ c.astype(np.float32)
+            im = padded_frames @ s.astype(np.float32)
+        else:
+            re = jnp.matmul(padded_frames, jnp.asarray(c), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+            im = jnp.matmul(padded_frames, jnp.asarray(s), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         return re * re + im * im
-    spec = jnp.fft.rfft(padded_frames, axis=-1)
+    spec = xp.fft.rfft(padded_frames, axis=-1)
     power = spec.real * spec.real + spec.imag * spec.imag
+    if xp is np:
+        power = power.astype(np.float32)  # np.fft computes in f64
     return power[..., :keep_bins]
 
 
@@ -282,29 +305,33 @@ def compute_fbank(
     Parity: reference runtime/kaldifeat/csrc/feature-fbank.cc:46-108.
     """
     fo = opts.frame_opts
+    xp = _backend(wave)
     frames = frame_signal(wave, fo)
     need_raw = opts.use_energy and opts.raw_energy
     padded, raw_log_energy = _process_window(frames, fo, rng=rng, need_raw_energy=need_raw)
     if opts.use_energy and not opts.raw_energy:
-        raw_log_energy = jnp.log(jnp.maximum(jnp.sum(padded * padded, axis=-1), EPSILON))
+        raw_log_energy = xp.log(xp.maximum(xp.sum(padded * padded, axis=-1), EPSILON))
 
     keep = fo.padded_window_size // 2  # highest bin dropped
     spectrum = power_spectrum(padded, fo, keep_bins=keep, fft_mode=fft_mode)
     if not opts.use_power:
-        spectrum = jnp.sqrt(spectrum)
-    mel = jnp.matmul(
-        spectrum,
-        jnp.asarray(mel_banks(opts.mel_opts, fo)),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        spectrum = xp.sqrt(spectrum)
+    if xp is np:
+        mel = spectrum @ mel_banks(opts.mel_opts, fo).astype(np.float32)
+    else:
+        mel = jnp.matmul(
+            spectrum,
+            jnp.asarray(mel_banks(opts.mel_opts, fo)),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if opts.use_log_fbank:
-        mel = jnp.log(jnp.maximum(mel, EPSILON))
+        mel = xp.log(xp.maximum(mel, EPSILON))
     if opts.use_energy:
         if opts.energy_floor > 0.0:
-            raw_log_energy = jnp.maximum(raw_log_energy, math.log(opts.energy_floor))
+            raw_log_energy = xp.maximum(raw_log_energy, math.log(opts.energy_floor))
         e = raw_log_energy[..., None]
-        mel = jnp.concatenate([mel, e] if opts.htk_compat else [e, mel], axis=-1)
+        mel = xp.concatenate([mel, e] if opts.htk_compat else [e, mel], axis=-1)
     return mel
 
 
@@ -320,6 +347,7 @@ def compute_mfcc(
     Parity: reference runtime/kaldifeat/csrc/feature-mfcc.cc:75-140.
     """
     fo = opts.frame_opts
+    xp = _backend(wave)
     num_bins = opts.mel_opts.num_bins
     if opts.num_ceps > num_bins:
         raise ValueError("num_ceps cannot exceed num_mel_bins")
@@ -327,36 +355,44 @@ def compute_mfcc(
     need_raw = opts.use_energy and opts.raw_energy
     padded, raw_log_energy = _process_window(frames, fo, rng=rng, need_raw_energy=need_raw)
     if opts.use_energy and not opts.raw_energy:
-        raw_log_energy = jnp.log(jnp.maximum(jnp.sum(padded * padded, axis=-1), EPSILON))
+        raw_log_energy = xp.log(xp.maximum(xp.sum(padded * padded, axis=-1), EPSILON))
 
     keep = fo.padded_window_size // 2
     spectrum = power_spectrum(padded, fo, keep_bins=keep, fft_mode=fft_mode)
-    mel = jnp.matmul(
-        spectrum,
-        jnp.asarray(mel_banks(opts.mel_opts, fo)),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    mel = jnp.log(jnp.maximum(mel, EPSILON))
-    feats = jnp.matmul(
-        mel,
-        jnp.asarray(dct_matrix(opts.num_ceps, num_bins)),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if xp is np:
+        mel = spectrum @ mel_banks(opts.mel_opts, fo).astype(np.float32)
+        mel = np.log(np.maximum(mel, EPSILON))
+        feats = mel @ dct_matrix(opts.num_ceps, num_bins).astype(np.float32)
+    else:
+        mel = jnp.matmul(
+            spectrum,
+            jnp.asarray(mel_banks(opts.mel_opts, fo)),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        mel = jnp.log(jnp.maximum(mel, EPSILON))
+        feats = jnp.matmul(
+            mel,
+            jnp.asarray(dct_matrix(opts.num_ceps, num_bins)),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if opts.cepstral_lifter != 0.0:
-        feats = feats * jnp.asarray(lifter_coeffs(opts.cepstral_lifter, opts.num_ceps))
+        feats = feats * xp.asarray(lifter_coeffs(opts.cepstral_lifter, opts.num_ceps), dtype=np.float32)
     if opts.use_energy:
         if opts.energy_floor > 0.0:
-            raw_log_energy = jnp.maximum(raw_log_energy, math.log(opts.energy_floor))
-        feats = feats.at[..., 0].set(raw_log_energy)
+            raw_log_energy = xp.maximum(raw_log_energy, math.log(opts.energy_floor))
+        if xp is np:
+            feats[..., 0] = raw_log_energy
+        else:
+            feats = feats.at[..., 0].set(raw_log_energy)
     if opts.htk_compat:
         energy = feats[..., :1]
         if opts.use_energy and opts.energy_floor == 0.0:
             pass  # kaldi scales C0 only when !use_energy
         if not opts.use_energy:
             energy = energy * math.sqrt(2.0)
-        feats = jnp.concatenate([feats[..., 1:], energy], axis=-1)
+        feats = xp.concatenate([feats[..., 1:], energy], axis=-1)
     return feats
 
 
@@ -372,15 +408,19 @@ def compute_spectrogram(
     Parity: reference runtime/kaldifeat/csrc/feature-spectrogram.cc:22-66.
     """
     fo = opts.frame_opts
+    xp = _backend(wave)
     frames = frame_signal(wave, fo)
     padded, raw_log_energy = _process_window(frames, fo, rng=rng, need_raw_energy=opts.raw_energy)
     if not opts.raw_energy:
-        raw_log_energy = jnp.log(jnp.maximum(jnp.sum(padded * padded, axis=-1), EPSILON))
+        raw_log_energy = xp.log(xp.maximum(xp.sum(padded * padded, axis=-1), EPSILON))
     keep = fo.padded_window_size // 2 + 1
     spectrum = power_spectrum(padded, fo, keep_bins=keep, fft_mode=fft_mode)
-    spectrum = jnp.log(jnp.maximum(spectrum, EPSILON))
+    spectrum = xp.log(xp.maximum(spectrum, EPSILON))
     if opts.energy_floor > 0.0:
-        raw_log_energy = jnp.maximum(raw_log_energy, math.log(opts.energy_floor))
+        raw_log_energy = xp.maximum(raw_log_energy, math.log(opts.energy_floor))
+    if xp is np:
+        spectrum[..., 0] = raw_log_energy
+        return spectrum
     return spectrum.at[..., 0].set(raw_log_energy)
 
 
@@ -604,21 +644,22 @@ def cmvn_utterance(
     feats [..., T, D]; mask [..., T] True for valid frames. Equivalent of the
     reference InputSequenceNormalization (pytorch/libs/nnet/components.py:751).
     """
+    xp = _backend(feats)
     if mask is None:
-        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        mean = xp.mean(feats, axis=-2, keepdims=True)
         if norm_vars:
-            var = jnp.var(feats, axis=-2, keepdims=True)
+            var = xp.var(feats, axis=-2, keepdims=True)
     else:
         m = mask.astype(feats.dtype)[..., None]
-        count = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
-        mean = jnp.sum(feats * m, axis=-2, keepdims=True) / count
+        count = xp.maximum(xp.sum(m, axis=-2, keepdims=True), 1.0)
+        mean = xp.sum(feats * m, axis=-2, keepdims=True) / count
         if norm_vars:
-            var = jnp.sum((feats - mean) ** 2 * m, axis=-2, keepdims=True) / count
+            var = xp.sum((feats - mean) ** 2 * m, axis=-2, keepdims=True) / count
     out = feats
     if norm_means:
         out = out - mean
     if norm_vars:
-        out = out / jnp.sqrt(var + eps)
+        out = out / xp.sqrt(var + eps)
     return out
 
 

@@ -57,6 +57,13 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         # host pipeline threads for the per-sample stages (decode/aug/feats)
         # — ordered fan-out, so results are identical to workers=1
         "workers": 8,
+        # waveform augmentation chain (reference speech_aug yaml):
+        # {"mode": "random", "clean_prob": 0.25, "stages": [
+        #   {"type": "add_noise", "csv": ...}, {"type": "add_reverb", ...}]}
+        "speech_aug": None,
+        # >1 = persistent PROCESS pool (MultiprocessLoader): the measured
+        # scaling path for the aug-heavy pipeline (tools/egs_bench.py)
+        "num_workers": 1,
     },
     # model
     "model": {"name": "ecapa_tdnn", "params": {}},
@@ -165,21 +172,36 @@ class Launcher:
                 seed=self.params["seed"],
             )
             self.logger.info("valid split: %d utts held out", len(valid_dd))
-        return WavEgs(
-            train_scp,
-            train_u2s,
-            self.spk2int,
-            chunk_seconds=p["chunk_seconds"],
-            batch_size=p["batch_size"],
-            speed_perturb=p.get("speed_perturb", False),
-            num_spks=len(self.spk2int),
-            compute_feat=p.get("compute_feat", True),
-            feat_opts=self.feat_opts,
-            spec_aug=p.get("spec_aug", False),
-            shuffle_buffer=p["shuffle_buffer"],
-            seed=self.params["seed"],
-            workers=p.get("workers", 1),
+        import functools
+
+        from .data.dataset import _build_train_egs
+
+        make_train_egs = functools.partial(
+            _build_train_egs,
+            dict(
+                train_scp=train_scp,
+                train_u2s=train_u2s,
+                spk2int=self.spk2int,
+                chunk_seconds=p["chunk_seconds"],
+                batch_size=p["batch_size"],
+                speed_perturb=p.get("speed_perturb", False),
+                speech_aug=p.get("speech_aug"),
+                compute_feat=p.get("compute_feat", True),
+                feat_opts=self.feat_opts,
+                spec_aug=p.get("spec_aug", False),
+                shuffle_buffer=p["shuffle_buffer"],
+                seed=self.params["seed"],
+                workers=p.get("workers", 1),
+            ),
         )
+
+        n_proc = int(p.get("num_workers", 1))
+        if n_proc > 1:
+            from .data import MultiprocessLoader
+
+            # spawn-safe: partial(module-level fn, primitives dict)
+            return MultiprocessLoader(make_train_egs, num_workers=n_proc)
+        return make_train_egs()
 
     def build_model(self) -> SpeakerNet:
         m = self.params["model"]
@@ -310,6 +332,8 @@ class Launcher:
                     trainer.plateau.update(vmetrics["loss"])
             save_checkpoint(ckpt_dir, state, epoch + 1, info=metrics)
             self.logger.info("epoch %d: %s", epoch + 1, metrics)
+        if hasattr(egs, "close"):  # stop a MultiprocessLoader pool
+            egs.close()
         self.state = state
         return state
 

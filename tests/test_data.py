@@ -167,6 +167,81 @@ class TestAugment:
         assert (out == 0).any()
         assert f.sum() > out.sum()
 
+    def test_env_corrupt_chains_stages(self, tmp_path):
+        """EnvCorrupt (speech_augment.py:1606) = reverb -> babble -> noise
+        with per-stage probabilities; prob=1 must change the signal, prob=0
+        must pass it through."""
+        from asv_subtools_tpu.data.augment import EnvCorrupt
+
+        man = self._manifest(tmp_path)
+        rir = np.zeros(2000, np.float32)
+        rir[0] = 1.0
+        rir[800] = 0.4
+        p = tmp_path / "rir.wav"
+        write_wav(str(p), rir * 30000, SR)
+        (tmp_path / "rir.csv").write_text(
+            f"ID,duration,wav,wav_format\nr0,0.125,{p},wav")
+        rirman = NoiseManifest.from_csv(str(tmp_path / "rir.csv"))
+
+        rng = np.random.default_rng(6)
+        wav = rng.normal(size=2 * SR).astype(np.float32) * 1000
+        env = EnvCorrupt(reverb_manifest=rirman, noise_manifest=man,
+                         babble_manifest=man, babble_speaker_count=3,
+                         noise_snr_low=5, noise_snr_high=10)
+        out = env(wav, rng)
+        assert out.shape == wav.shape
+        assert np.all(np.isfinite(out))
+        assert not np.allclose(out, wav)
+        off = EnvCorrupt(reverb_manifest=rirman, noise_manifest=man,
+                         reverb_prob=0.0, noise_prob=0.0)
+        assert np.array_equal(off(wav, rng), wav)
+
+    def test_time_domain_specaug_keeps_shape(self):
+        """TimeDomainSpecAugment (speech_augment.py:1728): speed perturb +
+        drop_freq + drop_chunk, keep_shape pins the output length."""
+        from asv_subtools_tpu.data.augment import TimeDomainSpecAugment
+
+        rng = np.random.default_rng(7)
+        wav = rng.normal(size=SR).astype(np.float32) * 1000
+        tds = TimeDomainSpecAugment(
+            speeds=(0.9,), drop_chunk_count_low=1, drop_chunk_count_high=2)
+        out = tds(wav, rng)
+        assert out.shape == wav.shape
+        assert np.all(np.isfinite(out))
+        assert (out == 0).any()  # drop_chunk zeroed a span
+        # speed 0.9 stretches: keep_shape trims back; last samples real
+        tds2 = TimeDomainSpecAugment(
+            speeds=(1.1,), drop_freq_prob=0.0, drop_chunk_prob=0.0)
+        out2 = tds2(wav, rng)
+        assert out2.shape == wav.shape
+        assert (out2[-100:] == 0).all()  # 1.1 = faster/shorter -> padded
+
+    def test_speech_aug_config_composition_stages(self, tmp_path):
+        from asv_subtools_tpu.data.augment import (
+            EnvCorrupt,
+            TimeDomainSpecAugment,
+            speech_aug_from_config,
+        )
+
+        self._manifest(tmp_path)
+        cfg = {
+            "mode": "chain",
+            "stages": [
+                {"type": "env_corrupt",
+                 "noise_csv": str(tmp_path / "noise.csv"),
+                 "noise_snr_low": 5, "noise_snr_high": 15},
+                {"type": "time_domain_specaug",
+                 "speeds": [0.95, 1.0, 1.05]},
+            ],
+        }
+        aug = speech_aug_from_config(cfg)
+        assert isinstance(aug.stages[0], EnvCorrupt)
+        assert isinstance(aug.stages[1], TimeDomainSpecAugment)
+        rng = np.random.default_rng(8)
+        wav = rng.normal(size=SR).astype(np.float32) * 1000
+        out = aug(wav, rng)
+        assert out.shape == wav.shape and np.all(np.isfinite(out))
+
 
 class TestPipeline:
     def test_wav_egs_batches(self, wav_dir):
@@ -573,3 +648,93 @@ class TestCutoutFactory:
         egs_clean = ChunkEgs(chunks, batch_size=4, drop_last=False)
         batch_clean = next(iter(egs_clean))
         assert not (batch_clean["x"] == 0).any()
+
+
+def _mp_test_factory(cfg, worker_id=0, num_workers=1):
+    """Module-level factory (picklable -> exercises the spawn path the
+    Launcher uses in production via partial(_build_train_egs, cfg))."""
+    from asv_subtools_tpu.data.dataset import _build_train_egs
+
+    return _build_train_egs(cfg, worker_id=worker_id, num_workers=num_workers)
+
+
+def _mp_raising_factory(worker_id=0, num_workers=1):
+    def gen():
+        yield {"x": np.zeros(2), "keys": ["a"]}
+        raise ValueError("boom in worker")
+
+    return gen()
+
+
+class TestMultiprocessLoader:
+    def _factory(self, wav_dir, batch_size=2, context="spawn"):
+        import functools
+
+        from asv_subtools_tpu.data import MultiprocessLoader, build_spk2int
+
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+        cfg = dict(
+            train_scp=str(wav_dir / "wav.scp"),
+            train_u2s=str(wav_dir / "utt2spk"),
+            spk2int=spk2int,
+            chunk_seconds=0.5,
+            batch_size=batch_size,
+            compute_feat=False,
+            shuffle_buffer=8,
+        )
+        make_egs = functools.partial(_mp_test_factory, cfg)
+        return (
+            MultiprocessLoader(make_egs, num_workers=2, context=context),
+            make_egs,
+        )
+
+    def test_epoch_coverage_matches_single_process(self, wav_dir):
+        """Across the persistent 2-worker SPAWN pool, one epoch yields
+        exactly the utterances a single-process epoch yields (modulo batch
+        order), and a second epoch works without respawn."""
+        loader, make_egs = self._factory(wav_dir)
+        try:
+            def keys_of(batches):
+                return sorted(k for b in batches for k in b["keys"])
+
+            ref = keys_of(list(make_egs()))
+            got = keys_of(list(loader))
+            assert got == ref
+            # second epoch through the SAME pool: reshuffled, same set
+            loader.set_epoch(1)
+            got2 = keys_of(list(loader))
+            assert got2 == ref
+        finally:
+            loader.close()
+
+    def test_epoch_reshuffle_changes_batch_composition(self, wav_dir):
+        loader, _ = self._factory(wav_dir)
+        try:
+            first = [tuple(b["keys"]) for b in loader]
+            loader.set_epoch(3)
+            second = [tuple(b["keys"]) for b in loader]
+            assert sorted(k for t in first for k in t) == \
+                sorted(k for t in second for k in t)
+            assert first != second  # per-epoch reshuffle reached workers
+        finally:
+            loader.close()
+
+    def test_fork_context_with_closure(self, wav_dir):
+        """context="fork" accepts closures (numpy-only parents)."""
+        loader, make_egs = self._factory(wav_dir, context="fork")
+        try:
+            ref = sorted(k for b in make_egs() for k in b["keys"])
+            got = sorted(k for b in loader for k in b["keys"])
+            assert got == ref
+        finally:
+            loader.close()
+
+    def test_worker_error_propagates(self, tmp_path):
+        from asv_subtools_tpu.data import MultiprocessLoader
+
+        loader = MultiprocessLoader(_mp_raising_factory, num_workers=2)
+        try:
+            with pytest.raises(RuntimeError, match="boom in worker"):
+                list(loader)
+        finally:
+            loader.close()

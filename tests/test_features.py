@@ -273,3 +273,66 @@ class TestKaldiConf:
         p.write_text("--no-such-option=3\n")
         with pytest.raises(ValueError):
             options_from_kaldi_conf(str(p), "fbank")
+
+
+class TestNumpyBackendDispatch:
+    """features/functional.py:_backend — np.ndarray input runs pure numpy
+    (fork-safe host pipeline workers), jax input runs jnp; both must agree."""
+
+    def _wave(self, n=16000):
+        return (np.random.default_rng(11).standard_normal(n) * 4000).astype(
+            np.float32
+        )
+
+    def test_fbank_numpy_matches_jax(self):
+        wave = self._wave()
+        opts = FbankOptions()
+        f_np = compute_fbank(wave, opts)
+        assert isinstance(f_np, np.ndarray)  # never entered jax
+        f_jx = np.asarray(compute_fbank(jnp.asarray(wave), opts))
+        np.testing.assert_allclose(f_np, f_jx, rtol=2e-4, atol=2e-4)
+
+    def test_fbank_numpy_gemm_mode(self):
+        wave = self._wave()
+        opts = FbankOptions()
+        f_rfft = compute_fbank(wave, opts, fft_mode="rfft")
+        f_gemm = compute_fbank(wave, opts, fft_mode="gemm")
+        assert isinstance(f_gemm, np.ndarray)
+        np.testing.assert_allclose(f_rfft, f_gemm, rtol=2e-3, atol=2e-3)
+
+    def test_mfcc_numpy_matches_jax(self):
+        wave = self._wave()
+        opts = MfccOptions()
+        f_np = compute_mfcc(wave, opts)
+        assert isinstance(f_np, np.ndarray)
+        f_jx = np.asarray(compute_mfcc(jnp.asarray(wave), opts))
+        np.testing.assert_allclose(f_np, f_jx, rtol=2e-4, atol=2e-4)
+
+    def test_mfcc_energy_htk_numpy(self):
+        wave = self._wave()
+        opts = MfccOptions()
+        opts = type(opts)(**{**opts.__dict__, "use_energy": True})
+        f_np = compute_mfcc(wave, opts)
+        f_jx = np.asarray(compute_mfcc(jnp.asarray(wave), opts))
+        np.testing.assert_allclose(f_np, f_jx, rtol=2e-4, atol=2e-4)
+
+    def test_spectrogram_numpy_matches_jax(self):
+        wave = self._wave()
+        opts = SpectrogramOptions()
+        f_np = compute_spectrogram(wave, opts)
+        assert isinstance(f_np, np.ndarray)
+        f_jx = np.asarray(compute_spectrogram(jnp.asarray(wave), opts))
+        np.testing.assert_allclose(f_np, f_jx, rtol=2e-4, atol=2e-4)
+
+    def test_cmvn_numpy_matches_jax(self):
+        f = np.random.default_rng(12).standard_normal((50, 30)).astype(np.float32)
+        out_np = cmvn_utterance(f, norm_vars=True)
+        assert isinstance(out_np, np.ndarray)
+        out_jx = np.asarray(cmvn_utterance(jnp.asarray(f), norm_vars=True))
+        np.testing.assert_allclose(out_np, out_jx, rtol=1e-5, atol=1e-5)
+
+    def test_jit_path_unaffected(self):
+        wave = self._wave()
+        f_jit = np.asarray(jax.jit(compute_fbank)(jnp.asarray(wave)))
+        f_np = compute_fbank(wave)
+        np.testing.assert_allclose(f_np, f_jit, rtol=2e-4, atol=2e-4)

@@ -396,3 +396,77 @@ class TestReducePSchedule:
         launcher.build_model()
         state = launcher.train(egs)
         assert state is not None
+
+
+class TestSpeechAugAndProcessLoader:
+    def test_speech_aug_config_through_process_pool(self, corpus, tmp_path):
+        """data.speech_aug (the reference's speech_aug yaml shape) and
+        data.num_workers>1 (persistent process pool) drive a short train
+        through the public Launcher API."""
+        from asv_subtools_tpu.data.augment import prepare_speechaug_csv
+
+        rng = np.random.default_rng(3)
+        noise_dir = tmp_path / "noise"
+        noise_dir.mkdir()
+        for i in range(3):
+            write_wav(str(noise_dir / f"n{i}.wav"),
+                      (rng.normal(size=SR) * 800).astype(np.float32), SR)
+        noise_csv = str(tmp_path / "noise.csv")
+        assert prepare_speechaug_csv(str(noise_dir), noise_csv) == 3
+
+        params = {
+            "exp_dir": str(tmp_path / "exp"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 1.0,
+                "batch_size": 8,
+                "shuffle_buffer": 16,
+                "num_workers": 2,
+                "speech_aug": {
+                    "mode": "random",
+                    "clean_prob": 0.25,
+                    "stages": [
+                        {"type": "add_noise", "csv": noise_csv,
+                         "snr_low": 5.0, "snr_high": 15.0},
+                        {"type": "drop_freq"},
+                    ],
+                },
+            },
+            "model": {
+                "name": "xvector",
+                "params": {"num_frame_channels": 32, "embd_dim": 16},
+            },
+            "loss": {"name": "margin_softmax",
+                     "params": {"method": "am", "m": 0.1}},
+            "train": {
+                "epochs": 2,
+                "optimizer": {"name": "adamW", "learning_rate": 5e-3},
+                "lr_schedule": {"name": "constant", "base_lr": 5e-3},
+                "compute_dtype": "float32",
+                "report_interval": 1000,
+            },
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        from asv_subtools_tpu.data import MultiprocessLoader
+
+        assert isinstance(egs, MultiprocessLoader)
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert state is not None
+        assert int(np.asarray(state.step)) > 0
+
+    def test_speech_aug_from_config_validation(self):
+        from asv_subtools_tpu.data.augment import speech_aug_from_config
+
+        assert speech_aug_from_config(None) is None
+        assert speech_aug_from_config({}) is None
+        with pytest.raises(TypeError, match="unknown speech_aug stage"):
+            speech_aug_from_config({"stages": [{"type": "nope"}]})
+        aug = speech_aug_from_config(
+            {"mode": "chain", "stages": [{"type": "clip"},
+                                         {"type": "drop_chunk"}]})
+        out = aug(np.random.default_rng(0).normal(size=SR).astype(np.float32),
+                  np.random.default_rng(1))
+        assert out.shape == (SR,)
