@@ -148,9 +148,12 @@ def main():
                   make_egs(thread_workers=w), args.batches)
             from asv_subtools_tpu.data import MultiprocessLoader
 
-            bench(f"procs-{w}",
-                  MultiprocessLoader(make_egs, num_workers=w),
-                  args.batches)
+            # fork context: this tool is a numpy-only parent (no jax), so
+            # the cheap start method is safe and closures are allowed
+            loader = MultiprocessLoader(make_egs, num_workers=w,
+                                        context="fork")
+            bench(f"procs-{w}", loader, args.batches)
+            loader.close()
 
 
 if __name__ == "__main__":
