@@ -21,6 +21,8 @@ from .egs_offline import (
     ChunkEgs,
     ChunkEgsMultiTask,
     ChunkSamples,
+    get_info_from_egsdir,
+    prepare_egs_dir,
     read_chunk_csv,
 )
 from .dataset import (

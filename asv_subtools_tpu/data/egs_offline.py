@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import os
 import random
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -129,6 +130,122 @@ class ChunkSamples:
             w.writerow(["utt", "rxfile", "start", "end", "label"])
             for c in chunks:
                 w.writerow([c.utt, c.rxfile, c.start, c.end, c.label])
+
+
+def get_info_from_egsdir(
+    egsdir: str,
+    train_csv_name: Optional[str] = None,
+    valid_csv_name: Optional[str] = None,
+) -> Tuple[int, int, str, Optional[str]]:
+    """Read an egsdir's info files + csv paths.
+
+    Parity: get_info_from_egsdir (pytorch/libs/egs/egs.py:230-247) —
+    info/feat_dim + info/num_targets, train.egs.csv, valid.egs.csv
+    (None if absent). Returns (feat_dim, num_targets, train_csv, valid_csv).
+    """
+    info = os.path.join(egsdir, "info")
+    if not os.path.isdir(info):
+        raise ValueError(f"Expected dir {info} to exist.")
+    feat_dim = int(open(os.path.join(info, "feat_dim")).read().split()[0])
+    num_targets = int(
+        open(os.path.join(info, "num_targets")).read().split()[0]
+    )
+    train_csv = os.path.join(egsdir, train_csv_name or "train.egs.csv")
+    valid_csv = os.path.join(egsdir, valid_csv_name or "valid.egs.csv")
+    if not os.path.exists(valid_csv):
+        valid_csv = None
+    return feat_dim, num_targets, train_csv, valid_csv
+
+
+def prepare_egs_dir(
+    datadir_path: str,
+    egs_dir: str,
+    *,
+    chunk_size: int = 200,
+    chunk_type: str = "speaker_balance",
+    chunk_num_selection: int = 0,
+    overlap: float = 0.1,
+    scale: float = 1.5,
+    valid_num_utts: int = 0,
+    valid_chunk_num: int = 2,
+    seed: int = 1024,
+) -> Tuple[int, int]:
+    """Generate a chunk-egs dir from a feature datadir.
+
+    Parity: pipeline/onestep/get_chunk_egs.py:31-120 — valid split (held
+    out per speaker, keeping >=2 train utts/spk), speaker-balanced or
+    sequential chunk sampling for train, sequential chunks for valid
+    (--valid-chunk-num), then train.egs.csv / valid.egs.csv +
+    info/{feat_dim,num_targets}. The datadir needs feats.scp +
+    utt2num_frames + utt2spk. Returns (feat_dim, num_targets).
+    """
+    dd = DataDir.read(datadir_path)
+    spks = sorted(set(dd.utt2spk().values()))
+    spk2int = {s: i for i, s in enumerate(spks)}
+    os.makedirs(os.path.join(egs_dir, "info"), exist_ok=True)
+
+    valid_dd = None
+    if valid_num_utts > 0:
+        dd, valid_dd = dd.valid_split(num_utts=valid_num_utts, seed=seed)
+
+    sampler = ChunkSamples(
+        dd,
+        chunk_size=chunk_size,
+        chunk_type=chunk_type,
+        chunk_num_selection=chunk_num_selection,
+        overlap=overlap,
+        scale=scale,
+        seed=seed,
+        spk2int=spk2int,
+    )
+    sampler.write_csv(os.path.join(egs_dir, "train.egs.csv"))
+    if valid_dd is not None:
+        # valid: sequential tiling capped at valid_chunk_num chunks/utt
+        # (get_chunk_egs.py --valid-chunk-num semantics)
+        vs = ChunkSamples(
+            valid_dd,
+            chunk_size=chunk_size,
+            chunk_type="sequential",
+            overlap=0.0,
+            seed=seed,
+            spk2int=spk2int,
+        )
+        per_utt: Dict[str, int] = {}
+        kept = []
+        for c in vs.sample():
+            if per_utt.get(c.utt, 0) < valid_chunk_num:
+                kept.append(c)
+                per_utt[c.utt] = per_utt.get(c.utt, 0) + 1
+        vs.write_csv(os.path.join(egs_dir, "valid.egs.csv"), kept)
+
+    # feat_dim from the first feature matrix's first row
+    feats = dd.tables.get("feats.scp", {})
+    first = next(iter(sorted(feats.values())), None)
+    if first is None:
+        raise ValueError(f"{datadir_path} has no feats.scp entries")
+    feat_dim = int(read_mat(first, row_range=(0, 1)).shape[1])
+    num_targets = len(spk2int)
+    open(os.path.join(egs_dir, "info", "feat_dim"), "w").write(f"{feat_dim}\n")
+    open(os.path.join(egs_dir, "info", "num_targets"), "w").write(
+        f"{num_targets}\n"
+    )
+    return feat_dim, num_targets
+
+
+def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
+                             num_workers: int = 1) -> "ChunkEgs":
+    """Module-level ChunkEgs factory (picklable for MultiprocessLoader
+    spawn workers); composes the (worker, pool-size) split into ChunkEgs's
+    (rank, world_size) like the reference's DistributedSampler."""
+    return ChunkEgs(
+        read_chunk_csv(cfg["train_csv"]),
+        batch_size=cfg["batch_size"],
+        seed=cfg.get("seed", 1024),
+        rank=worker_id,
+        world_size=num_workers,
+        aug=cfg.get("aug"),
+        aug_params=cfg.get("aug_params"),
+    )
 
 
 def read_chunk_csv(path: str) -> List[Chunk]:

@@ -64,6 +64,12 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         # >1 = persistent PROCESS pool (MultiprocessLoader): the measured
         # scaling path for the aug-heavy pipeline (tools/egs_bench.py)
         "num_workers": 1,
+        # "offline" = classic chunk-egs path (runSnowdarXvector.py family):
+        # set egs_dir to a dir from data.egs_offline.prepare_egs_dir
+        # (train.egs.csv / valid.egs.csv / info); aug/aug_params select the
+        # per-chunk SpecAugment/Cutout (augmentation.py get_augmentation)
+        "egs_type": "online",
+        "egs_dir": "",
     },
     # model
     "model": {"name": "ecapa_tdnn", "params": {}},
@@ -134,6 +140,8 @@ class Launcher:
             self.feat_opts = FbankOptions(
                 mel_opts=MelOptions(num_bins=int(p["num_bins"]))
             )
+        if p.get("egs_type", "online") == "offline":
+            return self._build_offline_egs(p)
         self.spk2int = build_spk2int(p["train_utt2spk"])
         num_spks = len(self.spk2int)
         if p.get("speed_perturb"):
@@ -202,6 +210,56 @@ class Launcher:
             # spawn-safe: partial(module-level fn, primitives dict)
             return MultiprocessLoader(make_train_egs, num_workers=n_proc)
         return make_train_egs()
+
+    def _build_offline_egs(self, p: Dict[str, Any]):
+        """Offline chunk-egs training path (parity: the classic
+        runSnowdarXvector.py launcher family — preprocess_to_egs.sh ->
+        get_chunk_egs.py egsdir -> BaseBunch.get_bunch_from_egsdir ->
+        trainer.py SimpleTrainer). data params: egs_dir (+optional
+        train_csv_name/valid_csv_name, aug/aug_params for the per-chunk
+        SpecAugment/Cutout, num_workers for the process pool). Use
+        data.egs_offline.prepare_egs_dir to generate the egsdir."""
+        import functools
+
+        from .data.egs_offline import (
+            ChunkEgs,
+            build_chunk_egs_from_dir,
+            get_info_from_egsdir,
+            read_chunk_csv,
+        )
+
+        feat_dim, num_targets, train_csv, valid_csv = get_info_from_egsdir(
+            p["egs_dir"], p.get("train_csv_name"), p.get("valid_csv_name")
+        )
+        self.num_targets = num_targets
+        self.feat_dim = feat_dim
+        self.logger.info(
+            "offline egs: %d targets, feat_dim %d (%s)",
+            num_targets, feat_dim, p["egs_dir"],
+        )
+        if valid_csv:
+            self.valid_egs = ChunkEgs(
+                read_chunk_csv(valid_csv),
+                batch_size=p["batch_size"],
+                drop_last=False,
+                seed=self.params["seed"],
+            )
+        make_egs = functools.partial(
+            build_chunk_egs_from_dir,
+            dict(
+                train_csv=train_csv,
+                batch_size=p["batch_size"],
+                aug=p.get("aug"),
+                aug_params=p.get("aug_params"),
+                seed=self.params["seed"],
+            ),
+        )
+        n_proc = int(p.get("num_workers", 1))
+        if n_proc > 1:
+            from .data import MultiprocessLoader
+
+            return MultiprocessLoader(make_egs, num_workers=n_proc)
+        return make_egs()
 
     def build_model(self) -> SpeakerNet:
         m = self.params["model"]

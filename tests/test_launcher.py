@@ -470,3 +470,104 @@ class TestSpeechAugAndProcessLoader:
         out = aug(np.random.default_rng(0).normal(size=SR).astype(np.float32),
                   np.random.default_rng(1))
         assert out.shape == (SR,)
+
+
+class TestOfflineEgsLauncher:
+    """The classic offline chunk-egs path through the public Launcher API
+    (parity: runSnowdarXvector.py family — preprocess_to_egs.sh egsdir ->
+    BaseBunch.get_bunch_from_egsdir -> SimpleTrainer)."""
+
+    @pytest.fixture(scope="class")
+    def egs_dir(self, tmp_path_factory):
+        from asv_subtools_tpu.data import prepare_egs_dir
+        from asv_subtools_tpu.io.kaldi import ArkScpWriter
+
+        root = tmp_path_factory.mktemp("offline")
+        datadir = root / "data"
+        datadir.mkdir()
+        rng = np.random.default_rng(17)
+        u2s, u2f = [], []
+        with ArkScpWriter(str(root / "feats.ark"),
+                          str(datadir / "feats.scp")) as w:
+            for spk in range(4):
+                mean = rng.normal(size=24) * 2.0
+                for i in range(5):
+                    key = f"s{spk}-u{i}"
+                    n = int(rng.integers(220, 300))
+                    feats = (mean + rng.normal(size=(n, 24))).astype(
+                        np.float32)
+                    w.write(key, feats)
+                    u2s.append(f"{key} spk{spk}")
+                    u2f.append(f"{key} {n}")
+        (datadir / "utt2spk").write_text("\n".join(u2s) + "\n")
+        (datadir / "utt2num_frames").write_text("\n".join(u2f) + "\n")
+        egs = root / "egs"
+        feat_dim, num_targets = prepare_egs_dir(
+            str(datadir), str(egs), chunk_size=100, valid_num_utts=4,
+            valid_chunk_num=2,
+        )
+        assert (feat_dim, num_targets) == (24, 4)
+        return egs
+
+    def test_egsdir_layout(self, egs_dir):
+        from asv_subtools_tpu.data import get_info_from_egsdir, read_chunk_csv
+
+        feat_dim, num_targets, train_csv, valid_csv = get_info_from_egsdir(
+            str(egs_dir))
+        assert (feat_dim, num_targets) == (24, 4)
+        train = read_chunk_csv(train_csv)
+        valid = read_chunk_csv(valid_csv)
+        assert len(train) > 0 and len(valid) > 0
+        # valid chunks: sequential, capped at 2/utt, disjoint from train utts
+        from collections import Counter
+        per_utt = Counter(c.utt for c in valid)
+        assert max(per_utt.values()) <= 2
+        assert not set(per_utt) & {c.utt for c in train}
+        assert all(c.end - c.start == 100 for c in train + valid)
+
+    def _params(self, egs_dir, tmp_path, extra_data=None):
+        data = {
+            "egs_type": "offline",
+            "egs_dir": str(egs_dir),
+            "batch_size": 8,
+        }
+        data.update(extra_data or {})
+        return {
+            "exp_dir": str(tmp_path / "exp"),
+            "data": data,
+            "model": {"name": "xvector",
+                      "params": {"num_frame_channels": 24, "embd_dim": 16}},
+            "loss": {"name": "margin_softmax",
+                     "params": {"method": "am", "m": 0.1}},
+            "train": {
+                "epochs": 2,
+                "optimizer": {"name": "adamW", "learning_rate": 5e-3},
+                "lr_schedule": {"name": "constant", "base_lr": 5e-3},
+                "compute_dtype": "float32",
+                "report_interval": 1000,
+            },
+        }
+
+    def test_offline_train_with_valid(self, egs_dir, tmp_path):
+        launcher = Launcher(self._params(egs_dir, tmp_path,
+                                         {"aug": "specaugment"}))
+        egs = launcher.build_egs()
+        from asv_subtools_tpu.data import ChunkEgs
+
+        assert isinstance(egs, ChunkEgs)
+        assert launcher.num_targets == 4
+        assert launcher.valid_egs is not None
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert int(np.asarray(state.step)) > 0
+
+    def test_offline_train_process_pool(self, egs_dir, tmp_path):
+        launcher = Launcher(self._params(egs_dir, tmp_path,
+                                         {"num_workers": 2}))
+        egs = launcher.build_egs()
+        from asv_subtools_tpu.data import MultiprocessLoader
+
+        assert isinstance(egs, MultiprocessLoader)
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert int(np.asarray(state.step)) > 0
