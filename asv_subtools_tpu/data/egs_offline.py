@@ -232,13 +232,25 @@ def prepare_egs_dir(
     return feat_dim, num_targets
 
 
+def read_ali_scp(path: str) -> Dict[str, str]:
+    """utt -> alignment rxfile map (the ali.scp ali-to-phones writes)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
 def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
                              num_workers: int = 1) -> "ChunkEgs":
     """Module-level ChunkEgs factory (picklable for MultiprocessLoader
     spawn workers); composes the (worker, pool-size) split into ChunkEgs's
-    (rank, world_size) like the reference's DistributedSampler."""
-    return ChunkEgs(
-        read_chunk_csv(cfg["train_csv"]),
+    (rank, world_size) like the reference's DistributedSampler. With
+    cfg["ali_scp"] set, builds the dual-label ChunkEgsMultiTask
+    (egs_multi_task.py semantics) instead."""
+    kwargs = dict(
         batch_size=cfg["batch_size"],
         seed=cfg.get("seed", 1024),
         rank=worker_id,
@@ -246,6 +258,11 @@ def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
         aug=cfg.get("aug"),
         aug_params=cfg.get("aug_params"),
     )
+    chunks = read_chunk_csv(cfg["train_csv"])
+    if cfg.get("ali_scp"):
+        return ChunkEgsMultiTask(chunks, read_ali_scp(cfg["ali_scp"]),
+                                 **kwargs)
+    return ChunkEgs(chunks, **kwargs)
 
 
 def read_chunk_csv(path: str) -> List[Chunk]:

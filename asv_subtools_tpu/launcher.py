@@ -238,12 +238,22 @@ class Launcher:
             num_targets, feat_dim, p["egs_dir"],
         )
         if valid_csv:
-            self.valid_egs = ChunkEgs(
-                read_chunk_csv(valid_csv),
-                batch_size=p["batch_size"],
-                drop_last=False,
-                seed=self.params["seed"],
-            )
+            valid_chunks = read_chunk_csv(valid_csv)
+            if p.get("ali_scp"):
+                from .data.egs_offline import ChunkEgsMultiTask, read_ali_scp
+
+                self.valid_egs = ChunkEgsMultiTask(
+                    valid_chunks, read_ali_scp(p["ali_scp"]),
+                    batch_size=p["batch_size"], drop_last=False,
+                    seed=self.params["seed"],
+                )
+            else:
+                self.valid_egs = ChunkEgs(
+                    valid_chunks,
+                    batch_size=p["batch_size"],
+                    drop_last=False,
+                    seed=self.params["seed"],
+                )
         make_egs = functools.partial(
             build_chunk_egs_from_dir,
             dict(
@@ -251,6 +261,9 @@ class Launcher:
                 batch_size=p["batch_size"],
                 aug=p.get("aug"),
                 aug_params=p.get("aug_params"),
+                # utt->ali rxfile scp: dual-label multitask/FD egs
+                # (egs_multi_task.py); pair with model multi_task_xvector
+                ali_scp=p.get("ali_scp"),
                 seed=self.params["seed"],
             ),
         )
@@ -331,34 +344,59 @@ class Launcher:
             from .parallel.mesh import classifier_partition_rules
 
             partition_rules = classifier_partition_rules
+        step_fn = None
+        if t.get("sam"):
+            # two-pass SAM step (reference runSnowdarXvectorSAM family,
+            # trainer_online_sam.py). Feature-input only: the SAM step has
+            # no in-step fbank path.
+            from .train.sam import make_sam_train_step
+
+            if not self.params["data"].get("compute_feat", True):
+                raise ValueError("train.sam requires feature-input egs "
+                                 "(data.compute_feat=True or offline egs)")
+            sam_cfg = t["sam"] if isinstance(t["sam"], dict) else {}
+        trainer_config = TrainStepConfig(
+            max_change=t["max_change"],
+            accum_grad=t["accum_grad"],
+            compute_dtype=dtype,
+            use_semi_orth=t.get("use_semi_orth", False),
+            # data.compute_feat=False -> wave-input training: host only
+            # decodes/augments waveforms; fused fbank + CMVN (+ on-device
+            # SpecAugment) run inside the jitted step. TPU-first default
+            # for new recipes — host feature computation starves the chip.
+            wave_input=not self.params["data"].get("compute_feat", True),
+            fbank_opts=self.feat_opts,
+            spec_aug=(
+                not self.params["data"].get("compute_feat", True)
+                and self.params["data"].get("spec_aug", False)
+            ),
+        )
+        if t.get("sam"):
+            step_fn = make_sam_train_step(
+                self.net, tx,
+                rho=float(sam_cfg.get("rho", 0.05)),
+                adaptive=bool(sam_cfg.get("adaptive", False)),
+                config=trainer_config,
+            )
         trainer = Trainer(
             self.net,
             tx,
             lr_schedule=schedule,
-            config=TrainStepConfig(
-                max_change=t["max_change"],
-                accum_grad=t["accum_grad"],
-                compute_dtype=dtype,
-                use_semi_orth=t.get("use_semi_orth", False),
-                # data.compute_feat=False -> wave-input training: host only
-                # decodes/augments waveforms; fused fbank + CMVN (+ on-device
-                # SpecAugment) run inside the jitted step. TPU-first default
-                # for new recipes — host feature computation starves the chip.
-                wave_input=not self.params["data"].get("compute_feat", True),
-                fbank_opts=self.feat_opts,
-                spec_aug=(
-                    not self.params["data"].get("compute_feat", True)
-                    and self.params["data"].get("spec_aug", False)
-                ),
-            ),
+            config=trainer_config,
             mesh=self.mesh,
             margin_warm=margin_warm,
             plateau=plateau,
             report_interval=t["report_interval"],
             reporter=Reporter(log_dir=os.path.join(self.params["exp_dir"], "log")),
             partition_rules=partition_rules,
+            step_fn=step_fn,
         )
         example = next(iter(egs))
+        if "phone_y" in example:
+            # dual-label egs -> MultiTaskNet dict targets (run_epoch does
+            # the same conversion per batch)
+            example = dict(example, y={"spk": example["y"],
+                                       "phone": example["phone_y"]})
         if not self.params["data"].get("compute_feat", True):
             # wave egs: params must still be initialized on FEATURE shapes
             # (the in-step fused fbank produces them at run time)

@@ -434,6 +434,7 @@ class Trainer:
         reporter=None,
         nan_debug_dir: Optional[str] = None,
         partition_rules: Optional[Callable] = None,
+        step_fn: Optional[Callable] = None,
     ):
         self.net = net
         self.tx = tx
@@ -450,7 +451,10 @@ class Trainer:
         # (e.g. parallel.mesh.classifier_partition_rules). None = replicate.
         self.partition_rules = partition_rules
 
-        self._step_fn = make_train_step(net, tx, lr_schedule, config)
+        # step_fn: alternative step with the same (state, batch, rng,
+        # lambda_m, margin_offset, lr_scale) signature — e.g.
+        # sam.make_sam_train_step (the reference's trainer_online_sam)
+        self._step_fn = step_fn or make_train_step(net, tx, lr_schedule, config)
         self._build_jits(replicated_sharding(self.mesh))
         self._eval_step = jax.jit(make_eval_step(net))
 

@@ -480,13 +480,14 @@ class TestOfflineEgsLauncher:
     @pytest.fixture(scope="class")
     def egs_dir(self, tmp_path_factory):
         from asv_subtools_tpu.data import prepare_egs_dir
-        from asv_subtools_tpu.io.kaldi import ArkScpWriter
+        from asv_subtools_tpu.io.kaldi import ArkScpWriter, write_vec_int
 
         root = tmp_path_factory.mktemp("offline")
         datadir = root / "data"
         datadir.mkdir()
         rng = np.random.default_rng(17)
-        u2s, u2f = [], []
+        u2s, u2f, ali_scp = [], [], []
+        ali_ark = str(root / "ali.ark")
         with ArkScpWriter(str(root / "feats.ark"),
                           str(datadir / "feats.scp")) as w:
             for spk in range(4):
@@ -499,8 +500,13 @@ class TestOfflineEgsLauncher:
                     w.write(key, feats)
                     u2s.append(f"{key} spk{spk}")
                     u2f.append(f"{key} {n}")
+                    # frame phone labels (ali-to-phones int vectors)
+                    off = write_vec_int(
+                        ali_ark, rng.integers(0, 10, size=n), key)
+                    ali_scp.append(f"{key} {ali_ark}:{off}")
         (datadir / "utt2spk").write_text("\n".join(u2s) + "\n")
         (datadir / "utt2num_frames").write_text("\n".join(u2f) + "\n")
+        (root / "ali.scp").write_text("\n".join(ali_scp) + "\n")
         egs = root / "egs"
         feat_dim, num_targets = prepare_egs_dir(
             str(datadir), str(egs), chunk_size=100, valid_num_utts=4,
@@ -568,6 +574,39 @@ class TestOfflineEgsLauncher:
         from asv_subtools_tpu.data import MultiprocessLoader
 
         assert isinstance(egs, MultiprocessLoader)
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert int(np.asarray(state.step)) > 0
+
+    def test_offline_sam_train(self, egs_dir, tmp_path):
+        """train.sam routes the two-pass SAM step through the Launcher
+        (reference runSnowdarXvectorSAM family)."""
+        params = self._params(egs_dir, tmp_path)
+        params["train"]["sam"] = {"rho": 0.05}
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        launcher.build_model()
+        state = launcher.train(egs)
+        assert int(np.asarray(state.step)) > 0
+
+    def test_offline_multitask_train(self, egs_dir, tmp_path):
+        """data.ali_scp -> ChunkEgsMultiTask dual-label egs + the
+        MultiTaskNet speaker+phone heads, end to end through the Launcher
+        (reference trainer_mt / egs_multi_task.py path)."""
+        params = self._params(egs_dir, tmp_path)
+        params["data"]["ali_scp"] = str(egs_dir.parent / "ali.scp")
+        params["model"] = {
+            "name": "multi_task_xvector",
+            "params": {"num_frame_channels": 24, "embd_dim": 16,
+                       "num_phones": 10, "mt_alpha": 0.3},
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        from asv_subtools_tpu.data import ChunkEgsMultiTask
+
+        assert isinstance(egs, ChunkEgsMultiTask)
+        batch = next(iter(egs))
+        assert batch["phone_y"].shape == batch["x"].shape[:2]
         launcher.build_model()
         state = launcher.train(egs)
         assert int(np.asarray(state.step)) > 0
