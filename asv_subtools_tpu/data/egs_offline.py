@@ -250,6 +250,14 @@ def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
     (rank, world_size) like the reference's DistributedSampler. With
     cfg["ali_scp"] set, builds the dual-label ChunkEgsMultiTask
     (egs_multi_task.py semantics) instead."""
+    utt2aux = None
+    if cfg.get("aux_utt2label"):
+        # per-chunk FD auxiliary labels: a 2-column "utt int" file
+        utt2aux = {
+            k: int(v) for k, v in
+            (line.split(None, 1) for line in open(cfg["aux_utt2label"])
+             if line.strip())
+        }
     kwargs = dict(
         batch_size=cfg["batch_size"],
         seed=cfg.get("seed", 1024),
@@ -257,6 +265,7 @@ def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
         world_size=num_workers,
         aug=cfg.get("aug"),
         aug_params=cfg.get("aug_params"),
+        utt2aux=utt2aux,
     )
     chunks = read_chunk_csv(cfg["train_csv"])
     if cfg.get("ali_scp"):
@@ -290,6 +299,7 @@ class ChunkEgs:
         drop_last: bool = True,
         aug: Optional[str] = None,
         aug_params: Optional[Dict] = None,
+        utt2aux: Optional[Dict[str, int]] = None,
     ):
         from .augment import get_augmentation
 
@@ -304,6 +314,9 @@ class ChunkEgs:
         # or cutout via the get_augmentation factory)
         self.aug_fn = get_augmentation(aug, aug_params)
         self._aug_rng = np.random.default_rng(seed + 7)
+        # per-chunk auxiliary class label (e.g. noise/domain type) for the
+        # feature-decomposition egs (egs_feature_decompsition.py:28-123)
+        self.utt2aux = utt2aux
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -330,7 +343,12 @@ class ChunkEgs:
             feats = [self.aug_fn(f, self._aug_rng) for f in feats]
         x = np.stack(feats).astype(np.float32)
         y = np.asarray([c.label for c in batch], np.int32)
-        return {"x": x, "y": y, "keys": [c.utt for c in batch]}
+        out = {"x": x, "y": y, "keys": [c.utt for c in batch]}
+        if self.utt2aux is not None:
+            out["aux_y"] = np.asarray(
+                [self.utt2aux[c.utt] for c in batch], np.int32
+            )
+        return out
 
 
 class ChunkEgsMultiTask(ChunkEgs):

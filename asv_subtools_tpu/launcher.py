@@ -264,6 +264,9 @@ class Launcher:
                 # utt->ali rxfile scp: dual-label multitask/FD egs
                 # (egs_multi_task.py); pair with model multi_task_xvector
                 ali_scp=p.get("ali_scp"),
+                # utt->int aux-class file (noise/domain type): FD egs
+                # (egs_feature_decompsition.py); pair with model fd_xvector
+                aux_utt2label=p.get("aux_utt2label"),
                 seed=self.params["seed"],
             ),
         )
@@ -294,6 +297,20 @@ class Launcher:
                 mt_alpha=mt_alpha,
             )
             return self.net
+        if m["name"] == "fd_xvector":
+            # feature-decomposition adversarial net (snowdar-xvector-FD-AL
+            # + trainer_fd); trained by the two-optimizer loop in train()
+            from .train.fd import FDSpeakerNet
+
+            num_aux = mparams.pop("num_aux_targets", 9)
+            self.net = FDSpeakerNet(
+                backbone=MODELS[m["name"]](**mparams),
+                num_targets=self.num_targets,
+                num_aux_targets=num_aux,
+                loss_name=l["name"],
+                loss_params=l.get("params", {}),
+            )
+            return self.net
         backbone = MODELS[m["name"]](**mparams)
         self.net = SpeakerNet(
             backbone=backbone,
@@ -306,6 +323,10 @@ class Launcher:
     # -- stage 1 ------------------------------------------------------------
     def train(self, egs: WavEgs, resume_from: Optional[str] = None):
         t = self.params["train"]
+        from .train.fd import FDSpeakerNet
+
+        if isinstance(self.net, FDSpeakerNet):
+            return self._train_fd(egs, t)
         opt = dict(t["optimizer"])
         sched_cfg = dict(t["lr_schedule"])
         sched_name = sched_cfg.pop("name")
@@ -433,6 +454,73 @@ class Launcher:
         self.state = state
         return state
 
+    def _train_fd(self, egs, t: Dict[str, Any]):
+        """FD-AL two-optimizer alternation through the Launcher (the
+        reference's dedicated FD launcher + trainer_fd.GanDalAttTrainer).
+        train.fd params: aux_weight, adv_weight, cycle, adv_steps,
+        adv_optimizer {name, learning_rate, ...}."""
+        from .parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+            shard_batch,
+        )
+        from .train.fd import init_fd_state, make_fd_train_step
+
+        fd = t.get("fd") or {}
+        opt = dict(t["optimizer"])
+        sched_cfg = dict(t["lr_schedule"])
+        schedule = get_lr_schedule(sched_cfg.pop("name"), **sched_cfg)
+        opt["learning_rate"] = schedule
+        tx_main = get_optimizer(opt.pop("name"), **opt)
+        adv_cfg = dict(fd.get("adv_optimizer",
+                              {"name": "sgd", "learning_rate": 1e-2}))
+        tx_adv = get_optimizer(adv_cfg.pop("name"), **adv_cfg)
+        dtype = (jnp.bfloat16 if t["compute_dtype"] == "bfloat16"
+                 else jnp.float32)
+        step = make_fd_train_step(
+            self.net, tx_main, tx_adv,
+            aux_weight=float(fd.get("aux_weight", 0.1)),
+            adv_weight=float(fd.get("adv_weight", 0.1)),
+            cycle=int(fd.get("cycle", 70)),
+            adv_steps=int(fd.get("adv_steps", 20)),
+            config=TrainStepConfig(
+                max_change=t["max_change"], compute_dtype=dtype
+            ),
+        )
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        example = next(iter(egs))
+        batch_keys = tuple(
+            k for k in ("x", "y", "aux_y", "mask") if k in example
+        )
+        jit_step = jax.jit(
+            step,
+            in_shardings=(rep, {k: data for k in batch_keys}, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        rng = jax.random.PRNGKey(self.params["seed"])
+        state = jax.device_put(
+            init_fd_state(self.net, rng, example, tx_main, tx_adv), rep
+        )
+        ckpt_dir = os.path.join(self.params["exp_dir"], "checkpoints")
+        metrics = {}
+        for epoch in range(t["epochs"]):
+            egs.set_epoch(epoch)
+            for batch in Prefetcher(egs):
+                rng, sub = jax.random.split(rng)
+                batch = shard_batch(
+                    self.mesh, {k: batch[k] for k in batch_keys}
+                )
+                state, metrics = jit_step(state, batch, sub)
+            metrics = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            save_checkpoint(ckpt_dir, state, epoch + 1, info=metrics)
+            self.logger.info("epoch %d: %s", epoch + 1, metrics)
+        if hasattr(egs, "close"):
+            egs.close()
+        self.state = state
+        return state
+
     # -- stage 2 ------------------------------------------------------------
     def extract(self, wav_scp: str, out_prefix: str, state=None):
         state = state if state is not None else self.state
@@ -440,11 +528,16 @@ class Launcher:
         backbone = self.net.backbone
 
         def model_apply(x, mask):
-            return backbone.apply(
+            out = backbone.apply(
                 {"params": state.params["backbone"],
                  "batch_stats": state.batch_stats.get("backbone", {})},
                 x, mask=mask, train=False,
             )
+            if isinstance(out, tuple):
+                # FDXvector returns (spk, content); extraction wants the
+                # speaker part (FD-AL extract_embedding semantics)
+                out = out[0]
+            return out
 
         if e.get("mode", "feature") == "wave":
             # on-chip fused fbank: host only decodes wav (fast + scalable)

@@ -610,3 +610,39 @@ class TestOfflineEgsLauncher:
         launcher.build_model()
         state = launcher.train(egs)
         assert int(np.asarray(state.step)) > 0
+
+    def test_offline_fd_train_and_extract(self, egs_dir, tmp_path):
+        """fd_xvector + data.aux_utt2label -> FD-AL two-optimizer
+        alternation through the Launcher (the reference's FD launcher +
+        trainer_fd.GanDalAttTrainer workflow)."""
+        # aux class per utt (e.g. noise/domain type): 3 classes
+        aux_path = tmp_path / "utt2aux"
+        from asv_subtools_tpu.data import read_chunk_csv
+
+        utts = sorted({c.utt for c in read_chunk_csv(
+            str(egs_dir / "train.egs.csv"))} |
+            {c.utt for c in read_chunk_csv(str(egs_dir / "valid.egs.csv"))})
+        aux_path.write_text(
+            "\n".join(f"{u} {i % 3}" for i, u in enumerate(utts)) + "\n")
+
+        params = self._params(egs_dir, tmp_path)
+        params["data"]["aux_utt2label"] = str(aux_path)
+        params["model"] = {
+            "name": "fd_xvector",
+            "params": {"num_frame_channels": 24, "embd_dim": 16,
+                       "num_aux_targets": 3},
+        }
+        params["loss"] = {"name": "softmax", "params": {}}
+        params["train"]["fd"] = {"cycle": 4, "adv_steps": 2,
+                                 "aux_weight": 0.2, "adv_weight": 0.1}
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        batch = next(iter(egs))
+        assert "aux_y" in batch and batch["aux_y"].shape == batch["y"].shape
+        launcher.build_model()
+        from asv_subtools_tpu.train.fd import FDSpeakerNet
+
+        assert isinstance(launcher.net, FDSpeakerNet)
+        state = launcher.train(egs)
+        assert int(np.asarray(state.step)) > 0
+        assert isinstance(state.opt_state, tuple)  # (main, adversary)
