@@ -521,6 +521,60 @@ class Launcher:
         self.state = state
         return state
 
+    def find_lr(
+        self,
+        egs,
+        start_lr: float = 1e-8,
+        end_lr: float = 1.0,
+        num_steps: int = 100,
+    ) -> Dict[str, Any]:
+        """LR range finder on this config's model/optimizer/egs (parity:
+        the reference launchers' run_lr_finder flag -> trainer.run_lr_finder,
+        lr_finder.py:24-219). Returns {"lrs", "losses", "suggested_lr"}."""
+        from .train import (
+            TrainStepConfig,
+            get_optimizer,
+            init_train_state,
+            make_train_step,
+            run_lr_finder,
+        )
+
+        t = self.params["train"]
+        opt = dict(t["optimizer"])
+        opt.pop("learning_rate", None)
+        tx = get_optimizer(opt.pop("name"), learning_rate=1.0, **opt)
+        dtype = (jnp.bfloat16 if t["compute_dtype"] == "bfloat16"
+                 else jnp.float32)
+        wave = not self.params["data"].get("compute_feat", True)
+        cfg = TrainStepConfig(
+            max_change=t["max_change"], compute_dtype=dtype,
+            wave_input=wave, fbank_opts=self.feat_opts,
+        )
+        step = jax.jit(make_train_step(self.net, tx, config=cfg))
+
+        def step_fn(state, batch, rng, lr):
+            batch = {k: batch[k] for k in ("x", "y", "mask") if k in batch}
+            return step(state, batch, rng, 1.0, 0.0, lr)
+
+        rng = jax.random.PRNGKey(self.params["seed"])
+        example = next(iter(egs))
+        if wave:
+            from .features import FbankOptions
+            from .features.pallas_fbank import fused_fbank
+
+            feats0, _ = fused_fbank(
+                jnp.asarray(example["x"][:2]),
+                self.feat_opts or FbankOptions(),
+            )
+            example = {"x": feats0, "y": jnp.asarray(example["y"][:2])}
+        state = init_train_state(self.net, rng, example, tx)
+        out = run_lr_finder(
+            step_fn, state, iter(egs), rng,
+            start_lr=start_lr, end_lr=end_lr, num_steps=num_steps,
+        )
+        self.logger.info("lr finder: suggested_lr=%s", out["suggested_lr"])
+        return out
+
     # -- stage 2 ------------------------------------------------------------
     def extract(self, wav_scp: str, out_prefix: str, state=None):
         state = state if state is not None else self.state

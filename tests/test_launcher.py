@@ -646,3 +646,12 @@ class TestOfflineEgsLauncher:
         state = launcher.train(egs)
         assert int(np.asarray(state.step)) > 0
         assert isinstance(state.opt_state, tuple)  # (main, adversary)
+
+    def test_find_lr_through_launcher(self, egs_dir, tmp_path):
+        """Launcher.find_lr: the reference launchers' run_lr_finder flag."""
+        launcher = Launcher(self._params(egs_dir, tmp_path))
+        egs = launcher.build_egs()
+        launcher.build_model()
+        out = launcher.find_lr(egs, start_lr=1e-6, end_lr=5.0, num_steps=20)
+        assert len(out["lrs"]) > 5
+        assert np.all(np.isfinite(out["losses"]))
