@@ -79,6 +79,7 @@ class WavEgs:
         aug: Optional[SpeechAug] = None,
         compute_feat: bool = False,
         feat_opts=None,
+        feat_type: str = "fbank",
         spec_aug: bool = False,
         shuffle_buffer: int = 1000,
         seed: int = 1024,
@@ -106,7 +107,9 @@ class WavEgs:
             stages.append(P.speech_aug_stage(aug, seed=seed, epoch=ep))
         key = "wav"
         if compute_feat:
-            stages.append(P.compute_feats(feat_opts))
+            # feat_type: fbank | mfcc | fbank_pitch | mfcc_pitch
+            # (makeFeatures.sh family selection)
+            stages.append(P.compute_feats(feat_opts, feat_type=feat_type))
             key = "feat"
             if spec_aug:
                 stages.append(P.spec_aug_stage(seed=seed, epoch=ep))
@@ -154,6 +157,7 @@ class WavEgsXvector:
         *,
         de_silence: bool = False,
         feat_opts=None,
+        feat_type: str = "fbank",
         workers: int = 1,
     ):
         self.entries = list(P.wav_scp_source(wav_scp))
@@ -161,7 +165,7 @@ class WavEgsXvector:
         stages: List[Callable] = [P.parse_raw, P.resample()]
         if de_silence:
             stages.append(P.de_sil())
-        stages.append(P.compute_feats(feat_opts))
+        stages.append(P.compute_feats(feat_opts, feat_type=feat_type))
         self.stages = stages
 
     def _process_one(self, entry):
@@ -241,6 +245,7 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
         aug=speech_aug_from_config(cfg.get("speech_aug")),
         compute_feat=cfg.get("compute_feat", True),
         feat_opts=cfg.get("feat_opts"),
+        feat_type=cfg.get("feat_type", "fbank"),
         spec_aug=cfg.get("spec_aug", False),
         shuffle_buffer=cfg["shuffle_buffer"],
         seed=cfg.get("seed", 1024),

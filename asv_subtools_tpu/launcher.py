@@ -49,6 +49,9 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "speed_perturb": False,
         "shuffle_buffer": 1000,
         "compute_feat": True,
+        # fbank | mfcc | fbank_pitch | mfcc_pitch (makeFeatures.sh family);
+        # the _pitch variants append the 3-dim Kaldi pitch feature
+        "feat_type": "fbank",
         "spec_aug": False,
         "valid_utts": 0,  # hold out N utts for validation (plateau/reporting)
         # fbank bins for BOTH training egs and extraction (None = library
@@ -135,11 +138,13 @@ class Launcher:
         p = self.params["data"]
         self.feat_opts = None
         if p.get("num_bins"):
-            from .features import FbankOptions, MelOptions
+            from .features import FbankOptions, MelOptions, MfccOptions
 
-            self.feat_opts = FbankOptions(
-                mel_opts=MelOptions(num_bins=int(p["num_bins"]))
-            )
+            mel = MelOptions(num_bins=int(p["num_bins"]))
+            if p.get("feat_type", "fbank").startswith("mfcc"):
+                self.feat_opts = MfccOptions(mel_opts=mel)
+            else:
+                self.feat_opts = FbankOptions(mel_opts=mel)
         if p.get("egs_type", "online") == "offline":
             return self._build_offline_egs(p)
         self.spk2int = build_spk2int(p["train_utt2spk"])
@@ -196,6 +201,7 @@ class Launcher:
                 speech_aug=p.get("speech_aug"),
                 compute_feat=p.get("compute_feat", True),
                 feat_opts=self.feat_opts,
+                feat_type=p.get("feat_type", "fbank"),
                 spec_aug=p.get("spec_aug", False),
                 shuffle_buffer=p["shuffle_buffer"],
                 seed=self.params["seed"],
@@ -630,6 +636,7 @@ class Launcher:
             )
             items = iter(WavEgsXvector(
                 wav_scp, feat_opts=getattr(self, "feat_opts", None),
+                feat_type=self.params["data"].get("feat_type", "fbank"),
                 workers=e.get("workers", 1),
             ))
         stats = ex.extract_to_ark(

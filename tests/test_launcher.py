@@ -655,3 +655,27 @@ class TestOfflineEgsLauncher:
         out = launcher.find_lr(egs, start_lr=1e-6, end_lr=5.0, num_steps=20)
         assert len(out["lrs"]) > 5
         assert np.all(np.isfinite(out["losses"]))
+
+
+class TestFeatTypeSelection:
+    def test_mfcc_pitch_through_launcher_egs(self, corpus, tmp_path):
+        """data.feat_type selects the makeFeatures.sh family (here
+        mfcc_pitch: 23 ceps + 3 pitch dims) through the public API."""
+        params = {
+            "exp_dir": str(tmp_path / "exp"),
+            "data": {
+                "train_wav_scp": str(corpus / "wav.scp"),
+                "train_utt2spk": str(corpus / "utt2spk"),
+                "chunk_seconds": 0.6,
+                "batch_size": 4,
+                "shuffle_buffer": 8,
+                "feat_type": "mfcc_pitch",
+            },
+            "model": {"name": "xvector",
+                      "params": {"num_frame_channels": 16, "embd_dim": 8}},
+            "loss": {"name": "softmax", "params": {}},
+        }
+        launcher = Launcher(params)
+        egs = launcher.build_egs()
+        batch = next(iter(egs))
+        assert batch["x"].shape[-1] == 13 + 3  # default num_ceps + pitch
