@@ -83,6 +83,7 @@ class WavEgs:
         spec_aug: bool = False,
         shuffle_buffer: int = 1000,
         seed: int = 1024,
+        aug_seed: Optional[int] = None,
         rank: int = 0,
         world_size: int = 1,
         drop_last: bool = True,
@@ -90,21 +91,28 @@ class WavEgs:
     ):
         entries = list(P.wav_scp_source(wav_scp, utt2spk, spk2int))
         self.workers = int(workers)
+        # the SHARD permutation must use the common base seed in every
+        # worker (so idx[rank::world_size] partitions the dataset), but the
+        # stochastic stages (speed-perturb draw, chunk offset, speech aug,
+        # shuffle buffer) take a per-worker aug_seed — the reference seeds
+        # DataLoader workers base_seed + worker_id the same way
+        # (egs_online.py worker_init_fn semantics)
         self.shards = DistributedShardList(
             entries, seed=seed, rank=rank, world_size=world_size
         )
+        sseed = seed if aug_seed is None else int(aug_seed)
         self.epoch_state = P.EpochState()
         ep = self.epoch_state
         stages: List[Callable] = [P.parse_raw, P.resample()]
         if speed_perturb:
             stages.append(
                 P.speed_perturb_stage(
-                    expand_labels=True, num_spks=num_spks, seed=seed, epoch=ep
+                    expand_labels=True, num_spks=num_spks, seed=sseed, epoch=ep
                 )
             )
-        stages.append(P.random_chunk(chunk_seconds, seed=seed, epoch=ep))
+        stages.append(P.random_chunk(chunk_seconds, seed=sseed, epoch=ep))
         if aug is not None:
-            stages.append(P.speech_aug_stage(aug, seed=seed, epoch=ep))
+            stages.append(P.speech_aug_stage(aug, seed=sseed, epoch=ep))
         key = "wav"
         if compute_feat:
             # feat_type: fbank | mfcc | fbank_pitch | mfcc_pitch
@@ -112,12 +120,12 @@ class WavEgs:
             stages.append(P.compute_feats(feat_opts, feat_type=feat_type))
             key = "feat"
             if spec_aug:
-                stages.append(P.spec_aug_stage(seed=seed, epoch=ep))
+                stages.append(P.spec_aug_stage(seed=sseed, epoch=ep))
         # per-sample stages (decode/aug/feats — numpy/scipy, GIL-releasing)
         # can fan out over a thread pool; batching stays serial
         self.sample_stages = stages
         self.batch_stages = [
-            P.shuffle(shuffle_buffer, seed=seed, epoch=ep),
+            P.shuffle(shuffle_buffer, seed=sseed, epoch=ep),
             P.static_batch(batch_size, drop_last=drop_last),
             P.pad_batch(key=key),
         ]
@@ -249,6 +257,10 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
         spec_aug=cfg.get("spec_aug", False),
         shuffle_buffer=cfg["shuffle_buffer"],
         seed=cfg.get("seed", 1024),
+        # decorrelate aug/shuffle RNG streams across pool workers (the
+        # reference seeds workers base_seed + worker_id); the shard split
+        # itself stays on the common base seed
+        aug_seed=cfg.get("seed", 1024) + worker_id,
         rank=worker_id,
         world_size=num_workers,
         workers=cfg.get("workers", 1) if num_workers == 1 else 1,
@@ -258,26 +270,31 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
 def _mp_worker_loop(make_egs, num_workers, worker_id, task_q, data_q):
     """MultiprocessLoader worker entry. Module-level so it pickles under
     the spawn start method. Builds the pipeline once (persistent worker),
-    then serves one epoch per task-queue message."""
+    then serves one epoch per task-queue message. Every item shipped back
+    carries the dispatch's generation id so the parent can discard batches
+    from an abandoned iteration (see MultiprocessLoader.__iter__)."""
     egs = None
     while True:
-        epoch = task_q.get()
-        if epoch is None:
+        task = task_q.get()
+        if task is None:
             break
+        epoch, gen = task
         try:
             if egs is None:
                 egs = make_egs(worker_id=worker_id, num_workers=num_workers)
             if hasattr(egs, "set_epoch"):
                 egs.set_epoch(epoch)
             for batch in egs:
-                data_q.put(batch)
+                data_q.put((MultiprocessLoader._BATCH, gen, batch))
         except BaseException as e:  # surface in the parent
             import traceback
 
             data_q.put((MultiprocessLoader._ERR, worker_id,
                         f"{e!r}\n{traceback.format_exc()}"))
             break
-        data_q.put((MultiprocessLoader._END, worker_id, epoch))
+        # wire format (tag, gen, payload) — gen ALWAYS at index 1 so the
+        # parent's staleness check reads one slot for every tag
+        data_q.put((MultiprocessLoader._END, gen, worker_id))
 
 
 class MultiprocessLoader:
@@ -318,6 +335,7 @@ class MultiprocessLoader:
         self.prefetch = int(prefetch)
         self.context = context
         self.epoch = 0
+        self._gen = 0  # dispatch generation; stale items are discarded
         self._procs = None
         self._task_qs = None
         self._data_q = None
@@ -325,8 +343,20 @@ class MultiprocessLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    _BATCH = "__batch__"
     _END = "__epoch_end__"
     _ERR = "__worker_error__"
+
+    def example_batch(self):
+        """One batch for model init / shape probing, WITHOUT dispatching an
+        epoch to the worker pool. `next(iter(loader))` on a pool loader
+        abandons a dispatch mid-flight (every later epoch then consumes the
+        stale stream — off-by-one shuffles, double/missing samples); this
+        builds a throwaway single-worker pipeline in-process instead."""
+        egs = self.make_egs(worker_id=0, num_workers=1)
+        if hasattr(egs, "set_epoch"):
+            egs.set_epoch(self.epoch)
+        return next(iter(egs))
 
     def _ensure_pool(self):
         if self._procs is not None:
@@ -350,19 +380,34 @@ class MultiprocessLoader:
         # worker that touches jax (directly, or via a user main module
         # re-imported under spawn) can never claim the TPU chip out from
         # under the training process — only ONE process may hold it.
-        prev = os.environ.get("JAX_PLATFORMS")
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # JAX_PLATFORMS alone is NOT enough on accelerator images whose
+        # sitecustomize force-registers the backend (observed: the axon
+        # register overrides jax_platforms at interpreter start, so a
+        # worker importing jax still claimed the chip) — also unset the
+        # env gates those sitecustomize hooks key on.
+        _PIN = {"JAX_PLATFORMS": "cpu",
+                "PALLAS_AXON_POOL_IPS": None,  # axon sitecustomize gate
+                "TPU_VISIBLE_DEVICES": ""}
+        prev = {k: os.environ.get(k) for k in _PIN}
+        for k, v in _PIN.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
         try:
             for p in self._procs:
                 p.start()
         finally:
-            if prev is None:
-                os.environ.pop("JAX_PLATFORMS", None)
-            else:
-                os.environ["JAX_PLATFORMS"] = prev
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     def close(self) -> None:
-        """Stop the persistent worker pool."""
+        """Stop the persistent worker pool. Drains the data queue while
+        joining so workers blocked on a full queue can observe the stop
+        sentinel instead of hitting the join timeout."""
         if self._procs is None:
             return
         for q in self._task_qs:
@@ -370,8 +415,19 @@ class MultiprocessLoader:
                 q.put(None)
             except Exception:
                 pass
+        import time
+
+        deadline = time.monotonic() + 10.0
+        while any(p.is_alive() for p in self._procs) and \
+                time.monotonic() < deadline:
+            try:
+                while True:  # unblock producers
+                    self._data_q.get_nowait()
+            except Exception:
+                pass
+            time.sleep(0.05)
         for p in self._procs:
-            p.join(timeout=5)
+            p.join(timeout=1)
             if p.is_alive():
                 p.terminate()
         self._procs = None
@@ -391,21 +447,26 @@ class MultiprocessLoader:
             return
 
         self._ensure_pool()
+        self._gen += 1
+        gen = self._gen
         for q in self._task_qs:
-            q.put(self.epoch)
+            q.put((self.epoch, gen))
         ends = 0
         while ends < self.num_workers:
             item = self._data_q.get()
-            if isinstance(item, tuple) and len(item) == 3 and \
-                    item[0] == self._END:
-                ends += 1
-                continue
-            if isinstance(item, tuple) and len(item) == 3 and \
-                    item[0] == self._ERR:
+            tag = item[0]
+            if tag == self._ERR:
                 self.close()
                 raise RuntimeError(
                     f"egs worker {item[1]} failed:\n{item[2]}")
-            yield item
+            if item[1] != gen:
+                # leftover from an abandoned dispatch — drain and discard
+                # (the workers' stale epoch finishes flushing through here)
+                continue
+            if tag == self._END:
+                ends += 1
+            else:
+                yield item[2]
 
 
 class Prefetcher:

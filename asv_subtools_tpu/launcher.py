@@ -36,6 +36,16 @@ from .train import (
 )
 from .utils import assign_params_dict, init_logger, set_all_seed
 
+def _example_batch(egs):
+    """First batch for init/shape probing. MultiprocessLoader must NOT be
+    probed with next(iter(...)) — that dispatches an epoch to the pool and
+    abandons it mid-flight; its example_batch() builds an in-process
+    single-worker pipeline instead."""
+    if hasattr(egs, "example_batch"):
+        return egs.example_batch()
+    return next(iter(egs))
+
+
 DEFAULT_PARAMS: Dict[str, Any] = {
     "seed": 1024,
     "exp_dir": "exp/test",
@@ -137,6 +147,15 @@ class Launcher:
     def build_egs(self) -> WavEgs:
         p = self.params["data"]
         self.feat_opts = None
+        if (p.get("feat_type", "fbank") != "fbank"
+                and not p.get("compute_feat", True)):
+            # wave-input training runs the fused on-chip FBANK only; a
+            # silently-ignored mfcc/pitch selection would train on the
+            # wrong features
+            raise ValueError(
+                f"data.feat_type={p['feat_type']!r} requires host feature "
+                "computation (data.compute_feat=True); the wave-input path "
+                "computes fbank on-chip only")
         if p.get("num_bins"):
             from .features import FbankOptions, MelOptions, MfccOptions
 
@@ -181,6 +200,9 @@ class Launcher:
                 # wave path, so wave-trained models validate consistently)
                 compute_feat=True,
                 feat_opts=self.feat_opts,
+                # same family as training (mfcc opts into the fbank branch
+                # would AttributeError after the first epoch)
+                feat_type=p.get("feat_type", "fbank"),
                 shuffle_buffer=1,
                 seed=self.params["seed"],
             )
@@ -332,7 +354,7 @@ class Launcher:
         from .train.fd import FDSpeakerNet
 
         if isinstance(self.net, FDSpeakerNet):
-            return self._train_fd(egs, t)
+            return self._train_fd(egs, t, resume_from=resume_from)
         opt = dict(t["optimizer"])
         sched_cfg = dict(t["lr_schedule"])
         sched_name = sched_cfg.pop("name")
@@ -418,7 +440,7 @@ class Launcher:
             partition_rules=partition_rules,
             step_fn=step_fn,
         )
-        example = next(iter(egs))
+        example = _example_batch(egs)
         if "phone_y" in example:
             # dual-label egs -> MultiTaskNet dict targets (run_epoch does
             # the same conversion per batch)
@@ -460,7 +482,8 @@ class Launcher:
         self.state = state
         return state
 
-    def _train_fd(self, egs, t: Dict[str, Any]):
+    def _train_fd(self, egs, t: Dict[str, Any],
+                  resume_from: Optional[str] = None):
         """FD-AL two-optimizer alternation through the Launcher (the
         reference's dedicated FD launcher + trainer_fd.GanDalAttTrainer).
         train.fd params: aux_weight, adv_weight, cycle, adv_steps,
@@ -495,7 +518,7 @@ class Launcher:
         )
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
-        example = next(iter(egs))
+        example = _example_batch(egs)
         batch_keys = tuple(
             k for k in ("x", "y", "aux_y", "mask") if k in example
         )
@@ -509,6 +532,8 @@ class Launcher:
         state = jax.device_put(
             init_fd_state(self.net, rng, example, tx_main, tx_adv), rep
         )
+        if resume_from:
+            state = load_checkpoint(resume_from, state)
         ckpt_dir = os.path.join(self.params["exp_dir"], "checkpoints")
         metrics = {}
         for epoch in range(t["epochs"]):
@@ -563,7 +588,7 @@ class Launcher:
             return step(state, batch, rng, 1.0, 0.0, lr)
 
         rng = jax.random.PRNGKey(self.params["seed"])
-        example = next(iter(egs))
+        example = _example_batch(egs)
         if wave:
             from .features import FbankOptions
             from .features.pallas_fbank import fused_fbank
@@ -600,6 +625,11 @@ class Launcher:
             return out
 
         if e.get("mode", "feature") == "wave":
+            if self.params["data"].get("feat_type", "fbank") != "fbank":
+                raise ValueError(
+                    "extract.mode='wave' computes fbank on-chip only; use "
+                    "mode='feature' for "
+                    f"feat_type={self.params['data']['feat_type']!r}")
             # on-chip fused fbank: host only decodes wav (fast + scalable)
             from .data import ParallelMapper
             from .extract import WAVE_BUCKETS, make_wave_embed_fn

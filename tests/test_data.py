@@ -666,6 +666,20 @@ def _mp_raising_factory(worker_id=0, num_workers=1):
     return gen()
 
 
+def _mp_env_probe_factory(worker_id=0, num_workers=1):
+    """Reports the worker's env so the chip-pinning contract is testable."""
+    import os
+
+    def gen():
+        yield {
+            "jax_platforms": os.environ.get("JAX_PLATFORMS"),
+            "axon_gate": os.environ.get("PALLAS_AXON_POOL_IPS"),
+            "keys": [f"w{worker_id}"],
+        }
+
+    return gen()
+
+
 class TestMultiprocessLoader:
     def _factory(self, wav_dir, batch_size=2, context="spawn"):
         import functools
@@ -736,5 +750,73 @@ class TestMultiprocessLoader:
         try:
             with pytest.raises(RuntimeError, match="boom in worker"):
                 list(loader)
+        finally:
+            loader.close()
+
+    def test_abandoned_iterator_does_not_poison_later_epochs(self, wav_dir):
+        """Regression (round-3 advisor, high): `next(iter(loader))`
+        abandons a dispatch mid-flight; generation tagging must keep every
+        LATER epoch iteration a complete, current-epoch pass rather than
+        consuming the stale stream (epoch off-by-one, dup/missing keys)."""
+        loader, make_egs = self._factory(wav_dir)
+        try:
+            def keys_of(batches):
+                return sorted(k for b in batches for k in b["keys"])
+
+            ref = keys_of(list(make_egs()))
+            # abandon a dispatch the way the Launcher's old init probe did
+            next(iter(loader))
+            # epoch 0 after the abandonment: still exactly one full epoch
+            assert keys_of(list(loader)) == ref
+            # epoch composition must track set_epoch immediately (not lag
+            # one behind on the stale dispatch)
+            loader.set_epoch(5)
+            direct = make_egs()
+            direct.set_epoch(5)
+            assert [sorted(b["keys"]) for b in loader] and \
+                keys_of(list(loader)) == keys_of(list(direct))
+        finally:
+            loader.close()
+
+    def test_workers_are_pinned_off_the_accelerator(self):
+        """Regression (round 4): JAX_PLATFORMS=cpu alone does NOT pin a
+        worker off the chip on accelerator images whose sitecustomize
+        force-registers the backend (the axon register overrides
+        jax_platforms at interpreter start; observed: a spawn worker that
+        imported jax claimed the TPU). The pool must ALSO strip the
+        sitecustomize gate env (PALLAS_AXON_POOL_IPS) from the workers'
+        env, and restore the parent's env afterwards."""
+        import os
+
+        from asv_subtools_tpu.data import MultiprocessLoader
+
+        os.environ["PALLAS_AXON_POOL_IPS"] = "198.51.100.1"  # pretend chip
+        prev_jp = os.environ.get("JAX_PLATFORMS")
+        try:
+            loader = MultiprocessLoader(_mp_env_probe_factory, num_workers=2)
+            try:
+                batches = list(loader)
+            finally:
+                loader.close()
+            assert len(batches) == 2
+            for b in batches:
+                assert b["jax_platforms"] == "cpu", b
+                assert b["axon_gate"] is None, b
+            # parent env restored
+            assert os.environ.get("PALLAS_AXON_POOL_IPS") == "198.51.100.1"
+            assert os.environ.get("JAX_PLATFORMS") == prev_jp
+        finally:
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    def test_example_batch_probe_is_pool_free(self, wav_dir):
+        """example_batch() (the Launcher's init probe) must not dispatch to
+        the pool: afterwards a normal iteration is still a clean epoch."""
+        loader, make_egs = self._factory(wav_dir)
+        try:
+            ex = loader.example_batch()
+            assert "x" in ex and len(ex["keys"]) > 0
+            assert loader._procs is None  # no pool was spun up
+            ref = sorted(k for b in make_egs() for k in b["keys"])
+            assert sorted(k for b in loader for k in b["keys"]) == ref
         finally:
             loader.close()
