@@ -119,7 +119,18 @@ def make_fsdp_rules(
             return P(MODEL_AXIS, None)
         if not shape or int(np.prod(shape)) < min_size or n <= 1:
             return P()
-        for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+        # Prefer the LAST dim (output features): input dims of fused
+        # kernels are consumed via block slices (_SplitGlobalConv splits
+        # att1's [1, 3C, F] along 3C) and slicing a sharded dim at
+        # non-shard-aligned offsets forces the SPMD partitioner into
+        # involuntary full rematerialization (all-gather + repartition per
+        # use — the MULTICHIP_r03 warning tail). The output dim is never
+        # sliced, and matmul outputs can stay sharded through it. Fall back
+        # to the other dims largest-first.
+        order = ([len(shape) - 1] if shape[-1] % n == 0 else []) + sorted(
+            (i for i in range(len(shape) - 1)), key=lambda i: -shape[i]
+        )
+        for i in order:
             if shape[i] % n == 0:
                 spec: list = [None] * len(shape)
                 spec[i] = axis

@@ -130,6 +130,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lr_schedule: Optional[Callable] = None,
     config: TrainStepConfig = TrainStepConfig(),
+    param_gather_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
@@ -138,6 +139,18 @@ def make_train_step(
 
     batch = {"x": [B, T, D], "y": [B], optional "mask": [B, T]}. With
     accum_grad>1, B must divide it; microbatches run under lax.scan.
+
+    param_gather_fn (built by Trainer from its partition rules): a
+    sharding-constraint map applied to the params *as used in the
+    forward*. ZeRO-3 params are sharded AT REST but must be REPLICATED
+    AT USE — without the constraint XLA propagates the rest-sharding
+    into the activations and silently turns the net into feature-
+    parallel TP over the data axis (an all-gather of a full [B, T, C]
+    activation at every conv: ~16x the ZeRO communication volume,
+    measured in tools/collective_audit.py). With it, XLA all-gathers
+    the (bf16) weights instead and the cotangent of the constraint
+    reduce-scatters the gradients back to the shards — the scaling-book
+    ZeRO-3 recipe.
     """
 
     # model-level warmup is a transformer-only net input; only pass it to
@@ -188,6 +201,11 @@ def make_train_step(
                 else p,
                 params,
             )
+        if param_gather_fn is not None:
+            # ZeRO-3: gather the compute-dtype weight copies to replicated
+            # for the forward/backward; grads reduce-scatter back through
+            # the constraint's transpose
+            params = param_gather_fn(params)
         if config.mixup_alpha > 0:
             # batch mixup: mixed inputs, loss = lam*L(y) + (1-lam)*L(y[perm])
             from ..nn.tdnn import mixup as _mixup
@@ -454,9 +472,42 @@ class Trainer:
         # step_fn: alternative step with the same (state, batch, rng,
         # lambda_m, margin_offset, lr_scale) signature — e.g.
         # sam.make_sam_train_step (the reference's trainer_online_sam)
-        self._step_fn = step_fn or make_train_step(net, tx, lr_schedule, config)
+        self._step_fn = step_fn or make_train_step(
+            net, tx, lr_schedule, config,
+            param_gather_fn=self._make_param_gather_fn(),
+        )
         self._build_jits(replicated_sharding(self.mesh))
         self._eval_step = jax.jit(make_eval_step(net))
+
+    def _make_param_gather_fn(self) -> Optional[Callable]:
+        """ZeRO-3 at-use constraint from the partition rules (see
+        make_train_step's param_gather_fn): data-axis-sharded (FSDP)
+        params are constrained REPLICATED at use; model-axis params keep
+        their spec (intentional tensor parallelism — e.g. the row-parallel
+        classifier); replicated params pass through untouched."""
+        if self.partition_rules is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import MODEL_AXIS
+
+        mesh, rules = self.mesh, self.partition_rules
+        rep = NamedSharding(mesh, P())
+
+        def gather(params):
+            def one(path, p):
+                spec = rules(path, p)
+                if spec == P():
+                    return p
+                if any(ax == MODEL_AXIS for ax in spec):
+                    return jax.lax.with_sharding_constraint(
+                        p, NamedSharding(mesh, spec)
+                    )
+                return jax.lax.with_sharding_constraint(p, rep)
+
+            return jax.tree_util.tree_map_with_path(one, params)
+
+        return gather
 
     def _build_jits(self, state_shardings) -> None:
         """(Re)build the jitted train steps for the given TrainState
@@ -528,6 +579,13 @@ class Trainer:
             step_idx = host_step + i
             if self.margin_warm is not None:
                 moff, lam = self.margin_warm.step(step_idx)
+                from ..nn.loss import MarginWarm as _MW
+
+                if isinstance(self.margin_warm, _MW):
+                    # step_iter clamps the warm lambda (reference
+                    # ecapa_tdnn_xvector.py:526: max(1e-3, lambda_m));
+                    # the "m"-annealing path (LambdaMAnneal) does not
+                    lam = max(1e-3, lam)
             else:
                 moff, lam = 0.0, 1.0
             lr_scale = self.plateau.scale if self.plateau is not None else 1.0

@@ -473,11 +473,15 @@ class TestFsdp:
         state_f, losses_f = self._run(make_fsdp_rules(mesh, min_size=64),
                                       mesh=mesh, opt="sgd")
         state_r, losses_r = self._run(None, opt="sgd")
-        np.testing.assert_allclose(losses_f, losses_r, rtol=1e-4)
+        # rtol 3e-4: the at-use gather constraint (round 4) moves the
+        # gradient reduction to the constraint's transpose (reduce-scatter
+        # semantics), changing the f32 summation order vs the replicated
+        # run — pure reassociation noise that compounds over the 6 steps
+        np.testing.assert_allclose(losses_f, losses_r, rtol=3e-4)
         p_f = jax.device_get(state_f.params)
         p_r = jax.device_get(state_r.params)
         jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5),
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=3e-4, atol=3e-5),
             p_f, p_r,
         )
 
