@@ -20,6 +20,14 @@ import numpy as np
 import optax
 
 
+def _lr_dtype():
+    """f64 when x64 is enabled (parity tests: torch schedulers compute lr
+    in python doubles), f32 otherwise (production; a scalar, so free)."""
+    import jax
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def warm_restarts(
     base_lr: float,
     t_0: int,
@@ -38,7 +46,7 @@ def warm_restarts(
     """
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
+        step = jnp.asarray(step, _lr_dtype())
         if t_mult == 1:
             t_cur = jnp.mod(step, t_0)
             t_i = jnp.asarray(float(t_0))
@@ -82,7 +90,7 @@ def cyclic(
     total = step_size_up + down
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
+        step = jnp.asarray(step, _lr_dtype())
         cycle = jnp.floor(step / total)
         pos = step - cycle * total
         frac = jnp.where(pos < step_size_up, pos / step_size_up, (total - pos) / down)
@@ -112,7 +120,7 @@ def one_cycle(
     down = float(total_steps) - up - 1.0
 
     def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
+        step = jnp.asarray(step, _lr_dtype())
 
         def cos_anneal(a, b, frac):
             # a -> b as frac goes 0 -> 1 (torch _annealing_cos)
@@ -150,7 +158,7 @@ def noam(
     def schedule(step):
         # reference step_num = last_epoch + 1: the lr used for optimizer
         # step k (0-based) is computed at step_num = k + 1
-        s = jnp.asarray(step, jnp.float32) + 1.0
+        s = jnp.asarray(step, _lr_dtype()) + 1.0
         warm = peak * s / warmup_steps
         if step_decay:
             k = jnp.floor((s - warmup_steps) / step_size)
@@ -163,7 +171,7 @@ def noam(
 
 
 def constant(base_lr: float) -> Callable:
-    return lambda step: jnp.asarray(base_lr, jnp.float32)
+    return lambda step: jnp.asarray(base_lr, _lr_dtype())
 
 
 class ReduceOnPlateau:
