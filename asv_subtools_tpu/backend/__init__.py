@@ -47,8 +47,11 @@ from .plda import (
     PldaStats,
     estimate_plda,
     plda_score_trials,
+    plda_from_two_cov,
+    read_kaldi_plda,
     read_kaldi_plda_text,
     read_two_cov_ark,
+    write_kaldi_plda,
     write_kaldi_plda_text,
     write_two_cov_ark,
 )

@@ -400,6 +400,161 @@ def write_mat(fd_or_path, mat: np.ndarray, key: str) -> int:
             fd.close()
 
 
+# ---------------------------------------------------------------------------
+# Standalone Kaldi OBJECT files (rxfilename style, no utterance key):
+# what `ivector-mean` (mean.vec), `est-lda`/`transform-vec` (transform.mat)
+# and `ivector-compute-plda` (plda) write. Binary layout: "\0B" marker,
+# then tokens as "<Token> " and Vector/Matrix bodies as
+# "FV "/"DV " '\4'int32 dim data  /  "FM "/"DM " '\4'int32 rows '\4'int32
+# cols data. Text files have no \0B and print "[ ... ]" blocks.
+# ---------------------------------------------------------------------------
+
+
+def _is_binary_file(fd: BinaryIO) -> bool:
+    head = fd.read(2)
+    if head == b"\x00B":
+        return True
+    fd.seek(-len(head), io.SEEK_CUR)
+    return False
+
+
+def read_token(fd: BinaryIO) -> str:
+    """Kaldi ReadToken: whitespace-delimited token."""
+    tok = b""
+    while True:
+        c = fd.read(1)
+        if not c or c in b" \t\n\r":
+            if tok:
+                return tok.decode()
+            if not c:
+                raise EOFError("EOF while reading token")
+            continue
+        tok += c
+
+
+def write_token(fd: BinaryIO, tok: str) -> None:
+    fd.write(tok.encode() + b" ")
+
+
+def _read_text_block(text: str):
+    """Parse consecutive '[ ... ]' numeric blocks from Kaldi text.
+
+    Vector blocks yield a flat list; matrix blocks (rows on separate
+    lines, Kaldi's text Matrix::Write layout) yield a list of rows."""
+    blocks = []
+    in_block = False
+    rows: list = []
+    row: list = []
+    for line in text.splitlines():
+        for tok in line.replace("[", " [ ").replace("]", " ] ").split():
+            if tok == "[":
+                in_block, rows, row = True, [], []
+            elif tok == "]":
+                if row:
+                    rows.append(row)
+                blocks.append(rows[0] if len(rows) == 1 else rows)
+                in_block, rows, row = False, [], []
+            elif in_block:
+                row.append(float(tok))
+        if in_block and row:
+            rows.append(row)
+            row = []
+    return blocks
+
+
+def read_vec(fd_or_path) -> np.ndarray:
+    """Standalone Kaldi vector file (e.g. `ivector-mean spk.ark mean.vec`),
+    binary or text."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        if _is_binary_file(fd):
+            header = fd.read(3)
+            if header == b"FV ":
+                dtype, size = np.float32, 4
+            elif header == b"DV ":
+                dtype, size = np.float64, 8
+            else:
+                raise ValueError(f"unknown vector header {header!r}")
+            dim = _read_int32(fd)
+            return np.frombuffer(fd.read(dim * size), dtype=dtype).copy()
+        rows = open(fd_or_path).read() if isinstance(fd_or_path, str) else \
+            fd.read().decode()
+        return np.asarray(_read_text_block(rows)[0], np.float64)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def write_vec(fd_or_path, vec: np.ndarray, binary: bool = True) -> None:
+    """Standalone Kaldi vector file (dtype keeps f64 as DV, else FV)."""
+    v = np.ascontiguousarray(vec).ravel()
+    if not binary:
+        with open(fd_or_path, "w") as f:
+            f.write(" [ " + " ".join(repr(float(x)) for x in v) + " ]\n")
+        return
+    fd = open_or_fd(fd_or_path, "wb")
+    try:
+        fd.write(b"\x00B")
+        _write_vec_body(fd, v)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def _write_vec_body(fd: BinaryIO, v: np.ndarray) -> None:
+    if v.dtype == np.float64:
+        fd.write(b"DV ")
+    else:
+        v = v.astype(np.float32)
+        fd.write(b"FV ")
+    _write_int32(fd, v.shape[0])
+    fd.write(v.tobytes())
+
+
+def _write_mat_body(fd: BinaryIO, m: np.ndarray) -> None:
+    m = np.ascontiguousarray(m)
+    if m.dtype == np.float64:
+        fd.write(b"DM ")
+    else:
+        m = m.astype(np.float32)
+        fd.write(b"FM ")
+    _write_int32(fd, m.shape[0])
+    _write_int32(fd, m.shape[1])
+    fd.write(m.tobytes())
+
+
+def read_mat_file(fd_or_path) -> np.ndarray:
+    """Standalone Kaldi matrix file (e.g. an est-lda / transform.mat
+    artifact), binary or text."""
+    fd = open_or_fd(fd_or_path)
+    try:
+        if _is_binary_file(fd):
+            return _read_mat_body(fd, fd.read(3), None)
+        text = open(fd_or_path).read() if isinstance(fd_or_path, str) else \
+            fd.read().decode()
+        return np.asarray(_read_text_block(text)[0], np.float64)
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
+def write_mat_file(fd_or_path, mat: np.ndarray, binary: bool = True) -> None:
+    if not binary:
+        with open(fd_or_path, "w") as f:
+            f.write(" [")
+            for row in np.asarray(mat):
+                f.write("\n  " + " ".join(repr(float(x)) for x in row))
+            f.write(" ]\n")
+        return
+    fd = open_or_fd(fd_or_path, "wb")
+    try:
+        fd.write(b"\x00B")
+        _write_mat_body(fd, np.asarray(mat))
+    finally:
+        if fd is not fd_or_path:
+            fd.close()
+
+
 class ArkScpWriter:
     """Paired ark+scp writer (Kaldi 'ark,scp:feat.ark,feat.scp')."""
 
