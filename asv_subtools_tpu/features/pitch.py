@@ -1,21 +1,32 @@
-"""Kaldi-style pitch features: NCCF + Viterbi tracking + POV.
+"""Kaldi-style pitch features: NCCF + lag interpolation + Viterbi + POV.
 
 Parity target: Kaldi compute-kaldi-pitch / process-pitch-feats
 (Ghahremani et al., "A pitch extraction algorithm tuned for ASR", ICASSP
 2014) — the algorithm the reference's fbank_pitch/mfcc_pitch configs rely
 on (makeFeatures.sh -> steps/make_fbank_pitch.sh). Reimplemented from the
-published algorithm (algorithmic parity; the reference runtime only ships
-the header, pitch-functions.h:27):
+published algorithm + the option semantics of the reference's
+runtime/kaldifeat/csrc/pitch-functions.h:27-125 (the reference ships the
+option struct only, never the implementation):
 
-  1. resample the waveform to `resample_freq` (4 kHz)
-  2. per frame, NCCF over candidate lags spanning [1/max_f0, 1/min_f0],
+  1. lowpass + downsample the waveform to `resample_freq` (4 kHz) with a
+     Kaldi LinearResample-style Hanning-windowed sinc at
+     `lowpass_cutoff` (1 kHz), width `lowpass_filter_width`
+  2. per frame, NCCF over INTEGER lags spanning [1/max_f0, 1/min_f0],
      with a ballast term that suppresses spurious unvoiced correlation
-  3. Viterbi over lag states with an octave-jump penalty
+  3. windowed-sinc INTERPOLATION of the NCCF onto the exact geometric
+     lag grid (spacing delta_pitch, sub-sample lag resolution — Kaldi's
+     ArbitraryResample upsampling, width `upsample_filter_width`)
+  4. Viterbi over lag states with an octave-jump penalty
      (penalty_factor * log(lag_i/lag_j)^2), vectorized over states
-  4. POV (probability-of-voicing) feature from the raw NCCF
-  5. post-processing into the 3-dim Kaldi pitch feature:
-     [pov_feature, normalized_log_pitch (POV-weighted mean-subtracted),
-      delta_pitch]
+  5. POV (probability-of-voicing) feature from the raw NCCF
+  6. post-processing into the 3-dim Kaldi pitch feature
+     (process-pitch-feats defaults):
+       [pov_scale * pov_feature,
+        pitch_scale * POV-weighted mean-subtracted log pitch
+          (window = normalization_left/right_context; the online
+           first-pass mode truncates the right context at the current
+           frame, pitch-functions.h:60-86),
+        delta_pitch_scale * delta log pitch]
 
 Host-side numpy (pitch augments data prep, not the train hot path).
 """
@@ -27,25 +38,82 @@ import math
 from typing import Optional, Tuple
 
 import numpy as np
-from scipy import signal as sps
 
 
 @dataclasses.dataclass(frozen=True)
 class PitchOptions:
+    # extraction (PitchExtractionOptions defaults, pitch-functions.h:27-58)
     samp_freq: float = 16000.0
     frame_shift_ms: float = 10.0
     frame_length_ms: float = 25.0
     min_f0: float = 50.0
     max_f0: float = 400.0
-    resample_freq: float = 4000.0
+    soft_min_f0: float = 10.0
     penalty_factor: float = 0.1
+    lowpass_cutoff: float = 1000.0
+    resample_freq: float = 4000.0
     delta_pitch: float = 0.005  # relative lag spacing
     nccf_ballast: float = 7000.0
-    soft_min_f0: float = 10.0
-    # post-processing
+    lowpass_filter_width: int = 1
+    upsample_filter_width: int = 5
+    # post-processing (Kaldi ProcessPitchOptions defaults)
+    pitch_scale: float = 2.0
     pov_scale: float = 2.0
+    pov_offset: float = 0.0
+    delta_pitch_scale: float = 10.0
     delta_window: int = 2
-    normalization_window: int = 151  # frames, centered mean of log-pitch
+    normalization_left_context: int = 75
+    normalization_right_context: int = 75
+    # online first-pass simulation: normalize frame i with frames
+    # <= i only (right context unavailable when queried immediately —
+    # pitch-functions.h:78-86 simulate_first_pass_online)
+    simulate_first_pass_online: bool = False
+    # legacy centered-window override (pre-r4 configs); None = use the
+    # left/right contexts above
+    normalization_window: Optional[int] = None
+
+
+def windowed_sinc_filter(t: np.ndarray, cutoff: float,
+                         num_zeros: int) -> np.ndarray:
+    """Kaldi resample.h FilterFunc: Hanning-windowed sinc, support
+    |t| < num_zeros / (2 cutoff), DC gain 2*cutoff (divide by the source
+    sample rate when using as interpolation weights)."""
+    t = np.asarray(t, np.float64)
+    half_support = num_zeros / (2.0 * cutoff)
+    window = np.where(
+        np.abs(t) < half_support,
+        0.5 * (1.0 + np.cos(2.0 * np.pi * cutoff / num_zeros * t)),
+        0.0,
+    )
+    safe = np.where(t == 0.0, 1.0, t)
+    sinc = np.where(
+        t == 0.0, 2.0 * cutoff, np.sin(2.0 * np.pi * cutoff * safe)
+        / (np.pi * safe),
+    )
+    return window * sinc
+
+
+def lowpass_resample(wave: np.ndarray, sr_in: float, sr_out: float,
+                     cutoff: float, num_zeros: int) -> np.ndarray:
+    """Kaldi LinearResample: windowed-sinc lowpass at `cutoff` evaluated
+    at the output grid (one pass does both the anti-alias filter and the
+    rate change)."""
+    wave = np.asarray(wave, np.float64)
+    n_in = len(wave)
+    n_out = int(n_in * sr_out / sr_in)
+    if n_out == 0:
+        return np.zeros(0)
+    t_out = np.arange(n_out) / sr_out  # seconds
+    half_support = num_zeros / (2.0 * cutoff)  # seconds
+    hw = int(math.ceil(half_support * sr_in)) + 1  # input samples
+    center = np.round(t_out * sr_in).astype(int)  # nearest input index
+    offs = np.arange(-hw, hw + 1)
+    idx = center[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n_in)
+    idx_c = np.clip(idx, 0, n_in - 1)
+    t_rel = idx / sr_in - t_out[:, None]
+    w = windowed_sinc_filter(t_rel, cutoff, num_zeros) / sr_in
+    return np.sum(np.where(valid, wave[idx_c], 0.0) * w, axis=1)
 
 
 def _candidate_lags(opts: PitchOptions) -> np.ndarray:
@@ -58,27 +126,28 @@ def _candidate_lags(opts: PitchOptions) -> np.ndarray:
     return np.asarray(lags)
 
 
-def _nccf(
-    wave: np.ndarray, opts: PitchOptions, lags_samples: np.ndarray
+def _nccf_integer_lags(
+    wave: np.ndarray, opts: PitchOptions, first_lag: int, last_lag: int
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """NCCF matrix [T, L] with and without ballast.
+    """NCCF matrices [T, last-first+1] at every INTEGER lag, with and
+    without ballast.
 
-    nccf(t, l) = <x_t, x_{t+l}> / sqrt((e_t + ballast)(e_{t+l} + ballast))
+    nccf(t, l) = <x_t, x_{t+l}> / sqrt((e_t + B)(e_{t+l} + B))
     where x_t is the window starting at frame t's sample offset.
     """
     sr = opts.resample_freq
-    shift = int(sr * 0.001 * opts.frame_shift_ms)
-    window = int(sr * 0.001 * opts.frame_length_ms)
-    max_lag = int(lags_samples.max())
+    shift = int(sr * opts.frame_shift_ms / 1000.0)
+    window = int(sr * opts.frame_length_ms / 1000.0)
     n = len(wave)
-    t_frames = max(0, 1 + (n - (window + max_lag)) // shift)
+    n_lags = last_lag - first_lag + 1
+    t_frames = max(0, 1 + (n - (window + last_lag)) // shift)
     if t_frames == 0:
-        return np.zeros((0, len(lags_samples))), np.zeros((0, len(lags_samples)))
+        return np.zeros((0, n_lags)), np.zeros((0, n_lags))
 
     # ballast in energy^2 units (inside the sqrt of the energy product):
     # denom = sqrt(e0*e1 + nccf_ballast * global_mean_sq^2). For voiced
-    # frames e0*e1 ~ (w*ms)^2 dominates (w^2 > nccf_ballast); for quiet
-    # frames the ballast squashes the correlation toward zero.
+    # frames e0*e1 ~ (w*ms)^2 dominates; for quiet frames the ballast
+    # squashes the correlation toward zero.
     mean_sq = float(np.mean(wave**2)) + 1e-10
     ballast = opts.nccf_ballast * mean_sq * mean_sq
 
@@ -87,18 +156,41 @@ def _nccf(
     frames0 = wave[idx]  # [T, W]
     e0 = np.sum(frames0**2, axis=1)  # [T]
 
-    nccf_b = np.zeros((t_frames, len(lags_samples)))
-    nccf_nb = np.zeros((t_frames, len(lags_samples)))
-    for li, lag in enumerate(lags_samples):
-        lag = int(lag)
+    nccf_b = np.zeros((t_frames, n_lags))
+    nccf_nb = np.zeros((t_frames, n_lags))
+    for li in range(n_lags):
+        lag = first_lag + li
         frames_l = wave[idx + lag]
         cross = np.sum(frames0 * frames_l, axis=1)
         e1 = np.sum(frames_l**2, axis=1)
-        denom_b = np.sqrt(e0 * e1 + ballast) + 1e-10
-        denom_nb = np.sqrt(e0 * e1) + 1e-10
-        nccf_b[:, li] = cross / denom_b
-        nccf_nb[:, li] = cross / denom_nb
+        nccf_b[:, li] = cross / (np.sqrt(e0 * e1 + ballast) + 1e-10)
+        nccf_nb[:, li] = cross / (np.sqrt(e0 * e1) + 1e-10)
     return nccf_b, nccf_nb
+
+
+def resample_nccf(nccf: np.ndarray, first_lag: int, lags_sec: np.ndarray,
+                  opts: PitchOptions) -> np.ndarray:
+    """Interpolate NCCF rows (sampled at integer lags, spacing
+    1/resample_freq) onto the exact geometric lag grid with the
+    upsampling windowed sinc (Kaldi ArbitraryResample, cutoff =
+    resample_freq/2, width upsample_filter_width) — sub-sample lag
+    resolution instead of rounding lags to whole samples."""
+    sr = opts.resample_freq
+    cutoff = 0.5 * sr
+    num_zeros = opts.upsample_filter_width
+    pos = lags_sec * sr - first_lag  # fractional index into nccf columns
+    n_in = nccf.shape[1]
+    hw = int(math.ceil(num_zeros / (2.0 * cutoff) * sr)) + 1
+    center = np.round(pos).astype(int)
+    offs = np.arange(-hw, hw + 1)
+    idx = center[:, None] + offs[None, :]  # [L_out, K]
+    valid = (idx >= 0) & (idx < n_in)
+    idx_c = np.clip(idx, 0, n_in - 1)
+    t_rel = (idx - pos[:, None]) / sr  # seconds
+    w = windowed_sinc_filter(t_rel, cutoff, num_zeros) / sr  # [L_out, K]
+    w = np.where(valid, w, 0.0)
+    # out[t, l] = sum_k nccf[t, idx[l, k]] * w[l, k]
+    return np.einsum("tlk,lk->tl", nccf[:, idx_c], w)
 
 
 def _viterbi_lags(
@@ -155,27 +247,33 @@ def compute_kaldi_pitch(
     original rate (frames are trimmed/padded by edge copy to align with
     fbank frames).
     """
-    from math import gcd
+    sr = opts.resample_freq
+    down = lowpass_resample(
+        np.asarray(wave, np.float64), opts.samp_freq, sr,
+        opts.lowpass_cutoff, opts.lowpass_filter_width,
+    )
 
-    sr_in, sr = int(opts.samp_freq), int(opts.resample_freq)
-    g = gcd(sr_in, sr)
-    down = sps.resample_poly(np.asarray(wave, np.float64), sr // g, sr_in // g)
+    lags_sec = _candidate_lags(opts)
+    first_lag = int(math.floor(lags_sec[0] * sr))
+    last_lag = int(math.ceil(lags_sec[-1] * sr))
 
-    lags = _candidate_lags(opts)
-    lags_samples = np.unique(np.round(lags * sr).astype(int))
-    lags_sec = lags_samples / sr
-
-    nccf_b, nccf_nb = _nccf(down, opts, lags_samples)
-    if nccf_b.shape[0] == 0:
+    nccf_b_int, nccf_nb_int = _nccf_integer_lags(
+        down, opts, first_lag, last_lag
+    )
+    if nccf_b_int.shape[0] == 0:
         return np.zeros((0, 2), np.float32)
+    # sub-sample lag resolution: interpolate both matrices onto the exact
+    # geometric grid before tracking
+    nccf_b = resample_nccf(nccf_b_int, first_lag, lags_sec, opts)
+    nccf_nb = resample_nccf(nccf_nb_int, first_lag, lags_sec, opts)
     path = _viterbi_lags(nccf_b, lags_sec, opts)
     t = len(path)
     pitch = 1.0 / lags_sec[path]
     best_nccf = nccf_nb[np.arange(t), path]
 
     # align to the fbank frame count at the original rate
-    shift = int(opts.samp_freq * 0.001 * opts.frame_shift_ms)
-    window = int(opts.samp_freq * 0.001 * opts.frame_length_ms)
+    shift = int(opts.samp_freq * opts.frame_shift_ms / 1000.0)
+    window = int(opts.samp_freq * opts.frame_length_ms / 1000.0)
     t_target = max(0, 1 + (len(wave) - window) // shift)
     out = np.zeros((t_target, 2), np.float32)
     n = min(t, t_target)
@@ -191,24 +289,38 @@ def process_pitch(
     raw: np.ndarray, opts: PitchOptions = PitchOptions()
 ) -> np.ndarray:
     """Raw (nccf, pitch) -> 3-dim Kaldi pitch feature
-    [pov_feature, normalized_log_pitch, delta_pitch]
-    (process-pitch-feats defaults: add-pov-feature, add-normalized-log-pitch,
-    add-delta-pitch)."""
+    [pov_scale*pov_feature + pov_offset,
+     pitch_scale*normalized_log_pitch, delta_pitch_scale*delta]
+    (process-pitch-feats defaults: add-pov-feature,
+    add-normalized-log-pitch, add-delta-pitch; pitch_scale=2, pov_scale=2,
+    delta_pitch_scale=10)."""
     if raw.shape[0] == 0:
         return np.zeros((0, 3), np.float32)
-    nccf, pitch = raw[:, 0], np.maximum(raw[:, 1], 1.0)
-    pov_feat = _nccf_to_pov_feature(nccf) * opts.pov_scale
+    # the sinc lag interpolation can overshoot |nccf| slightly past 1
+    # (ringing); clip before the (1.0001 - nccf)^0.15 pov feature goes NaN
+    nccf = np.clip(raw[:, 0], -1.0, 1.0)
+    pitch = np.maximum(raw[:, 1], 1.0)
+    pov_feat = _nccf_to_pov_feature(nccf) * opts.pov_scale + opts.pov_offset
     pov = nccf_to_pov(nccf)
     log_pitch = np.log(pitch)
 
-    # POV-weighted moving-average subtraction (centered window)
+    # POV-weighted moving-average subtraction. Offline: the full
+    # [i-left, i+right] window; online first-pass: only frames <= i are
+    # available when frame i is queried, so the right context truncates
+    # at the current frame (pitch-functions.h:78-86).
     t = len(pitch)
-    half = opts.normalization_window // 2
+    if opts.normalization_window is not None:  # legacy centered override
+        left = right = opts.normalization_window // 2
+    else:
+        left = opts.normalization_left_context
+        right = opts.normalization_right_context
+    if opts.simulate_first_pass_online:
+        right = 0
     norm_log = np.zeros(t)
     csum_w = np.concatenate([[0.0], np.cumsum(pov)])
     csum_wl = np.concatenate([[0.0], np.cumsum(pov * log_pitch)])
     for i in range(t):
-        a, b = max(0, i - half), min(t, i + half + 1)
+        a, b = max(0, i - left), min(t, i + right + 1)
         w = csum_w[b] - csum_w[a]
         wl = csum_wl[b] - csum_wl[a]
         mean = wl / max(w, 1e-10)
@@ -224,9 +336,11 @@ def process_pitch(
         delta += j * (upper - lower)
     delta /= denom
 
-    return np.stack([pov_feat, norm_log * 1.0, delta * 10.0], axis=1).astype(
-        np.float32
-    )
+    return np.stack(
+        [pov_feat, norm_log * opts.pitch_scale,
+         delta * opts.delta_pitch_scale],
+        axis=1,
+    ).astype(np.float32)
 
 
 def compute_and_process_pitch(

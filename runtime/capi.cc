@@ -124,4 +124,49 @@ int asvtpu_plp(const float* wave, int num_samples, int num_bins, int num_ceps,
   }
 }
 
+// 3-dim processed Kaldi pitch ([pov_feat, norm_log_pitch, delta]);
+// returns num_frames or -1.
+int asvtpu_pitch(const float* wave, int num_samples, float samp_freq,
+                 float* out, int max_out) {
+  try {
+    PitchOptions opts;
+    opts.samp_freq = samp_freq;
+    PitchComputer computer(opts);
+    std::vector<float> w(wave, wave + num_samples);
+    std::vector<float> feats = computer.Compute(w);
+    int n = int(feats.size());
+    if (n > max_out) return -1;
+    std::memcpy(out, feats.data(), sizeof(float) * n);
+    return n / 3;
+  } catch (...) {
+    return -1;
+  }
+}
+
+// fbank_pitch (per-frame [fbank | pitch], the makeFeatures.sh
+// fbank_pitch family); writes dim into *dim_out, returns num_frames.
+int asvtpu_fbank_pitch(const float* wave, int num_samples, int num_bins,
+                       float samp_freq, float* out, int max_out,
+                       int* dim_out) {
+  try {
+    FbankOptions fopts;
+    fopts.frame_opts.samp_freq = samp_freq;
+    fopts.mel_opts.num_bins = num_bins;
+    FbankComputer fbank(fopts);
+    PitchOptions popts;
+    popts.samp_freq = samp_freq;
+    PitchComputer pitch(popts);
+    std::vector<float> w(wave, wave + num_samples);
+    int dim = 0;
+    std::vector<float> feats = ComputeFbankPitch(fbank, pitch, w, &dim);
+    int n = int(feats.size());
+    if (n > max_out) return -1;
+    std::memcpy(out, feats.data(), sizeof(float) * n);
+    if (dim_out) *dim_out = dim;
+    return dim > 0 ? n / dim : 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
 }  // extern "C"

@@ -450,4 +450,239 @@ std::vector<float> PlpComputer::Compute(const std::vector<float>& wave) const {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// Kaldi pitch. Mirrors asv_subtools_tpu/features/pitch.py stage by stage
+// (double precision internally so the two implementations golden-match):
+// lowpass+resample -> integer-lag NCCF -> sinc lag interpolation ->
+// Viterbi -> POV + normalization + delta.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Kaldi resample.h FilterFunc: Hanning-windowed sinc, support
+// |t| < num_zeros/(2 cutoff).
+double FilterFunc(double t, double cutoff, int num_zeros) {
+  double half_support = num_zeros / (2.0 * cutoff);
+  if (std::abs(t) >= half_support) return 0.0;
+  double window = 0.5 * (1.0 + std::cos(2.0 * M_PI * cutoff / num_zeros * t));
+  if (t == 0.0) return window * 2.0 * cutoff;
+  return window * std::sin(2.0 * M_PI * cutoff * t) / (M_PI * t);
+}
+
+std::vector<double> LowpassResample(const std::vector<float>& wave,
+                                    double sr_in, double sr_out,
+                                    double cutoff, int num_zeros) {
+  int64_t n_in = int64_t(wave.size());
+  int64_t n_out = int64_t(n_in * sr_out / sr_in);
+  std::vector<double> out(size_t(std::max<int64_t>(n_out, 0)), 0.0);
+  double half_support = num_zeros / (2.0 * cutoff);
+  int hw = int(std::ceil(half_support * sr_in)) + 1;
+  for (int64_t j = 0; j < n_out; ++j) {
+    double t_out = j / sr_out;
+    int64_t center = int64_t(std::llround(t_out * sr_in));
+    double acc = 0.0;
+    for (int64_t i = center - hw; i <= center + hw; ++i) {
+      if (i < 0 || i >= n_in) continue;
+      acc += double(wave[size_t(i)]) *
+             FilterFunc(i / sr_in - t_out, cutoff, num_zeros);
+    }
+    out[size_t(j)] = acc / sr_in;
+  }
+  return out;
+}
+
+}  // namespace
+
+std::vector<float> PitchComputer::Compute(
+    const std::vector<float>& wave) const {
+  const double sr = opts_.resample_freq;
+  std::vector<double> down = LowpassResample(
+      wave, opts_.samp_freq, sr, opts_.lowpass_cutoff,
+      opts_.lowpass_filter_width);
+
+  // geometric candidate lags
+  std::vector<double> lags_sec;
+  {
+    double lag = 1.0 / opts_.max_f0, max_lag = 1.0 / opts_.min_f0;
+    lags_sec.push_back(lag);
+    while (lags_sec.back() < max_lag)
+      lags_sec.push_back(lags_sec.back() * (1.0 + opts_.delta_pitch));
+  }
+  int first_lag = int(std::floor(lags_sec.front() * sr));
+  int last_lag = int(std::ceil(lags_sec.back() * sr));
+  int n_int = last_lag - first_lag + 1;
+  int n_lags = int(lags_sec.size());
+
+  int shift = int(sr * opts_.frame_shift_ms / 1000.0);
+  int window = int(sr * opts_.frame_length_ms / 1000.0);
+  int64_t n = int64_t(down.size());
+  int t_frames =
+      std::max<int64_t>(0, 1 + (n - (window + last_lag)) / shift);
+
+  // output frame count aligned with fbank at the ORIGINAL rate
+  int shift0 = int(opts_.samp_freq * opts_.frame_shift_ms / 1000.0);
+  int window0 = int(opts_.samp_freq * opts_.frame_length_ms / 1000.0);
+  int t_target = std::max<int64_t>(
+      0, 1 + (int64_t(wave.size()) - window0) / shift0);
+  std::vector<float> out(size_t(t_target) * 3, 0.0f);
+  if (t_frames == 0 || t_target == 0) return out;
+
+  double mean_sq = 1e-10;
+  for (double v : down) mean_sq += v * v;
+  mean_sq = mean_sq / std::max<int64_t>(n, 1);
+  double ballast = opts_.nccf_ballast * mean_sq * mean_sq;
+
+  // NCCF at integer lags (with/without ballast), then sinc-interpolated
+  // onto the exact geometric grid (sub-sample lag resolution)
+  std::vector<double> nccf_b(size_t(t_frames) * n_lags);
+  std::vector<double> nccf_nb(size_t(t_frames) * n_lags);
+  const double up_cutoff = 0.5 * sr;
+  const int up_zeros = opts_.upsample_filter_width;
+  int up_hw = int(std::ceil(up_zeros / (2.0 * up_cutoff) * sr)) + 1;
+  std::vector<double> row_b(n_int), row_nb(n_int);
+  for (int t = 0; t < t_frames; ++t) {
+    int64_t start = int64_t(t) * shift;
+    double e0 = 0.0;
+    for (int j = 0; j < window; ++j) {
+      double v = down[size_t(start + j)];
+      e0 += v * v;
+    }
+    for (int li = 0; li < n_int; ++li) {
+      int lag = first_lag + li;
+      double cross = 0.0, e1 = 0.0;
+      for (int j = 0; j < window; ++j) {
+        double a = down[size_t(start + j)];
+        double b = down[size_t(start + j + lag)];
+        cross += a * b;
+        e1 += b * b;
+      }
+      row_b[size_t(li)] = cross / (std::sqrt(e0 * e1 + ballast) + 1e-10);
+      row_nb[size_t(li)] = cross / (std::sqrt(e0 * e1) + 1e-10);
+    }
+    for (int li = 0; li < n_lags; ++li) {
+      double pos = lags_sec[size_t(li)] * sr - first_lag;
+      int center = int(std::llround(pos));
+      double acc_b = 0.0, acc_nb = 0.0;
+      for (int i = center - up_hw; i <= center + up_hw; ++i) {
+        if (i < 0 || i >= n_int) continue;
+        double w = FilterFunc((i - pos) / sr, up_cutoff, up_zeros) / sr;
+        acc_b += row_b[size_t(i)] * w;
+        acc_nb += row_nb[size_t(i)] * w;
+      }
+      nccf_b[size_t(t) * n_lags + li] = acc_b;
+      nccf_nb[size_t(t) * n_lags + li] = acc_nb;
+    }
+  }
+
+  // Viterbi over lag states: local 1 - nccf*(1 - soft_min_f0*lag),
+  // transition penalty_factor * log(lag_i/lag_j)^2
+  std::vector<double> log_lag(n_lags);
+  for (int l = 0; l < n_lags; ++l) log_lag[size_t(l)] = std::log(lags_sec[size_t(l)]);
+  std::vector<double> acc(n_lags), nacc(n_lags);
+  std::vector<int> back(size_t(t_frames) * n_lags, 0);
+  for (int l = 0; l < n_lags; ++l)
+    acc[size_t(l)] = 1.0 - nccf_b[size_t(l)] *
+                               (1.0 - opts_.soft_min_f0 * lags_sec[size_t(l)]);
+  for (int t = 1; t < t_frames; ++t) {
+    for (int l = 0; l < n_lags; ++l) {
+      double best = 1e300;
+      int bj = 0;
+      for (int j = 0; j < n_lags; ++j) {
+        double d = log_lag[size_t(l)] - log_lag[size_t(j)];
+        double c = acc[size_t(j)] + opts_.penalty_factor * d * d;
+        if (c < best) { best = c; bj = j; }
+      }
+      back[size_t(t) * n_lags + l] = bj;
+      nacc[size_t(l)] =
+          best + 1.0 - nccf_b[size_t(t) * n_lags + l] *
+                           (1.0 - opts_.soft_min_f0 * lags_sec[size_t(l)]);
+    }
+    acc.swap(nacc);
+  }
+  std::vector<int> path(t_frames, 0);
+  {
+    int best = 0;
+    for (int l = 1; l < n_lags; ++l)
+      if (acc[size_t(l)] < acc[size_t(best)]) best = l;
+    path[size_t(t_frames - 1)] = best;
+    for (int t = t_frames - 2; t >= 0; --t)
+      path[size_t(t)] = back[size_t(t + 1) * n_lags + path[size_t(t + 1)]];
+  }
+
+  // raw (nccf_no_ballast, pitch) aligned/edge-padded to t_target
+  std::vector<double> nccf(t_target), pitch(t_target);
+  int n_copy = std::min(t_frames, t_target);
+  for (int t = 0; t < n_copy; ++t) {
+    nccf[size_t(t)] = nccf_nb[size_t(t) * n_lags + path[size_t(t)]];
+    pitch[size_t(t)] = 1.0 / lags_sec[size_t(path[size_t(t)])];
+  }
+  for (int t = n_copy; t < t_target; ++t) {
+    nccf[size_t(t)] = nccf[size_t(n_copy - 1)];
+    pitch[size_t(t)] = pitch[size_t(n_copy - 1)];
+  }
+
+  // process: POV feature, POV-weighted normalized log pitch, delta
+  std::vector<double> pov(t_target), pov_feat(t_target), log_pitch(t_target);
+  for (int t = 0; t < t_target; ++t) {
+    // sinc interpolation can overshoot |nccf| past 1 (ringing): clip
+    // before the fractional power goes NaN
+    double c = std::min(1.0, std::max(-1.0, nccf[size_t(t)]));
+    pov_feat[size_t(t)] = 2.0 * (std::pow(1.0001 - c, 0.15) - 1.0);
+    double cc = std::abs(c);
+    double ndash = -5.2 + 5.4 * std::exp(7.5 * (cc - 1.0)) + 4.8 * cc -
+                   2.0 * std::exp(-10.0 * cc) +
+                   4.2 * std::exp(20.0 * (cc - 1.0));
+    pov[size_t(t)] = 1.0 / (1.0 + std::exp(-ndash));
+    log_pitch[size_t(t)] = std::log(std::max(pitch[size_t(t)], 1.0));
+  }
+  int left = opts_.normalization_left_context;
+  int right = opts_.normalization_right_context;
+  for (int i = 0; i < t_target; ++i) {
+    int a = std::max(0, i - left), b = std::min(t_target, i + right + 1);
+    double w = 0.0, wl = 0.0;
+    for (int j = a; j < b; ++j) {
+      w += pov[size_t(j)];
+      wl += pov[size_t(j)] * log_pitch[size_t(j)];
+    }
+    double norm_log = log_pitch[size_t(i)] - wl / std::max(w, 1e-10);
+    double denom = 0.0;
+    for (int j = 1; j <= opts_.delta_window; ++j) denom += 2.0 * j * j;
+    double delta = 0.0;
+    for (int j = 1; j <= opts_.delta_window; ++j) {
+      double up = log_pitch[size_t(std::min(i + j, t_target - 1))];
+      double lo = log_pitch[size_t(std::max(i - j, 0))];
+      delta += j * (up - lo);
+    }
+    delta /= denom;
+    float* row = &out[size_t(i) * 3];
+    row[0] = float(pov_feat[size_t(i)] * opts_.pov_scale);
+    row[1] = float(norm_log * opts_.pitch_scale);
+    row[2] = float(delta * opts_.delta_pitch_scale);
+  }
+  return out;
+}
+
+std::vector<float> ComputeFbankPitch(const FbankComputer& fbank,
+                                     const PitchComputer& pitch,
+                                     const std::vector<float>& wave,
+                                     int* dim_out) {
+  std::vector<float> fb = fbank.Compute(wave);
+  std::vector<float> pf = pitch.Compute(wave);
+  int d_fb = fbank.Dim();
+  int t_fb = int(fb.size()) / std::max(d_fb, 1);
+  int t_pf = int(pf.size()) / 3;
+  int t = std::min(t_fb, t_pf);
+  int dim = d_fb + 3;
+  if (dim_out) *dim_out = dim;
+  std::vector<float> out(size_t(t) * dim);
+  for (int i = 0; i < t; ++i) {
+    std::copy(fb.begin() + size_t(i) * d_fb,
+              fb.begin() + size_t(i + 1) * d_fb,
+              out.begin() + size_t(i) * dim);
+    std::copy(pf.begin() + size_t(i) * 3, pf.begin() + size_t(i + 1) * 3,
+              out.begin() + size_t(i) * dim + d_fb);
+  }
+  return out;
+}
+
 }  // namespace asvtpu

@@ -171,6 +171,54 @@ class PlpComputer {
   std::vector<float> lifter_;          // [num_ceps]
 };
 
+// Kaldi pitch (NCCF + lag interpolation + Viterbi + POV), mirroring the
+// python implementation (asv_subtools_tpu/features/pitch.py; option
+// semantics from the reference's pitch-functions.h:27-125 — the
+// reference ships the struct only). Output = the processed 3-dim pitch
+// feature [pov_scale*pov_feat, pitch_scale*normalized_log_pitch,
+// delta_pitch_scale*delta], frame-aligned with fbank.
+struct PitchOptions {
+  float samp_freq = 16000.0f;
+  float frame_shift_ms = 10.0f;
+  float frame_length_ms = 25.0f;
+  float min_f0 = 50.0f;
+  float max_f0 = 400.0f;
+  float soft_min_f0 = 10.0f;
+  float penalty_factor = 0.1f;
+  float lowpass_cutoff = 1000.0f;
+  float resample_freq = 4000.0f;
+  float delta_pitch = 0.005f;
+  float nccf_ballast = 7000.0f;
+  int lowpass_filter_width = 1;
+  int upsample_filter_width = 5;
+  // process-pitch-feats defaults
+  float pitch_scale = 2.0f;
+  float pov_scale = 2.0f;
+  float delta_pitch_scale = 10.0f;
+  int delta_window = 2;
+  int normalization_left_context = 75;
+  int normalization_right_context = 75;
+  int Dim() const { return 3; }
+};
+
+class PitchComputer {
+ public:
+  explicit PitchComputer(const PitchOptions& opts) : opts_(opts) {}
+  int Dim() const { return opts_.Dim(); }
+  // wave at samp_freq -> [num_frames * 3] row-major processed features
+  std::vector<float> Compute(const std::vector<float>& wave) const;
+
+ private:
+  PitchOptions opts_;
+};
+
+// fbank_pitch (reference makeFeatures.sh fbank_pitch config /
+// steps/make_fbank_pitch.sh): per-frame [fbank | 3-dim pitch].
+std::vector<float> ComputeFbankPitch(const FbankComputer& fbank,
+                                     const PitchComputer& pitch,
+                                     const std::vector<float>& wave,
+                                     int* dim_out);
+
 // Frame-level energy VAD (parity: runtime/extractor/torch_asv_extractor.cc:14-62).
 struct VadOptions {
   float energy_threshold = 5.5f;

@@ -25,6 +25,60 @@ import math
 import numpy as np
 
 
+def golden_filter_func(t, cutoff, num_zeros):
+    """Kaldi resample.h FilterFunc, scalar: Hanning-windowed sinc with
+    support |t| < num_zeros/(2 cutoff)."""
+    t = float(t)
+    if abs(t) >= num_zeros / (2.0 * cutoff):
+        return 0.0
+    window = 0.5 * (1.0 + math.cos(2.0 * math.pi * cutoff / num_zeros * t))
+    if t == 0.0:
+        return window * 2.0 * cutoff
+    return window * math.sin(2.0 * math.pi * cutoff * t) / (math.pi * t)
+
+
+def golden_lowpass_resample(wave, sr_in, sr_out, cutoff, num_zeros):
+    """Per-output-sample loop over the windowed-sinc interpolation
+    (LinearResample semantics: one pass lowpasses at `cutoff` AND changes
+    the rate)."""
+    n_in = len(wave)
+    n_out = int(n_in * sr_out / sr_in)
+    out = np.zeros(n_out)
+    half_support = num_zeros / (2.0 * cutoff)
+    for j in range(n_out):
+        t_out = j / sr_out
+        lo = int(math.floor((t_out - half_support) * sr_in)) - 1
+        hi = int(math.ceil((t_out + half_support) * sr_in)) + 1
+        acc = 0.0
+        for i in range(max(0, lo), min(n_in, hi + 1)):
+            acc += float(wave[i]) * golden_filter_func(
+                i / sr_in - t_out, cutoff, num_zeros
+            )
+        out[j] = acc / sr_in
+    return out
+
+
+def golden_resample_nccf(nccf_row, first_lag, lags_sec, resample_freq,
+                         upsample_filter_width=5):
+    """Interpolate ONE frame's integer-lag NCCF at the exact geometric
+    lags (ArbitraryResample: cutoff = resample_freq/2), scalar loops."""
+    cutoff = 0.5 * resample_freq
+    n = len(nccf_row)
+    out = np.zeros(len(lags_sec))
+    half_support = upsample_filter_width / (2.0 * cutoff)
+    for li, lag in enumerate(lags_sec):
+        pos = lag * resample_freq - first_lag  # fractional sample index
+        lo = int(math.floor(pos - half_support * resample_freq)) - 1
+        hi = int(math.ceil(pos + half_support * resample_freq)) + 1
+        acc = 0.0
+        for i in range(max(0, lo), min(n, hi + 1)):
+            acc += float(nccf_row[i]) * golden_filter_func(
+                (i - pos) / resample_freq, cutoff, upsample_filter_width
+            )
+        out[li] = acc / resample_freq
+    return out
+
+
 def golden_candidate_lags(min_f0=50.0, max_f0=400.0, delta_pitch=0.005):
     lags = []
     lag = 1.0 / max_f0
@@ -124,18 +178,25 @@ def golden_pov(nccf):
     return out
 
 
-def golden_process(nccf, pitch_hz, pov_scale=2.0, normalization_window=151,
-                   delta_window=2):
-    """[T, 3]: pov_feature, weighted-mean-subtracted log pitch, delta."""
+def golden_process(nccf, pitch_hz, pov_scale=2.0, pitch_scale=2.0,
+                   delta_pitch_scale=10.0, left_context=75,
+                   right_context=75, delta_window=2, online=False):
+    """[T, 3]: pov_scale*pov_feature,
+    pitch_scale*weighted-mean-subtracted log pitch,
+    delta_pitch_scale*delta — process-pitch-feats defaults. online=True
+    truncates the normalization window's right context at the current
+    frame (first-pass online semantics, pitch-functions.h:78-86)."""
     t_frames = len(pitch_hz)
-    pov_feat = golden_pov_feature(np.asarray(nccf)) * pov_scale
-    pov = golden_pov(np.asarray(nccf))
+    nccf = np.clip(np.asarray(nccf, np.float64), -1.0, 1.0)
+    pov_feat = golden_pov_feature(nccf) * pov_scale
+    pov = golden_pov(nccf)
     log_pitch = np.array([math.log(max(p, 1.0)) for p in pitch_hz])
 
-    half = normalization_window // 2
+    if online:
+        right_context = 0
     norm_log = np.zeros(t_frames)
     for i in range(t_frames):
-        a, b = max(0, i - half), min(t_frames, i + half + 1)
+        a, b = max(0, i - left_context), min(t_frames, i + right_context + 1)
         w = 0.0
         wl = 0.0
         for j in range(a, b):
@@ -153,4 +214,7 @@ def golden_process(nccf, pitch_hz, pov_scale=2.0, normalization_window=151,
             acc += j * (up - lo)
         delta[i] = acc / denom
 
-    return np.stack([pov_feat, norm_log, delta * 10.0], axis=1)
+    return np.stack(
+        [pov_feat, norm_log * pitch_scale, delta * delta_pitch_scale],
+        axis=1,
+    )

@@ -9,21 +9,25 @@ import pytest
 from asv_subtools_tpu.features.pitch import (
     PitchOptions,
     _candidate_lags,
-    _nccf,
+    _nccf_integer_lags,
     _nccf_to_pov_feature,
     _viterbi_lags,
     compute_and_process_pitch,
     compute_kaldi_pitch,
+    lowpass_resample,
     nccf_to_pov,
     process_pitch,
+    resample_nccf,
 )
 
 from golden_pitch import (
     golden_candidate_lags,
+    golden_lowpass_resample,
     golden_nccf,
     golden_pov,
     golden_pov_feature,
     golden_process,
+    golden_resample_nccf,
     golden_viterbi,
 )
 
@@ -49,12 +53,15 @@ class TestGoldenGates:
         np.testing.assert_allclose(ours, gold, rtol=1e-12)
 
     def test_nccf_matches_golden(self):
+        import math
+
         opts = PitchOptions()
         wave = speechy_signal()
-        lags = np.unique(
-            np.round(_candidate_lags(opts) * opts.resample_freq).astype(int)
-        )
-        ours_b, ours_nb = _nccf(wave, opts, lags)
+        lags_sec = _candidate_lags(opts)
+        first = int(math.floor(lags_sec[0] * opts.resample_freq))
+        last = int(math.ceil(lags_sec[-1] * opts.resample_freq))
+        lags = np.arange(first, last + 1)
+        ours_b, ours_nb = _nccf_integer_lags(wave, opts, first, last)
         gold_b, gold_nb = golden_nccf(
             wave, lags, opts.resample_freq, opts.frame_shift_ms,
             opts.frame_length_ms, opts.nccf_ballast,
@@ -63,14 +70,59 @@ class TestGoldenGates:
         np.testing.assert_allclose(ours_b, gold_b, rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(ours_nb, gold_nb, rtol=1e-9, atol=1e-12)
 
+    def test_lowpass_resample_matches_golden(self):
+        opts = PitchOptions()
+        rng = np.random.default_rng(7)
+        wave = rng.normal(size=1600) * 1000.0
+        ours = lowpass_resample(wave, opts.samp_freq, opts.resample_freq,
+                                opts.lowpass_cutoff,
+                                opts.lowpass_filter_width)
+        gold = golden_lowpass_resample(wave, opts.samp_freq,
+                                       opts.resample_freq,
+                                       opts.lowpass_cutoff,
+                                       opts.lowpass_filter_width)
+        assert ours.shape == gold.shape
+        np.testing.assert_allclose(ours, gold, rtol=1e-9, atol=1e-9)
+
+    def test_lowpass_actually_lowpasses(self):
+        """A 1.8 kHz tone (above the 1 kHz cutoff) must be strongly
+        attenuated; a 300 Hz tone passes (tiered behavioral check)."""
+        t = np.arange(3200) / 16000.0
+        lo = np.sin(2 * np.pi * 300.0 * t)
+        hi = np.sin(2 * np.pi * 1800.0 * t)
+        opts = PitchOptions()
+        out_lo = lowpass_resample(lo, 16000, 4000, opts.lowpass_cutoff, 1)
+        out_hi = lowpass_resample(hi, 16000, 4000, opts.lowpass_cutoff, 1)
+        mid = slice(100, -100)
+        assert np.std(out_lo[mid]) > 5 * np.std(out_hi[mid])
+
+    def test_resample_nccf_matches_golden(self):
+        import math
+
+        opts = PitchOptions()
+        wave = speechy_signal(seed=3)
+        lags_sec = _candidate_lags(opts)
+        first = int(math.floor(lags_sec[0] * opts.resample_freq))
+        last = int(math.ceil(lags_sec[-1] * opts.resample_freq))
+        nccf_b, _ = _nccf_integer_lags(wave, opts, first, last)
+        ours = resample_nccf(nccf_b, first, lags_sec, opts)
+        for t in (0, nccf_b.shape[0] // 2, nccf_b.shape[0] - 1):
+            gold = golden_resample_nccf(
+                nccf_b[t], first, lags_sec, opts.resample_freq,
+                opts.upsample_filter_width,
+            )
+            np.testing.assert_allclose(ours[t], gold, rtol=1e-9, atol=1e-12)
+
     def test_viterbi_matches_golden(self):
+        import math
+
         opts = PitchOptions()
         wave = speechy_signal(seed=1)
-        lags = np.unique(
-            np.round(_candidate_lags(opts) * opts.resample_freq).astype(int)
-        )
-        lags_sec = lags / opts.resample_freq
-        nccf_b, _ = _nccf(wave, opts, lags)
+        lags_sec = _candidate_lags(opts)
+        first = int(math.floor(lags_sec[0] * opts.resample_freq))
+        last = int(math.ceil(lags_sec[-1] * opts.resample_freq))
+        nccf_int, _ = _nccf_integer_lags(wave, opts, first, last)
+        nccf_b = resample_nccf(nccf_int, first, lags_sec, opts)
         ours = _viterbi_lags(nccf_b, lags_sec, opts)
         gold = golden_viterbi(
             nccf_b, lags_sec, opts.penalty_factor, opts.soft_min_f0
@@ -95,10 +147,37 @@ class TestGoldenGates:
         raw = np.stack([nccf, pitch], axis=1).astype(np.float64)
         ours = process_pitch(raw, opts)
         gold = golden_process(
-            nccf, pitch, opts.pov_scale, opts.normalization_window,
-            opts.delta_window,
+            nccf, pitch, opts.pov_scale, opts.pitch_scale,
+            opts.delta_pitch_scale, opts.normalization_left_context,
+            opts.normalization_right_context, opts.delta_window,
         )
         np.testing.assert_allclose(ours, gold, rtol=1e-5, atol=1e-6)
+
+    def test_online_normalization_matches_golden(self):
+        """First-pass online mode: the normalization window truncates at
+        the current frame (no right context, pitch-functions.h:78-86) —
+        matches the golden online transcription and measurably differs
+        from the offline output."""
+        import dataclasses as dc
+
+        opts = PitchOptions(simulate_first_pass_online=True)
+        rng = np.random.default_rng(3)
+        t = 160
+        nccf = np.clip(rng.normal(0.5, 0.3, t), -1.0, 1.0)
+        pitch = np.exp(rng.normal(np.log(150.0), 0.2, t))
+        raw = np.stack([nccf, pitch], axis=1).astype(np.float64)
+        ours = process_pitch(raw, opts)
+        gold = golden_process(
+            nccf, pitch, opts.pov_scale, opts.pitch_scale,
+            opts.delta_pitch_scale, opts.normalization_left_context,
+            opts.normalization_right_context, opts.delta_window,
+            online=True,
+        )
+        np.testing.assert_allclose(ours, gold, rtol=1e-5, atol=1e-6)
+        offline = process_pitch(
+            raw, dc.replace(opts, simulate_first_pass_online=False)
+        )
+        assert np.abs(ours[:, 1] - offline[:, 1]).max() > 1e-3
 
 
 def tone(f0, seconds=1.0, sr=SR, harmonics=3):

@@ -39,6 +39,8 @@ def capi():
     lib.asvtpu_read_wav.restype = ctypes.c_int
     lib.asvtpu_spectrogram.restype = ctypes.c_int
     lib.asvtpu_plp.restype = ctypes.c_int
+    lib.asvtpu_pitch.restype = ctypes.c_int
+    lib.asvtpu_fbank_pitch.restype = ctypes.c_int
     return lib
 
 
@@ -128,6 +130,63 @@ class TestParity:
             compute_vad_energy(jnp.asarray(log_e), VadOptions(frames_context=2))
         )
         np.testing.assert_array_equal(out, ours.astype(np.uint8))
+
+    def test_pitch_matches_python(self, capi):
+        # C++ PitchComputer vs the python implementation (both double
+        # internally, same algorithm stage for stage) on a harmonic tone
+        # with noise/silence transitions
+        from asv_subtools_tpu.features.pitch import (
+            PitchOptions, compute_and_process_pitch,
+        )
+
+        rng = np.random.default_rng(11)
+        sr = 16000
+        t = np.arange(sr) / sr
+        wave = np.concatenate([
+            (sum(np.sin(2 * np.pi * 137.0 * (h + 1) * t[: sr // 2])
+                 / (h + 1) for h in range(3)) * 6000),
+            rng.normal(size=sr // 2) * 500,
+        ]).astype(np.float32)
+        ours = compute_and_process_pitch(wave, PitchOptions())
+        out = np.zeros(ours.size + 64, np.float32)
+        nf = capi.asvtpu_pitch(
+            _f32p(wave), len(wave), ctypes.c_float(16000.0),
+            _f32p(out), len(out),
+        )
+        assert nf == ours.shape[0]
+        native = out[: nf * 3].reshape(nf, 3)
+        np.testing.assert_allclose(native, ours, rtol=1e-4, atol=1e-4)
+
+    def test_fbank_pitch_matches_python(self, capi):
+        # the fbank_pitch family end-to-end: [fbank(80) | pitch(3)]
+        from asv_subtools_tpu.data import processor as P
+
+        rng = np.random.default_rng(12)
+        sr = 16000
+        t = np.arange(sr // 2) / sr
+        wave = (np.sin(2 * np.pi * 180.0 * t) * 7000 +
+                rng.normal(size=len(t)) * 100).astype(np.float32)
+        # cmvn=False: the native ComputeFbankPitch emits the raw
+        # concatenated matrix; CMVN is the pipeline's separate concern
+        stage = P.compute_feats(feat_type="fbank_pitch", cmvn=False)
+        py = list(stage(iter([{"key": "u", "wav": wave,
+                               "sample_rate": sr}])))[0]["feat"]
+        dim = ctypes.c_int(0)
+        out = np.zeros(py.size + 256, np.float32)
+        nf = capi.asvtpu_fbank_pitch(
+            _f32p(wave), len(wave), py.shape[1] - 3,
+            ctypes.c_float(16000.0), _f32p(out), len(out),
+            ctypes.byref(dim),
+        )
+        assert dim.value == py.shape[1]
+        assert nf == py.shape[0]
+        native = out[: nf * dim.value].reshape(nf, dim.value)
+        # fbank columns at the established native-vs-jax tolerance,
+        # pitch columns at the pitch parity tolerance
+        np.testing.assert_allclose(native[:, :-3], py[:, :-3],
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(native[:, -3:], py[:, -3:],
+                                   rtol=1e-4, atol=1e-4)
 
     def test_wav_reader_matches_python(self, capi, tmp_path):
         from asv_subtools_tpu.io import read_wav, write_wav
