@@ -82,8 +82,22 @@ def synth_utt(spk, dur, rng, sr=SR):
     return (out + noise).astype(np.float32)
 
 
+# Calibration (round 4, real chip, 400 steps): per-seed EER is
+# deterministic (seed 7 run twice -> identical 7.36 to every digit) but
+# the 400-step trajectory is chaotic across corpus seeds AND across any
+# graph change: seeds 7/8/9 -> 7.36 / 6.60 / 6.79 (mean 6.92, range
+# 0.76). r2's 6.69 and r3's 7.36 both lie INSIDE that seed spread — the
+# round-over-round "drift" was single-draw sensitivity, not a quality
+# regression. The regression signal is therefore the 3-SEED MEAN, banded
+# mean +/- 0.75 (just above the observed spread); the single-seed band is
+# widened accordingly and marked as a smoke check only.
+MULTI_SEEDS = (7, 8, 9)
+MULTI_BAND = (6.17, 7.67)   # 6.92 +/- 0.75
+SINGLE_BAND = (5.6, 8.3)    # per-seed envelope +/- margin; smoke only
+
+
 def run_gate(steps=400, n_spk=48, channels=128, batch_size=64,
-             eval_utts_per_spk=4, band=(1.0, 10.0), seed=7):
+             eval_utts_per_spk=4, band=SINGLE_BAND, seed=7):
     import jax
     import jax.numpy as jnp
 
@@ -188,16 +202,48 @@ def run_gate(steps=400, n_spk=48, channels=128, batch_size=64,
     return out
 
 
+def run_gate_multi(seeds=MULTI_SEEDS, band=MULTI_BAND, **kw):
+    """The regression gate proper: mean EER over the calibration seeds,
+    banded mean +/- 0.75 (see the calibration note above)."""
+    runs = [run_gate(seed=s, band=(0.0, 100.0), **kw) for s in seeds]
+    eers = [r["eer_percent"] for r in runs]
+    mean = float(np.mean(eers))
+    ok = band[0] <= mean <= band[1]
+    out = {
+        "metric": "quality_gate_eer_mean",
+        "eer_percent_mean": round(mean, 2),
+        "per_seed": {s: e for s, e in zip(seeds, eers)},
+        "band": list(band),
+        "pass": bool(ok),
+    }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--spk", type=int, default=48)
     ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=7,
+                    help="corpus+train seed (single-seed smoke run)")
+    ap.add_argument("--multi", action="store_true",
+                    help="the real regression gate: mean over seeds "
+                         f"{MULTI_SEEDS}, band {MULTI_BAND}")
+    ap.add_argument("--band", type=float, nargs=2, default=None,
+                    help="override pass band (default: the calibrated one)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    res = run_gate(steps=args.steps, n_spk=args.spk, channels=args.channels)
+    kw = dict(steps=args.steps, n_spk=args.spk, channels=args.channels)
+    if args.multi:
+        mb = tuple(args.band) if args.band is not None else MULTI_BAND
+        res = run_gate_multi(band=mb, **kw)
+    else:
+        if args.band is not None:
+            kw["band"] = tuple(args.band)
+        res = run_gate(seed=args.seed, **kw)
     sys.exit(0 if res["pass"] else 1)
