@@ -61,21 +61,29 @@ class IvectorExtractor:
 
     def _posterior(self, n: np.ndarray, f: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Posterior (mean, covariance) of w given one utterance's stats."""
+        mean, cov = self._posterior_batch(n[None], f[None])
+        return mean[0], cov[0]
+
+    def _posterior_batch(
+        self, n: np.ndarray, f: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Posterior (means [U, R], covariances [U, R, R]) for a whole
+        utterance batch at once — stacked einsums + one batched inverse,
+        no per-utterance python loop."""
         k, d, r = self.t.shape
         sigma_inv = 1.0 / self.ubm.vars  # [K, D]
-        # L = I + sum_k n_k T_k' Sigma_k^-1 T_k
+        # L_i = I + sum_k n_ik T_k' Sigma_k^-1 T_k
         ti = self.t * sigma_inv[:, :, None]  # [K, D, R]
-        l = np.eye(r) + np.einsum("k,kdr,kds->rs", n, ti, self.t)
-        b = np.einsum("kdr,kd->r", ti, f)
-        cov = np.linalg.inv(l)
-        return cov @ b, cov
+        tt = np.einsum("kdr,kds->krs", ti, self.t)  # [K, R, R] (shared)
+        l = np.eye(r)[None] + np.einsum("uk,krs->urs", n, tt)
+        b = np.einsum("kdr,ukd->ur", ti, f)
+        cov = np.linalg.inv(l)  # batched
+        return np.einsum("urs,us->ur", cov, b), cov
 
     def extract(self, stats: BaumWelchStats) -> np.ndarray:
-        """Posterior-mean i-vectors [U, R]."""
-        out = np.zeros((stats.n.shape[0], self.ivector_dim))
-        for i in range(stats.n.shape[0]):
-            out[i], _ = self._posterior(stats.n[i], stats.f[i])
-        return out
+        """Posterior-mean i-vectors [U, R] (one batched solve)."""
+        means, _ = self._posterior_batch(stats.n, stats.f)
+        return means
 
     def extract_from_frames(self, utterances: Sequence[np.ndarray]) -> np.ndarray:
         return self.extract(collect_stats(self.ubm, utterances))
@@ -98,18 +106,16 @@ def train_ivector_extractor(
     r = ivector_dim
     t = rng.normal(size=(k, d, r)) * 0.1
     model = IvectorExtractor(t, ubm)
-    u = stats.n.shape[0]
     for _ in range(num_iters):
-        acc_a = np.zeros((k, r, r))  # sum_i n_ik E[w w']
-        acc_b = np.zeros((k, d, r))  # sum_i f_ik E[w]'
-        for i in range(u):
-            mean, cov = model._posterior(stats.n[i], stats.f[i])
-            eww = cov + np.outer(mean, mean)
-            acc_a += stats.n[i][:, None, None] * eww[None, :, :]
-            acc_b += stats.f[i][:, :, None] * mean[None, None, :]
-        for ki in range(k):
-            # solve T_k acc_a[k] = acc_b[k]
-            model.t[ki] = np.linalg.solve(
-                acc_a[ki] + 1e-6 * np.eye(r), acc_b[ki].T
-            ).T
+        # E-step: batched posteriors over ALL utterances at once
+        means, covs = model._posterior_batch(stats.n, stats.f)  # [U,R],[U,R,R]
+        eww = covs + np.einsum("ur,us->urs", means, means)  # [U, R, R]
+        # M-step accumulators as stacked einsums (no python loops)
+        acc_a = np.einsum("uk,urs->krs", stats.n, eww)  # sum_i n_ik E[ww']
+        acc_b = np.einsum("ukd,ur->kdr", stats.f, means)  # sum_i f_ik E[w]'
+        # batched per-component solve: T_k acc_a[k] = acc_b[k]
+        model.t = np.linalg.solve(
+            acc_a + 1e-6 * np.eye(r)[None],
+            np.transpose(acc_b, (0, 2, 1)),
+        ).transpose(0, 2, 1)
     return model

@@ -467,6 +467,11 @@ class MQMHASPLinear(nn.Module):
 
 POOLINGS = {
     "statistics": StatisticsPooling,
+    # FreeStatisticsPooling (reference pooling.py:24-92): statistics over
+    # ALL frames unconditionally — StatisticsPooling with mask=None is
+    # the identical computation, so the alias shares the class (callers
+    # that pass a mask get the masked behavior, same as "statistics")
+    "free-statistics": StatisticsPooling,
     "lde": LDEPooling,
     "attentive": AttentiveStatisticsPooling,
     "multi-head": MultiHeadAttentionPooling,

@@ -30,15 +30,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench_train(with_cost=False, remat=None):
+def _train_net(family: str, num_targets: int):
+    """Production-scale training nets per family (the voxcelebSRC recipe
+    anchors: ECAPA-C1024 with sub-center top-k AAM; ResNet34 base32 and
+    Conformer 6L-256D-4H with plain AAM)."""
+    from asv_subtools_tpu.models import EcapaTdnn
+    from asv_subtools_tpu.models.conformer import ConformerXvector
+    from asv_subtools_tpu.models.framework import SpeakerNet
+    from asv_subtools_tpu.models.resnet_xvector import ResNetXvector
+
+    if family == "ecapa":
+        return SpeakerNet(
+            backbone=EcapaTdnn(channels=1024, embd_dim=192),
+            loss_name="margin_softmax_v1",
+            loss_params={"method": "aam", "m": 0.2, "sub_k": 2,
+                         "adapt_method": "topk", "topk": 5},
+            num_targets=num_targets,
+        )
+    if family == "resnet34":
+        return SpeakerNet(
+            backbone=ResNetXvector(embd_dim=512),
+            loss_name="margin_softmax",
+            loss_params={"method": "aam", "m": 0.2},
+            num_targets=num_targets,
+        )
+    if family == "conformer":
+        return SpeakerNet(
+            backbone=ConformerXvector(num_blocks=6, attention_dim=256,
+                                      attention_heads=4,
+                                      input_layer="conv2d"),
+            loss_name="margin_softmax",
+            loss_params={"method": "aam", "m": 0.2},
+            num_targets=num_targets,
+        )
+    raise ValueError(family)
+
+
+def bench_train(family="ecapa", with_cost=False, remat=None):
     """Jitted train-step throughput: audio-s/s and ms/step on one chip.
 
     with_cost=True also returns the XLA cost analysis of one step (FLOPs,
     bytes) for the tools/roofline.py training-MFU row."""
     import optax
 
-    from asv_subtools_tpu.models import EcapaTdnn
-    from asv_subtools_tpu.models.framework import SpeakerNet
     from asv_subtools_tpu.train.trainer import (
         TrainStepConfig,
         init_train_state,
@@ -51,13 +85,7 @@ def bench_train(with_cost=False, remat=None):
     num_targets = 5994  # VoxCeleb2 dev
     samples = int(sample_rate * chunk_seconds)
 
-    net = SpeakerNet(
-        backbone=EcapaTdnn(channels=1024, embd_dim=192),
-        loss_name="margin_softmax_v1",
-        loss_params={"method": "aam", "m": 0.2, "sub_k": 2,
-                     "adapt_method": "topk", "topk": 5},
-        num_targets=num_targets,
-    )
+    net = _train_net(family, num_targets)
     tx = optax.adamw(1e-3)
     step_fn = make_train_step(
         net, tx,
@@ -194,7 +222,9 @@ def main():
     throughput = audio_seconds / dt  # audio-s per wall-s per chip
     baseline = 1.0 / 0.071  # reference C++ runtime, 1 CPU thread
 
-    train_tp, step_ms = bench_train()
+    train_tp, step_ms = bench_train("ecapa")
+    conf_tp, conf_ms = bench_train("conformer")
+    rn_tp, rn_ms = bench_train("resnet34")
     print(
         json.dumps(
             {
@@ -205,6 +235,10 @@ def main():
                 "train_value": round(train_tp, 1),
                 "train_unit": "train_audio_seconds_per_second_per_chip",
                 "train_step_ms": round(step_ms, 2),
+                "train_conformer_value": round(conf_tp, 1),
+                "train_conformer_step_ms": round(conf_ms, 2),
+                "train_resnet34_value": round(rn_tp, 1),
+                "train_resnet34_step_ms": round(rn_ms, 2),
             }
         )
     )

@@ -29,6 +29,7 @@
 #include <vector>
 
 #include "frontend/feature.h"
+#include "frontend/feature_pipeline.h"
 #include "frontend/wav.h"
 #include "utils/blocking_queue.h"
 #ifdef ASVTPU_WITH_PJRT
@@ -350,6 +351,8 @@ int main(int argc, char** argv) {
   int port = 0, num_bins = 80, frontend_threads = 8;
   bool do_vad = true, do_submean = true, axon_defaults = false;
   bool pjrt_warmup = false;
+  bool streaming = false;
+  int block_ms = 200;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
@@ -364,6 +367,8 @@ int main(int argc, char** argv) {
     else if (a == "--pjrt_bundles") pjrt_bundles = next();
     else if (a == "--pjrt_axon") axon_defaults = true;
     else if (a == "--pjrt_warmup") pjrt_warmup = true;
+    else if (a == "--streaming") streaming = true;
+    else if (a == "--block_ms") block_ms = std::stoi(next());
     else if (a == "--threads") frontend_threads = std::stoi(next());
     else if (a == "--pjrt_opt" || a == "--pjrt_iopt") {
       bool is_int = (a == "--pjrt_iopt");
@@ -477,6 +482,111 @@ int main(int argc, char** argv) {
   if (!out_path.empty()) out.open(out_path);
 
 #ifdef ASVTPU_WITH_PJRT
+  if (use_pjrt && streaming) {
+    // Per-utterance STREAMING serve (the reference extractor's
+    // consumption model, torch_asv_extractor.cc:71-122): audio arrives
+    // in blocks -> FeaturePipeline computes frames incrementally while a
+    // drain thread consumes them -> on the final block the VAD/submean
+    // selection + ONE device execute produce the embedding. The metric
+    // that matters for this mode is the FINALIZE latency (last audio
+    // block -> embedding ready): the frontend cost is hidden behind the
+    // stream, unlike batch mode's all-at-once frontend.
+    double total_wav_s = 0, stream_s = 0, finalize_s = 0;
+    int n = 0, failures = 0;
+    auto t_all = Clock::now();
+    std::string line;
+    while (std::getline(scp, line)) {
+      std::istringstream iss(line);
+      std::string key, path;
+      if (!(iss >> key >> path)) continue;
+      WavReader reader(path);
+      std::vector<float> wav = reader.Channel(0);
+      double wav_s = double(wav.size()) / reader.sample_rate();
+      int block = std::max(1, int(reader.sample_rate()) * block_ms / 1000);
+
+      FeaturePipeline pipe(opts);
+      std::vector<float> feats;  // [T, 1+bins] incrementally drained
+      int t_frames = 0;
+      int dim = computer.Dim();
+      std::thread drain([&]() {
+        std::vector<float> fr;
+        while (pipe.ReadOne(&fr)) {
+          feats.insert(feats.end(), fr.begin(), fr.end());
+          ++t_frames;
+        }
+      });
+      auto t0 = Clock::now();
+      for (size_t off = 0; off < wav.size(); off += size_t(block)) {
+        size_t end = std::min(wav.size(), off + size_t(block));
+        pipe.AcceptWaveform(
+            std::vector<float>(wav.begin() + off, wav.begin() + end));
+      }
+      auto t_final0 = Clock::now();
+      pipe.InputFinished();
+      drain.join();
+      // post-selection identical to the batch path
+      std::vector<float> log_e(t_frames);
+      for (int t = 0; t < t_frames; ++t) log_e[t] = feats[size_t(t) * dim];
+      std::vector<uint8_t> voiced =
+          do_vad ? ComputeVadEnergy(vad_opts, log_e)
+                 : std::vector<uint8_t>(t_frames, 1);
+      std::vector<float> selected;
+      int kept = 0, fdim = dim - 1;
+      for (int t = 0; t < t_frames; ++t) {
+        if (!voiced[t]) continue;
+        for (int dd = 1; dd < dim; ++dd)
+          selected.push_back(feats[size_t(t) * dim + dd]);
+        ++kept;
+      }
+      if (kept == 0) {
+        for (int t = 0; t < t_frames; ++t)
+          for (int dd = 1; dd < dim; ++dd)
+            selected.push_back(feats[size_t(t) * dim + dd]);
+        kept = t_frames;
+      }
+      if (do_submean && kept > 0) {
+        for (int dd = 0; dd < fdim; ++dd) {
+          double mean = 0;
+          for (int t = 0; t < kept; ++t)
+            mean += selected[size_t(t) * fdim + dd];
+          mean /= kept;
+          for (int t = 0; t < kept; ++t)
+            selected[size_t(t) * fdim + dd] -= float(mean);
+        }
+      }
+      std::string err;
+      std::vector<float> emb = pjrt->Embed(selected, kept, fdim, &err);
+      auto t_done = Clock::now();
+      double s_s = std::chrono::duration<double>(t_final0 - t0).count();
+      double f_s = std::chrono::duration<double>(t_done - t_final0).count();
+      stream_s += s_s;
+      finalize_s += f_s;
+      total_wav_s += wav_s;
+      if (emb.empty()) {
+        std::cerr << key << " FAILED " << err << "\n";
+        ++failures;
+        continue;
+      }
+      std::cout << key << " frames=" << kept << "/" << t_frames
+                << " stream_s=" << s_s << " finalize_ms=" << f_s * 1e3
+                << "\n";
+      if (out.is_open()) {
+        out << key;
+        for (float v : emb) out << " " << v;
+        out << "\n";
+      }
+      ++n;
+    }
+    double dt = std::chrono::duration<double>(Clock::now() - t_all).count();
+    std::cout << "TOTAL utts=" << n << " failures=" << failures
+              << " wav_s=" << total_wav_s << " elapsed_s=" << dt
+              << " RTF=" << (total_wav_s > 0 ? dt / total_wav_s : 0)
+              << "\n";
+    std::cout << "STREAMING block_ms=" << block_ms
+              << " mean_finalize_ms=" << (n ? finalize_s / n * 1e3 : 0)
+              << " frontend_stream_s=" << stream_s << "\n";
+    return failures == 0 ? 0 : 2;
+  }
   if (use_pjrt && pjrt->batch_capacity() > 1) {
     // Batched pipelined mode (bundles exported with batch > 1): N frontend
     // worker threads (wav decode + fbank + VAD + submean) feed a bounded
