@@ -461,6 +461,24 @@ class Launcher:
         state = trainer.init_state(rng, example)
         if resume_from:
             state = load_checkpoint(resume_from, state)
+        else:
+            # transfer-learning init (the reference's LM-finetune /
+            # runTransformerXvector_LM idiom, framework.py:133-143):
+            # train.transfer = {"from": ckpt, "exclude": ["loss"], ...}
+            # copies matching top-level subtrees from a previous phase's
+            # checkpoint — the "+LM" step of the ECAPA roadmap
+            # (recipe/voxcelebSRC/README.md:62-76) chains through this.
+            tr = t.get("transfer") or self.params.get("transfer")
+            if tr and tr.get("from"):
+                from .train import load_transfer
+
+                state = state.replace(params=load_transfer(
+                    state.params, tr["from"],
+                    include=tr.get("include"), exclude=tr.get("exclude"),
+                    rename=tr.get("rename"),
+                ))
+                self.logger.info("transfer init from %s (exclude=%s)",
+                                 tr["from"], tr.get("exclude"))
         if margin_warm is not None and margin_warm.epoch_iter is None:
             # estimate iters/epoch from the dataset size lazily: one pass count
             margin_warm.update_step_range(max(1, 1000), overwrite=True)

@@ -679,3 +679,95 @@ class TestFeatTypeSelection:
         egs = launcher.build_egs()
         batch = next(iter(egs))
         assert batch["x"].shape[-1] == 13 + 3  # default num_ceps + pitch
+
+
+class TestEcapaRoadmapPreset:
+    def test_two_phase_roadmap_end_to_end(self, corpus, tmp_path):
+        """The voxcelebSRC roadmap chain (reference README.md:62-76) as
+        shipped presets, scaled down: phase 1 trains ECAPA with AAM +
+        top-k adaptive margin + sub-center + MQMHA pooling; phase 2
+        (ecapa_roadmap_lm.yaml semantics) transfer-loads everything but
+        the classifier from the phase-1 checkpoint and finetunes with a
+        larger margin, longer chunks, constant low LR."""
+        import os
+
+        from asv_subtools_tpu.utils.params import load_yaml
+
+        base = load_yaml("recipes/configs/ecapa_roadmap.yaml")
+        lm = load_yaml("recipes/configs/ecapa_roadmap_lm.yaml")
+        # the presets carry production scale; shrink uniformly
+        tiny_model = {"name": "ecapa_tdnn",
+                      "params": dict(base["model"]["params"],
+                                     channels=32, embd_dim=16, mfa_conv=48)}
+        common_data = {
+            "train_wav_scp": str(corpus / "wav.scp"),
+            "train_utt2spk": str(corpus / "utt2spk"),
+            "batch_size": 8,
+            "shuffle_buffer": 8,
+            "chunk_seconds": 0.6,
+        }
+        p1 = {
+            "exp_dir": str(tmp_path / "exp_roadmap"),
+            "data": common_data,
+            "model": tiny_model,
+            # topk must not exceed the tiny corpus's 4 classes
+            "loss": {"name": base["loss"]["name"],
+                     "params": dict(base["loss"]["params"], topk=3)},
+            "train": {
+                "epochs": 2,
+                "optimizer": {"name": "adamW", "learning_rate": 2e-3},
+                "lr_schedule": {"name": "1cycle", "max_lr": 2e-3,
+                                "total_steps": 24},
+                "margin_warm": dict(base["train"]["margin_warm"],
+                                    epoch_iter=3),
+                "report_interval": 100,
+            },
+        }
+        l1 = Launcher(p1)
+        egs1 = l1.build_egs()
+        l1.build_model()
+        # the preset's loss tricks are live: sub-center + topk
+        assert l1.params["loss"]["params"]["sub_k"] == 2
+        assert l1.params["loss"]["params"]["adapt_method"] == "topk"
+        state1 = l1.train(egs1)
+        ckpt = os.path.join(p1["exp_dir"], "checkpoints", "2.params")
+        assert os.path.exists(ckpt)
+
+        p2 = {
+            "exp_dir": str(tmp_path / "exp_roadmap_lm"),
+            "data": dict(common_data, chunk_seconds=1.0),
+            "model": tiny_model,
+            "loss": {"name": lm["loss"]["name"],
+                     "params": dict(lm["loss"]["params"], topk=3)},
+            "train": {
+                "epochs": 1,
+                "optimizer": {"name": "adamW", "learning_rate": 2e-5},
+                "lr_schedule": {"name": "constant", "base_lr": 2e-5},
+                "transfer": {"from": ckpt, "exclude": ["loss"]},
+                "report_interval": 100,
+            },
+        }
+        l2 = Launcher(p2)
+        egs2 = l2.build_egs()
+        l2.build_model()
+        assert l2.params["loss"]["params"]["m"] == 0.5  # enlarged margin
+        state2 = l2.train(egs2)
+
+        # the transfer actually carried the phase-1 backbone: the trained
+        # phase-2 params start from (and stay near, at lr 2e-5) phase 1,
+        # while a fresh init would differ at O(0.1)
+        import jax
+
+        flat1 = jax.tree_util.tree_leaves(
+            jax.device_get(state1.params["backbone"]))
+        flat2 = jax.tree_util.tree_leaves(
+            jax.device_get(state2.params["backbone"]))
+        max_drift = max(
+            float(np.abs(np.asarray(x) - np.asarray(y)).max())
+            for x, y in zip(flat1, flat2)
+        )
+        assert max_drift < 5e-3, max_drift  # finetune at lr 2e-5
+        # extraction works on the finetuned model (mqmha pooling path)
+        stats = l2.extract(str(corpus / "eval.scp"),
+                           str(tmp_path / "xv_lm"), state2)
+        assert stats["utts"] == 8
