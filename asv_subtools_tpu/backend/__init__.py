@@ -36,6 +36,9 @@ from .metrics import (
 )
 from .pipeline import ScoreConfig, ScoreSets
 from .ivector import (
+    KaldiIvectorExtractor,
+    read_kaldi_ivector_extractor,
+    write_kaldi_ivector_extractor,
     BaumWelchStats,
     IvectorExtractor,
     collect_stats,

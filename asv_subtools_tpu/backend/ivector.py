@@ -89,6 +89,141 @@ class IvectorExtractor:
         return self.extract(collect_stats(self.ubm, utterances))
 
 
+@dataclasses.dataclass
+class KaldiIvectorExtractor:
+    """A Kaldi-trained total-variability model (`final.ie`,
+    src/ivector/ivector-extractor.h): per-component projections M_k
+    [D, R], FULL inverse covariances Sigma_inv_k [D, D] (our compact
+    trainer assumes diagonal; Kaldi's models are full), component weights
+    w_vec [K], and the non-zero ivector prior offset on dim 0.
+    """
+
+    m: np.ndarray  # [K, D, R]
+    sigma_inv: np.ndarray  # [K, D, D]
+    w_vec: np.ndarray  # [K]
+    prior_offset: float
+
+    @property
+    def ivector_dim(self) -> int:
+        return self.m.shape[2]
+
+    def extract(self, stats: BaumWelchStats) -> np.ndarray:
+        """Posterior-mean i-vectors [U, R] (GetIvectorDistribution
+        semantics: quadratic = I + sum_k n_k M_k' SigmaInv_k M_k, linear
+        = sum_k M_k' SigmaInv_k f_k + prior_offset e_0; the reported
+        ivector subtracts the prior offset from dim 0)."""
+        k, d, r = self.m.shape
+        ti = np.einsum("kde,ker->kdr", self.sigma_inv, self.m)  # [K, D, R]
+        tt = np.einsum("kdr,kds->krs", ti, self.m)  # [K, R, R]
+        l = np.eye(r)[None] + np.einsum("uk,krs->urs", stats.n, tt)
+        b = np.einsum("kdr,ukd->ur", ti, stats.f)
+        b[:, 0] += self.prior_offset
+        means = np.linalg.solve(l, b[..., None])[..., 0]
+        means[:, 0] -= self.prior_offset
+        return means
+
+
+def _read_basic(fd, dtype_char, size):
+    import struct
+
+    marker = fd.read(1)
+    if marker != bytes([size]):
+        raise ValueError(f"expected basic-type size {size}, got {marker!r}")
+    return struct.unpack(dtype_char, fd.read(size))[0]
+
+
+def _read_packed_sym(fd) -> np.ndarray:
+    """Kaldi SpMatrix (packed lower triangle): 'FP '/'DP ' + dim +
+    dim*(dim+1)/2 values."""
+    from ..io.kaldi import _read_int32
+
+    header = fd.read(3)
+    dtype, esize = {b"FP ": (np.float32, 4), b"DP ": (np.float64, 8)}[header]
+    dim = _read_int32(fd)
+    vals = np.frombuffer(fd.read(dim * (dim + 1) // 2 * esize), dtype=dtype)
+    out = np.zeros((dim, dim), np.float64)
+    idx = 0
+    for i in range(dim):
+        out[i, : i + 1] = vals[idx : idx + i + 1]
+        idx += i + 1
+    return out + np.tril(out, -1).T  # symmetrize
+
+
+def read_kaldi_ivector_extractor(path: str) -> KaldiIvectorExtractor:
+    """Read Kaldi's binary `final.ie` (IvectorExtractor::Write layout:
+    "<IvectorExtractor>" "<w>" Matrix "<w_vec>" Vector "<M>" int32 K +
+    K Matrices "<SigmaInv>" K SpMatrices "<IvectorOffset>" double
+    "</IvectorExtractor>"), so reference/Kaldi-trained extractors
+    (sid/train_ivector_extractor.sh output) load directly."""
+    from ..io.kaldi import _read_int32, _read_mat_body, read_token
+
+    def read_mat(fd):
+        return np.asarray(_read_mat_body(fd, fd.read(3), None), np.float64)
+
+    def read_vec(fd):
+        header = fd.read(3)
+        dtype, esize = {b"FV ": (np.float32, 4),
+                        b"DV ": (np.float64, 8)}[header]
+        dim = _read_int32(fd)
+        return np.frombuffer(fd.read(dim * esize), dtype=dtype).astype(
+            np.float64
+        )
+
+    with open(path, "rb") as f:
+        if f.read(2) != b"\x00B":
+            raise ValueError("final.ie must be Kaldi binary")
+        assert read_token(f) == "<IvectorExtractor>"
+        assert read_token(f) == "<w>"
+        read_mat(f)  # weight-projection matrix; unused by extraction
+        assert read_token(f) == "<w_vec>"
+        w_vec = read_vec(f)
+        assert read_token(f) == "<M>"
+        k = _read_int32(f)
+        m = np.stack([read_mat(f) for _ in range(k)])
+        assert read_token(f) == "<SigmaInv>"
+        sigma_inv = np.stack([_read_packed_sym(f) for _ in range(k)])
+        assert read_token(f) == "<IvectorOffset>"
+        prior_offset = _read_basic(f, "<d", 8)
+        assert read_token(f) == "</IvectorExtractor>"
+    return KaldiIvectorExtractor(
+        m=m, sigma_inv=sigma_inv, w_vec=w_vec,
+        prior_offset=float(prior_offset),
+    )
+
+
+def write_kaldi_ivector_extractor(model: KaldiIvectorExtractor,
+                                  path: str) -> None:
+    """Inverse of read_kaldi_ivector_extractor (round-trip + export)."""
+    import struct
+
+    from ..io.kaldi import _write_int32, _write_mat_body, write_token
+
+    with open(path, "wb") as f:
+        f.write(b"\x00B")
+        write_token(f, "<IvectorExtractor>")
+        write_token(f, "<w>")
+        _write_mat_body(f, np.zeros((0, 0), np.float64))
+        write_token(f, "<w_vec>")
+        v = np.asarray(model.w_vec, np.float64)
+        f.write(b"DV ")
+        _write_int32(f, v.shape[0])
+        f.write(v.tobytes())
+        write_token(f, "<M>")
+        _write_int32(f, model.m.shape[0])
+        for mk in model.m:
+            _write_mat_body(f, np.asarray(mk, np.float64))
+        write_token(f, "<SigmaInv>")
+        for sk in model.sigma_inv:
+            s = np.asarray(sk, np.float64)
+            f.write(b"DP ")
+            _write_int32(f, s.shape[0])
+            tri = np.concatenate([s[i, : i + 1] for i in range(s.shape[0])])
+            f.write(np.ascontiguousarray(tri).tobytes())
+        write_token(f, "<IvectorOffset>")
+        f.write(bytes([8]) + struct.pack("<d", model.prior_offset))
+        write_token(f, "</IvectorExtractor>")
+
+
 def train_ivector_extractor(
     ubm: DiagGmm,
     stats: BaumWelchStats,

@@ -421,11 +421,17 @@ class Launcher:
             ),
         )
         if t.get("sam"):
+            from .train.trainer import make_param_gather_fn
+
             step_fn = make_sam_train_step(
                 self.net, tx,
                 rho=float(sam_cfg.get("rho", 0.05)),
                 adaptive=bool(sam_cfg.get("adaptive", False)),
                 config=trainer_config,
+                # keep SAM's forward ZeRO-3-correct under fsdp/model-axis
+                param_gather_fn=make_param_gather_fn(
+                    self.mesh, partition_rules
+                ),
             )
         trainer = Trainer(
             self.net,

@@ -29,9 +29,14 @@ def make_sam_train_step(
     rho: float = 0.05,
     adaptive: bool = False,
     config: TrainStepConfig = TrainStepConfig(),
+    param_gather_fn=None,
 ):
     def loss_fn(params, batch_stats, x, y, mask, rng, lambda_m, margin_offset, mutable):
         xc = x.astype(config.compute_dtype)
+        if param_gather_fn is not None:
+            # ZeRO-3 at-use gather (see trainer.make_train_step): without
+            # it XLA turns FSDP rest-shardings into activation TP
+            params = param_gather_fn(params)
         variables = {"params": params, "batch_stats": batch_stats}
         if mutable:
             (loss, logits, _), mut = net.apply(

@@ -431,6 +431,38 @@ def init_train_state(
     )
 
 
+def make_param_gather_fn(mesh, partition_rules) -> Optional[Callable]:
+    """ZeRO-3 at-use constraint from partition rules (see
+    make_train_step's param_gather_fn): data-axis-sharded (FSDP) params
+    are constrained REPLICATED at use; model-axis params keep their spec
+    (intentional tensor parallelism — e.g. the row-parallel classifier);
+    replicated params pass through untouched. Shared by the standard and
+    SAM train steps."""
+    if partition_rules is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS
+
+    rep = NamedSharding(mesh, P())
+    rules = partition_rules
+
+    def gather(params):
+        def one(path, p):
+            spec = rules(path, p)
+            if spec == P():
+                return p
+            if any(ax == MODEL_AXIS for ax in spec):
+                return jax.lax.with_sharding_constraint(
+                    p, NamedSharding(mesh, spec)
+                )
+            return jax.lax.with_sharding_constraint(p, rep)
+
+        return jax.tree_util.tree_map_with_path(one, params)
+
+    return gather
+
+
 class Trainer:
     """Epoch loop: data -> sharded jitted steps -> report/validate/checkpoint.
 
@@ -480,34 +512,7 @@ class Trainer:
         self._eval_step = jax.jit(make_eval_step(net))
 
     def _make_param_gather_fn(self) -> Optional[Callable]:
-        """ZeRO-3 at-use constraint from the partition rules (see
-        make_train_step's param_gather_fn): data-axis-sharded (FSDP)
-        params are constrained REPLICATED at use; model-axis params keep
-        their spec (intentional tensor parallelism — e.g. the row-parallel
-        classifier); replicated params pass through untouched."""
-        if self.partition_rules is None:
-            return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from ..parallel.mesh import MODEL_AXIS
-
-        mesh, rules = self.mesh, self.partition_rules
-        rep = NamedSharding(mesh, P())
-
-        def gather(params):
-            def one(path, p):
-                spec = rules(path, p)
-                if spec == P():
-                    return p
-                if any(ax == MODEL_AXIS for ax in spec):
-                    return jax.lax.with_sharding_constraint(
-                        p, NamedSharding(mesh, spec)
-                    )
-                return jax.lax.with_sharding_constraint(p, rep)
-
-            return jax.tree_util.tree_map_with_path(one, params)
-
-        return gather
+        return make_param_gather_fn(self.mesh, self.partition_rules)
 
     def _build_jits(self, state_shardings) -> None:
         """(Re)build the jitted train steps for the given TrainState

@@ -221,3 +221,105 @@ class TestClassicChain:
         same = (ids[eval_sel][:, None] == ids[eval_sel][None, :])[iu].astype(int)
         eer, _ = compute_eer(llr[iu], same)
         assert eer < 0.30, f"classic chain EER {eer}"
+
+
+class TestKaldiIvectorExtractorIO:
+    """Kaldi `final.ie` binary model I/O (round 4): reference/Kaldi-trained
+    total-variability models load directly; extraction uses the FULL
+    per-component inverse covariances (our compact trainer is diagonal)."""
+
+    def _rand_model(self, rng, k=4, d=6, r=3):
+        from asv_subtools_tpu.backend import KaldiIvectorExtractor
+
+        m = rng.normal(size=(k, d, r))
+        s = rng.normal(size=(k, d, d))
+        sigma_inv = np.einsum("kde,kfe->kdf", s, s) + 2 * np.eye(d)[None]
+        return KaldiIvectorExtractor(
+            m=m, sigma_inv=sigma_inv,
+            w_vec=rng.dirichlet(np.ones(k)),
+            prior_offset=rng.uniform(5.0, 15.0),
+        )
+
+    def test_binary_roundtrip(self, tmp_path):
+        from asv_subtools_tpu.backend import (
+            read_kaldi_ivector_extractor,
+            write_kaldi_ivector_extractor,
+        )
+
+        rng = np.random.default_rng(0)
+        model = self._rand_model(rng)
+        p = str(tmp_path / "final.ie")
+        write_kaldi_ivector_extractor(model, p)
+        got = read_kaldi_ivector_extractor(p)
+        np.testing.assert_array_equal(got.m, model.m)
+        np.testing.assert_allclose(got.sigma_inv, model.sigma_inv,
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(got.w_vec, model.w_vec)
+        assert got.prior_offset == model.prior_offset
+
+    def test_golden_binary_layout(self, tmp_path):
+        """Independent struct.pack construction of the Kaldi layout (never
+        the writer under test) must read back exactly."""
+        import struct
+
+        from asv_subtools_tpu.backend import read_kaldi_ivector_extractor
+
+        rng = np.random.default_rng(1)
+        k, d, r = 2, 3, 2
+        m = rng.normal(size=(k, d, r))
+        sp = []
+        for _ in range(k):
+            a = rng.normal(size=(d, d))
+            sp.append(a @ a.T + 2 * np.eye(d))
+        w_vec = rng.dirichlet(np.ones(k))
+        offset = 7.25
+
+        def mat(x):
+            return (b"DM " + b"\x04" + struct.pack("<i", x.shape[0])
+                    + b"\x04" + struct.pack("<i", x.shape[1])
+                    + np.asarray(x, "<f8").tobytes())
+
+        buf = b"\x00B<IvectorExtractor> <w> " + mat(np.zeros((0, 0)))
+        buf += b"<w_vec> DV " + b"\x04" + struct.pack("<i", k)
+        buf += np.asarray(w_vec, "<f8").tobytes()
+        buf += b"<M> " + b"\x04" + struct.pack("<i", k)
+        for mk in m:
+            buf += mat(mk)
+        buf += b"<SigmaInv> "
+        for s in sp:
+            buf += b"DP " + b"\x04" + struct.pack("<i", d)
+            buf += np.concatenate(
+                [s[i, : i + 1] for i in range(d)]
+            ).astype("<f8").tobytes()
+        buf += b"<IvectorOffset> " + bytes([8]) + struct.pack("<d", offset)
+        buf += b"</IvectorExtractor> "
+        p = tmp_path / "golden.ie"
+        p.write_bytes(buf)
+        got = read_kaldi_ivector_extractor(str(p))
+        np.testing.assert_array_equal(got.m, m)
+        np.testing.assert_allclose(got.sigma_inv, np.stack(sp), atol=0)
+        assert got.prior_offset == offset
+
+    def test_extraction_matches_explicit_loop(self):
+        """Batched einsum posterior vs a per-utterance loop transcription
+        of GetIvectorDistribution (quadratic/linear + prior offset)."""
+        from asv_subtools_tpu.backend.ivector import BaumWelchStats
+
+        rng = np.random.default_rng(2)
+        model = self._rand_model(rng)
+        k, d, r = model.m.shape
+        u = 5
+        n = rng.uniform(0.5, 30.0, size=(u, k))
+        f = rng.normal(size=(u, k, d)) * 3
+        got = model.extract(BaumWelchStats(n, f))
+        for i in range(u):
+            quad = np.eye(r)
+            lin = np.zeros(r)
+            for c in range(k):
+                ti = model.sigma_inv[c] @ model.m[c]
+                quad += n[i, c] * model.m[c].T @ ti
+                lin += ti.T @ f[i, c]
+            lin[0] += model.prior_offset
+            want = np.linalg.solve(quad, lin)
+            want[0] -= model.prior_offset
+            np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-10)
