@@ -118,6 +118,46 @@ static void TestStreamingMatchesBatch() {
   std::printf("TestStreamingMatchesBatch OK (%zu frames)\n", t);
 }
 
+static void TestPitchTracksTone() {
+  // 137 Hz harmonic tone: the tracker's normalized-log-pitch must be
+  // near zero (steady pitch) and the POV feature clearly voiced; the
+  // fbank_pitch concat must be [T, bins+3] and finite.
+  const int sr = 16000;
+  std::vector<float> wav(sr);
+  for (int i = 0; i < sr; ++i) {
+    double t = double(i) / sr;
+    double v = 0;
+    for (int h = 1; h <= 3; ++h)
+      v += std::sin(2.0 * 3.14159265358979 * 137.0 * h * t) / h;
+    wav[i] = float(v * 6000.0);
+  }
+  PitchOptions popts;
+  PitchComputer pitch(popts);
+  std::vector<float> pf = pitch.Compute(wav);
+  int t_frames = int(pf.size()) / 3;
+  assert(t_frames > 50);
+  double pov_sum = 0, nlp_sum = 0;
+  for (int t = 10; t < t_frames - 10; ++t) {
+    assert(std::isfinite(pf[size_t(t) * 3 + 0]));
+    pov_sum += pf[size_t(t) * 3 + 0];
+    nlp_sum += std::abs(pf[size_t(t) * 3 + 1]);
+  }
+  int mid = t_frames - 20;
+  // voiced frames: nccf ~ 1 -> pov_feature = 2*2*((1.0001-1)^0.15 - 1)
+  // ~ -3; unvoiced ~ 0. Strongly negative mean = voiced.
+  assert(pov_sum / mid < -1.5);
+  assert(nlp_sum / mid < 0.3);    // steady tone: normalized log pitch ~ 0
+  FbankOptions fopts;
+  fopts.mel_opts.num_bins = 40;
+  FbankComputer fbank(fopts);
+  int dim = 0;
+  std::vector<float> fp = ComputeFbankPitch(fbank, pitch, wav, &dim);
+  assert(dim == 43);
+  assert(int(fp.size()) % dim == 0);
+  for (float v : fp) assert(std::isfinite(v));
+  std::printf("TestPitchTracksTone OK (%d frames)\n", t_frames);
+}
+
 int main() {
   TestNumFrames();
   TestFftMatchesNaiveDft();
@@ -125,6 +165,7 @@ int main() {
   TestVad();
   TestBlockingQueue();
   TestStreamingMatchesBatch();
+  TestPitchTracksTone();
   std::printf("ALL C++ TESTS PASSED\n");
   return 0;
 }
