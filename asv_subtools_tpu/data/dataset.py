@@ -80,6 +80,7 @@ class WavEgs:
         compute_feat: bool = False,
         feat_opts=None,
         feat_type: str = "fbank",
+        feat_backend: str = "numpy",
         spec_aug: bool = False,
         shuffle_buffer: int = 1000,
         seed: int = 1024,
@@ -117,7 +118,8 @@ class WavEgs:
         if compute_feat:
             # feat_type: fbank | mfcc | fbank_pitch | mfcc_pitch
             # (makeFeatures.sh family selection)
-            stages.append(P.compute_feats(feat_opts, feat_type=feat_type))
+            stages.append(P.compute_feats(feat_opts, feat_type=feat_type,
+                                          backend=feat_backend))
             key = "feat"
             if spec_aug:
                 stages.append(P.spec_aug_stage(seed=sseed, epoch=ep))
@@ -166,6 +168,7 @@ class WavEgsXvector:
         de_silence: bool = False,
         feat_opts=None,
         feat_type: str = "fbank",
+        feat_backend: str = "numpy",
         workers: int = 1,
     ):
         self.entries = list(P.wav_scp_source(wav_scp))
@@ -173,7 +176,8 @@ class WavEgsXvector:
         stages: List[Callable] = [P.parse_raw, P.resample()]
         if de_silence:
             stages.append(P.de_sil())
-        stages.append(P.compute_feats(feat_opts, feat_type=feat_type))
+        stages.append(P.compute_feats(feat_opts, feat_type=feat_type,
+                                      backend=feat_backend))
         self.stages = stages
 
     def _process_one(self, entry):
@@ -254,6 +258,7 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
         compute_feat=cfg.get("compute_feat", True),
         feat_opts=cfg.get("feat_opts"),
         feat_type=cfg.get("feat_type", "fbank"),
+        feat_backend=cfg.get("feat_backend", "numpy"),
         spec_aug=cfg.get("spec_aug", False),
         shuffle_buffer=cfg["shuffle_buffer"],
         seed=cfg.get("seed", 1024),

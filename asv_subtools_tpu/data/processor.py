@@ -277,7 +277,8 @@ def speech_aug_stage(aug: SpeechAug, seed: int = 1024,
     return stage
 
 
-def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
+def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True,
+                  backend: str = "numpy"):
     """Kaldi-compatible features on the HOST, per sample (KaldiFeature
     processor.py:387-466). Pure numpy: the feature functions dispatch on
     input type (features/functional.py:_backend), so this stage never
@@ -304,14 +305,27 @@ def compute_feats(opts=None, feat_type: str = "fbank", cmvn: bool = True):
     with_pitch = feat_type.endswith("_pitch")
     if opts is None:
         opts = FbankOptions() if base_type == "fbank" else MfccOptions()
+    # backend "native": route through the C++ frontend (~2.9x faster per
+    # core, features/native.py) with automatic numpy fallback when the
+    # lib is absent or the options aren't C-API-expressible. "numpy"
+    # (default) keeps the golden-exact host path.
+    use_native = backend in ("native", "auto")
 
     def stage(samples):
+        from ..features import native as _native
+
         for s in samples:
             wav = np.asarray(s["wav"], np.float32)
-            if base_type == "fbank":
-                f = compute_fbank(wav, opts)
-            else:
-                f = compute_mfcc(wav, opts)
+            f = None
+            if use_native:
+                f = (_native.native_fbank(wav, opts)
+                     if base_type == "fbank"
+                     else _native.native_mfcc(wav, opts))
+            if f is None:
+                if base_type == "fbank":
+                    f = compute_fbank(wav, opts)
+                else:
+                    f = compute_mfcc(wav, opts)
             if with_pitch:
                 from ..features import PitchOptions, compute_and_process_pitch
 

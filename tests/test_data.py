@@ -820,3 +820,38 @@ class TestMultiprocessLoader:
             assert sorted(k for b in loader for k in b["keys"]) == ref
         finally:
             loader.close()
+
+
+class TestNativeFeatureBackend:
+    def test_native_matches_numpy_through_pipeline(self, wav_dir):
+        """feat_backend='native' routes the C++ frontend with automatic
+        numpy fallback; outputs agree with the numpy backend at the
+        established native-vs-jax tolerance (2e-3)."""
+        pytest.importorskip("ctypes")
+        from asv_subtools_tpu.features.native import native_available
+
+        if not native_available():
+            pytest.skip("libasvtpu_capi.so not built")
+        from asv_subtools_tpu.data import WavEgsXvector
+
+        a = dict(iter(WavEgsXvector(str(wav_dir / "wav.scp"))))
+        b = dict(iter(WavEgsXvector(str(wav_dir / "wav.scp"),
+                                    feat_backend="native")))
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k].shape == b[k].shape
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-3)
+
+    def test_unsupported_opts_fall_back(self):
+        """Dithered options are not C-API-expressible: native returns
+        None and the stage silently uses numpy."""
+        from asv_subtools_tpu.features import FbankOptions, FrameOptions
+        from asv_subtools_tpu.features.native import (
+            native_available,
+            native_fbank,
+        )
+
+        if not native_available():
+            pytest.skip("libasvtpu_capi.so not built")
+        opts = FbankOptions(frame_opts=FrameOptions(dither=1.0))
+        assert native_fbank(np.zeros(16000, np.float32), opts) is None
