@@ -121,13 +121,32 @@ class ReverseConverter:
         self._leaf_maps.update(trace(p_id, p_pos, "params"))
         self._leaf_maps.update(trace(s_id, s_pos, "stats"))
 
-        covered = {k: np.zeros(self._numel[k], bool) for k in self._keys}
+        counts = {k: np.zeros(self._numel[k], np.int32)
+                  for k in self._keys}
         for tid, pos in self._leaf_maps.values():
             for t in np.unique(tid):
-                covered[self._keys[t]][pos[tid == t]] = True
+                np.add.at(counts[self._keys[t]], pos[tid == t], 1)
         self.uncovered = {
-            k: int((~c).sum()) for k, c in covered.items() if not c.all()
+            k: int((c == 0).sum()) for k, c in counts.items()
+            if (c == 0).any()
         }
+        # torch positions feeding MULTIPLE flax leaves (weight tying in the
+        # forward converter): the reverse would silently pick whichever
+        # leaf scatters last, and tied leaves can diverge during training.
+        # None of the shipped converters tie weights; surface it loudly if
+        # one ever does.
+        self.shared = {
+            k: int((c > 1).sum()) for k, c in counts.items()
+            if (c > 1).any()
+        }
+        if self.shared:
+            import warnings
+
+            warnings.warn(
+                "reverse conversion with weight tying (torch positions "
+                f"covered by multiple flax leaves): {self.shared}; the "
+                "export uses the LAST leaf's values", stacklevel=2,
+            )
 
     def __call__(self, params: Dict, batch_stats: Dict) -> Dict:
         """flax (params, batch_stats) -> torch state_dict (cpu tensors).
