@@ -102,6 +102,12 @@ DEFAULT_PARAMS: Dict[str, Any] = {
         "use_semi_orth": False,
         "report_interval": 100,
         "margin_warm": None,  # {"start_epoch", "end_epoch", "offset_margin", "init_lambda"}
+        # transformer model-level warmup (reference trainer_online.py:227:
+        # warmup = cur_step / warmup_steps fed to the encoder's
+        # layer-bypass alpha); 0 = off. Conformer recipes NEED this —
+        # without it the encoder trains through full stochastic-depth
+        # blocks from step 0 and diverges on short runs.
+        "model_warmup_steps": 0,
         # mesh model-axis size (>1 shards the margin-loss classifier rows
         # over the model axis via classifier_partition_rules)
         "num_model": 1,
@@ -424,6 +430,7 @@ class Launcher:
                 not self.params["data"].get("compute_feat", True)
                 and self.params["data"].get("spec_aug", False)
             ),
+            model_warmup_steps=int(t.get("model_warmup_steps", 0) or 0),
         )
         if t.get("sam"):
             from .train.trainer import make_param_gather_fn

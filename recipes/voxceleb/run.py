@@ -63,6 +63,9 @@ def main():
     # or the LR never leaves the 1e-8 floor
     ap.add_argument("--max-lr", type=float, default=None)
     ap.add_argument("--step-size-up", type=int, default=None)
+    # transformer model warmup: presets carry voxceleb-scale step counts;
+    # small-corpus runs must shrink it with the LR geometry
+    ap.add_argument("--model-warmup", type=int, default=None)
     args = ap.parse_args()
     epochs = args.epochs if args.epochs is not None else 6
     batch_size = args.batch_size if args.batch_size is not None else 512
@@ -147,6 +150,8 @@ def main():
                 "name": "cyclic", "base_lr": 1e-8, "max_lr": max_lr,
                 "step_size_up": step_size_up, "mode": "triangular2",
             }
+    if args.model_warmup is not None:
+        params["train"]["model_warmup_steps"] = args.model_warmup
     # margin warm-up tracks real steps/epoch for the FINAL batch size
     # (CLI or preset), not the default's
     if params["train"].get("margin_warm"):
