@@ -376,16 +376,22 @@ def make_train_step(
     return step
 
 
-def make_eval_step(net):
+def make_eval_step(net, param_gather_fn=None):
     """Jittable validation step: (state, batch) -> weighted metric sums.
 
     batch may carry "weight" [B] (1/0) so padded rows — added to make the
     batch shardable over the mesh — contribute nothing.
+    param_gather_fn: same ZeRO-3 at-use constraint as the train step —
+    without it FSDP-sharded params turn the eval forward into activation
+    TP too.
     """
 
     def step(state, batch):
+        params = state.params
+        if param_gather_fn is not None:
+            params = param_gather_fn(params)
         loss_vec, logits, _ = net.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             batch["x"],
             batch["y"],
             mask=batch.get("mask"),
@@ -509,7 +515,9 @@ class Trainer:
             param_gather_fn=self._make_param_gather_fn(),
         )
         self._build_jits(replicated_sharding(self.mesh))
-        self._eval_step = jax.jit(make_eval_step(net))
+        self._eval_step = jax.jit(
+            make_eval_step(net, param_gather_fn=self._make_param_gather_fn())
+        )
 
     def _make_param_gather_fn(self) -> Optional[Callable]:
         return make_param_gather_fn(self.mesh, self.partition_rules)
