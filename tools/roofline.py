@@ -234,5 +234,40 @@ def main():
         json.dump(rows, f, indent=1)
 
 
+def train_main():
+    """Roofline rows for the THREE bench training families (r4): full
+    jitted step flops/bytes from XLA cost analysis over measured step
+    time. `python tools/roofline.py --train`; summarized in PERF.md
+    ("Training roofline per family")."""
+    import bench
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    rows = []
+    for fam in ("ecapa", "conformer", "resnet34"):
+        tp, ms, cost = bench.bench_train(fam, with_cost=True)
+        dt = ms / 1e3
+        flops = cost["flops"]
+        by = cost.get("bytes_accessed", 0)
+        tflops = flops / dt / 1e12
+        gbs = by / dt / 1e9
+        row = {
+            "kind": "train_step",
+            "family": fam,
+            "audio_s_per_s": round(tp, 1),
+            "step_ms": round(ms, 2),
+            "tflops": round(tflops, 1),
+            "pct_of_compute_peak": round(100 * tflops / PEAK_TFLOPS_BF16, 1),
+            "hbm_gbs": round(gbs, 1),
+            "pct_of_hbm_peak": round(100 * gbs / PEAK_HBM_GBS, 1),
+            "intensity": round(flops / max(by, 1), 1),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        train_main()
+    else:
+        main()
