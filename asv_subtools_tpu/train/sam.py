@@ -94,8 +94,12 @@ def make_sam_train_step(
         g2norm = optax.global_norm(g2)
         finite = jnp.isfinite(g2norm) & jnp.isfinite(loss2)
         scale = jnp.minimum(1.0, config.max_change / jnp.maximum(g2norm, 1e-12))
-        g2 = jax.tree_util.tree_map(lambda g: g * scale * lr_scale, g2)
+        g2 = jax.tree_util.tree_map(lambda g: g * scale, g2)
         updates, new_opt = tx.update(g2, state.opt_state, state.params)
+        # plateau lr_scale scales the STEP, not the gradients — Adam-family
+        # optimizers are invariant to uniform gradient scaling (same fix as
+        # the main trainer, advisor r1 high)
+        updates = jax.tree_util.tree_map(lambda u: u * lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         if config.skip_nonfinite:
             keep = lambda new, old: jax.tree_util.tree_map(

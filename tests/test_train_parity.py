@@ -877,3 +877,140 @@ class TestLawlictEcapaTrainParity:
         ref, net, x, y = self._make(ref_mod, seed=1)
         _run_parity(ref, net, convert_ecapa_lawlict_state_dict, x, y,
                     max_change=0.25, expect_clipped=True)
+
+
+class TestSamTrainParity:
+    """Two-pass SAM step vs a faithful transcription of the reference's
+    optim.SAM (optim.py:768-838) + trainer_online_sam loop ordering
+    (:255-330): pass-1 backward -> clip -> first_step (perturb w by
+    rho*g/||g||, BN running stats updated) -> pass-2 backward at w+e with
+    BN stats frozen -> clip -> second_step (restore w, base SGD step).
+    f64 leaf-by-leaf, plain + adaptive variants."""
+
+    def _torch_sam_step(self, ref, x_bdt, y, rho, adaptive, max_change):
+        ref.train()
+
+        def set_bn_momentum(m):
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+                    mod.momentum = m if m is not None else mod.momentum
+                    mod.track_running_stats = m is not None
+
+        base = torch.optim.SGD(ref.parameters(), lr=LR)
+        params = [p for p in ref.parameters()]
+        # pass 1 (running stats ON)
+        base.zero_grad()
+        loss1 = ref.get_loss(ref.forward(torch.from_numpy(x_bdt).double()),
+                             torch.from_numpy(y))
+        loss1.backward()
+        torch.nn.utils.clip_grad_norm_(params, max_change)
+        # first_step (optim.py:779-791)
+        with torch.no_grad():
+            stacked = torch.stack([
+                ((torch.abs(p) if adaptive else 1.0) * p.grad).norm(p=2)
+                for p in params if p.grad is not None
+            ])
+            grad_norm = torch.norm(stacked, p=2)
+            scale = rho / (grad_norm + 1e-12)
+            old = [p.data.clone() for p in params]
+            for p in params:
+                if p.grad is None:
+                    continue
+                e_w = (torch.pow(p, 2) if adaptive else 1.0) * p.grad * scale
+                p.add_(e_w)
+        base.zero_grad()
+        # pass 2 with BN batch stats frozen (trainer_online_sam
+        # disable_running_stats): eval-mode BN would change the FORWARD
+        # semantics; the reference keeps train-mode BN and only stops the
+        # running-stat update, which for torch means momentum=0
+        bns = [m for m in ref.modules()
+               if isinstance(m, torch.nn.modules.batchnorm._BatchNorm)]
+        saved = [(m.momentum, m.running_mean.clone(), m.running_var.clone(),
+                  m.num_batches_tracked.clone()) for m in bns]
+        loss2 = ref.get_loss(ref.forward(torch.from_numpy(x_bdt).double()),
+                             torch.from_numpy(y))
+        loss2.backward()
+        for m, (mom, rm, rv, nbt) in zip(bns, saved):
+            m.momentum = mom
+            with torch.no_grad():
+                m.running_mean.copy_(rm)
+                m.running_var.copy_(rv)
+                m.num_batches_tracked.copy_(nbt)
+        torch.nn.utils.clip_grad_norm_(params, max_change)
+        # second_step: restore w, base step with the perturbed-point grads
+        with torch.no_grad():
+            for p, o in zip(params, old):
+                p.data = o
+        base.step()
+        return float(loss1.detach()), float(loss2.detach())
+
+    @pytest.mark.parametrize("adaptive", [False, True])
+    def test_one_step(self, adaptive):
+        from asv_subtools_tpu.convert import convert_ecapa_state_dict
+        from asv_subtools_tpu.models import EcapaTdnn
+        from asv_subtools_tpu.train.sam import make_sam_train_step
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/ecapa_tdnn_xvector.py",
+            f"ecapa_sam_ref_{adaptive}",
+        )
+        torch.manual_seed(3)
+        feat, channels, embd, mfa = 30, 64, 16, 96
+        ref = ref_mod.ECAPA_TDNN(
+            feat, N_TARGETS, training=True,
+            ecapa_params={"channels": channels, "embd_dim": embd,
+                          "mfa_conv": mfa},
+            margin_loss=True, margin_loss_params=dict(MARGIN),
+        )
+        net = SpeakerNet(
+            backbone=EcapaTdnn(channels=channels, embd_dim=embd,
+                               mfa_conv=mfa),
+            loss_name="margin_softmax",
+            loss_params=dict(MARGIN),
+            num_targets=N_TARGETS,
+        )
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = (rng.integers(0, N_TARGETS, size=4)).astype(np.int64)
+        rho, max_change = 0.05, 1e4
+
+        ref.double()
+        params_bb, stats_bb = convert_ecapa_state_dict(ref.state_dict())
+        params = {"backbone": params_bb,
+                  **_margin_loss_tree(ref.state_dict())}
+        with jax.enable_x64():
+            p64 = _to_f64(params)
+            bs64 = {"backbone": _to_f64(stats_bb)}
+            tx = optax.sgd(LR)
+            step = jax.jit(make_sam_train_step(
+                net, tx, rho=rho, adaptive=adaptive,
+                config=TrainStepConfig(
+                    max_change=max_change, compute_dtype=jnp.float64,
+                    skip_nonfinite=False,
+                ),
+            ))
+            state = TrainState(
+                step=jnp.zeros((), jnp.int32), params=p64,
+                batch_stats=bs64, opt_state=tx.init(p64),
+            )
+            batch = {"x": jnp.asarray(x, jnp.float64),
+                     "y": jnp.asarray(y, jnp.int32)}
+            new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+            new_state = jax.device_get(new_state)
+            metrics = jax.device_get(metrics)
+
+        x_bdt = np.ascontiguousarray(np.transpose(x, (0, 2, 1)))
+        ref_l1, ref_l2 = self._torch_sam_step(ref, x_bdt, y, rho, adaptive,
+                                              max_change)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_l1, rtol=1e-6)
+        np.testing.assert_allclose(float(metrics["sam_loss"]), ref_l2,
+                                   rtol=1e-6)
+        params_bb2, stats_bb2 = convert_ecapa_state_dict(ref.state_dict())
+        _assert_tree_close(new_state.params["backbone"], params_bb2,
+                           1e-6, 1e-8, "sam param")
+        _assert_tree_close(
+            {k: v for k, v in new_state.params.items() if k != "backbone"},
+            _margin_loss_tree(ref.state_dict()), 1e-6, 1e-8, "sam loss param",
+        )
+        _assert_tree_close(new_state.batch_stats["backbone"], stats_bb2,
+                           1e-6, 1e-8, "sam bn stat")
