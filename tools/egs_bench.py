@@ -155,6 +155,42 @@ def main():
             bench(f"procs-{w}", loader, args.batches)
             loader.close()
 
+    # FEATURE-mode rows (aug + 80-bin fbank on the host): where
+    # data.feat_backend="native" (C++ frontend via ctypes) pays — the r4
+    # per-core stage measurement is 4.3x; this measures the whole chain
+    from asv_subtools_tpu.features import FbankOptions, MelOptions
+
+    w = max(int(x) for x in args.workers.split(","))
+    if w > 1:
+        for backend in ("numpy", "native"):
+            def make_feg(worker_id=0, num_workers=1, _b=backend):
+                aug = SpeechAug(
+                    [AddNoise(noise_m), AddBabble(noise_m), AddReverb(rir_m)],
+                    mode="random", clean_prob=0.25,
+                )
+                return WavEgs(
+                    os.path.join(args.root, "wav.scp"),
+                    os.path.join(args.root, "utt2spk"),
+                    {f"spk{i:03d}": i for i in range(args.spk)},
+                    chunk_seconds=chunk_s,
+                    batch_size=args.batch,
+                    speed_perturb=True,
+                    num_spks=args.spk,
+                    aug=aug,
+                    compute_feat=True,
+                    feat_opts=FbankOptions(mel_opts=MelOptions(num_bins=80)),
+                    feat_backend=_b,
+                    rank=worker_id,
+                    world_size=num_workers,
+                )
+
+            from asv_subtools_tpu.data import MultiprocessLoader
+
+            loader = MultiprocessLoader(make_feg, num_workers=w,
+                                        context="fork")
+            bench(f"procs-{w}-feat-{backend}", loader, args.batches)
+            loader.close()
+
 
 if __name__ == "__main__":
     main()
