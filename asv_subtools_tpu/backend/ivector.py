@@ -155,7 +155,7 @@ def read_kaldi_ivector_extractor(path: str) -> KaldiIvectorExtractor:
     K Matrices "<SigmaInv>" K SpMatrices "<IvectorOffset>" double
     "</IvectorExtractor>"), so reference/Kaldi-trained extractors
     (sid/train_ivector_extractor.sh output) load directly."""
-    from ..io.kaldi import _read_int32, _read_mat_body, read_token
+    from ..io.kaldi import _read_int32, _read_mat_body, expect_token
 
     def read_mat(fd):
         return np.asarray(_read_mat_body(fd, fd.read(3), None), np.float64)
@@ -172,19 +172,19 @@ def read_kaldi_ivector_extractor(path: str) -> KaldiIvectorExtractor:
     with open(path, "rb") as f:
         if f.read(2) != b"\x00B":
             raise ValueError("final.ie must be Kaldi binary")
-        assert read_token(f) == "<IvectorExtractor>"
-        assert read_token(f) == "<w>"
+        expect_token(f, "<IvectorExtractor>")
+        expect_token(f, "<w>")
         read_mat(f)  # weight-projection matrix; unused by extraction
-        assert read_token(f) == "<w_vec>"
+        expect_token(f, "<w_vec>")
         w_vec = read_vec(f)
-        assert read_token(f) == "<M>"
+        expect_token(f, "<M>")
         k = _read_int32(f)
         m = np.stack([read_mat(f) for _ in range(k)])
-        assert read_token(f) == "<SigmaInv>"
+        expect_token(f, "<SigmaInv>")
         sigma_inv = np.stack([_read_packed_sym(f) for _ in range(k)])
-        assert read_token(f) == "<IvectorOffset>"
+        expect_token(f, "<IvectorOffset>")
         prior_offset = _read_basic(f, "<d", 8)
-        assert read_token(f) == "</IvectorExtractor>"
+        expect_token(f, "</IvectorExtractor>")
     return KaldiIvectorExtractor(
         m=m, sigma_inv=sigma_inv, w_vec=w_vec,
         prior_offset=float(prior_offset),

@@ -277,7 +277,7 @@ def read_kaldi_plda(path: str) -> Plda:
       with the same diagonalization as the reference's get_output
       (:179-214).
     """
-    from ..io.kaldi import read_token, read_vec
+    from ..io.kaldi import expect_token, read_token, read_vec
 
     with open(path, "rb") as f:
         head = f.read(2)
@@ -299,7 +299,7 @@ def read_kaldi_plda(path: str) -> Plda:
                 mean = vec_body()
                 transform = _read_mat_body(f, f.read(3), None)
                 psi = vec_body()
-                assert read_token(f) == "</Plda>"
+                expect_token(f, "</Plda>")
                 return Plda(
                     mean=np.asarray(mean, np.float64),
                     transform=np.asarray(transform, np.float64),

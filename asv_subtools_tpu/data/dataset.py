@@ -235,7 +235,8 @@ class ParallelMapper:
                     yield result
 
 
-def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
+def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1,
+                     probe: bool = False):
     """Module-level WavEgs factory (picklable for spawn workers).
 
     cfg holds primitives only; the SpeechAug chain is built INSIDE the
@@ -260,7 +261,7 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
         feat_type=cfg.get("feat_type", "fbank"),
         feat_backend=cfg.get("feat_backend", "numpy"),
         spec_aug=cfg.get("spec_aug", False),
-        shuffle_buffer=cfg["shuffle_buffer"],
+        shuffle_buffer=1 if probe else cfg["shuffle_buffer"],
         seed=cfg.get("seed", 1024),
         # decorrelate aug/shuffle RNG streams across pool workers (the
         # reference seeds workers base_seed + worker_id); the shard split
@@ -268,7 +269,9 @@ def _build_train_egs(cfg: Dict, worker_id: int = 0, num_workers: int = 1):
         aug_seed=cfg.get("seed", 1024) + worker_id,
         rank=worker_id,
         world_size=num_workers,
-        workers=cfg.get("workers", 1) if num_workers == 1 else 1,
+        workers=1 if probe else (
+            cfg.get("workers", 1) if num_workers == 1 else 1
+        ),
     )
 
 
@@ -294,8 +297,14 @@ def _mp_worker_loop(make_egs, num_workers, worker_id, task_q, data_q):
         except BaseException as e:  # surface in the parent
             import traceback
 
-            data_q.put((MultiprocessLoader._ERR, worker_id,
-                        f"{e!r}\n{traceback.format_exc()}"))
+            # uniform wire format (tag, gen, payload): the parent can then
+            # tell an error in the CURRENT dispatch from one surfacing out
+            # of an abandoned one (either way the pool is a worker short —
+            # the loop below exits — so both are fatal, but the message
+            # should say which epoch actually failed)
+            data_q.put((MultiprocessLoader._ERR, gen,
+                        f"worker {worker_id}: {e!r}\n"
+                        f"{traceback.format_exc()}"))
             break
         # wire format (tag, gen, payload) — gen ALWAYS at index 1 so the
         # parent's staleness check reads one slot for every tag
@@ -358,7 +367,14 @@ class MultiprocessLoader:
         abandons a dispatch mid-flight (every later epoch then consumes the
         stale stream — off-by-one shuffles, double/missing samples); this
         builds a throwaway single-worker pipeline in-process instead."""
-        egs = self.make_egs(worker_id=0, num_workers=1)
+        try:
+            # factories that understand probe=True build a cheap pipeline
+            # (shuffle buffer 1, no thread fan-out) — without it the probe
+            # prefills the full shuffle buffer on one core before the
+            # first batch appears
+            egs = self.make_egs(worker_id=0, num_workers=1, probe=True)
+        except TypeError:
+            egs = self.make_egs(worker_id=0, num_workers=1)
         if hasattr(egs, "set_epoch"):
             egs.set_epoch(self.epoch)
         return next(iter(egs))
@@ -461,9 +477,12 @@ class MultiprocessLoader:
             item = self._data_q.get()
             tag = item[0]
             if tag == self._ERR:
+                # fatal either way: the failed worker exited its loop, so
+                # the pool can never complete another epoch
+                stale = " (from an abandoned dispatch)" if item[1] != gen \
+                    else ""
                 self.close()
-                raise RuntimeError(
-                    f"egs worker {item[1]} failed:\n{item[2]}")
+                raise RuntimeError(f"egs worker failed{stale}:\n{item[2]}")
             if item[1] != gen:
                 # leftover from an abandoned dispatch — drain and discard
                 # (the workers' stale epoch finishes flushing through here)

@@ -244,7 +244,8 @@ def read_ali_scp(path: str) -> Dict[str, str]:
 
 
 def build_chunk_egs_from_dir(cfg: Dict, worker_id: int = 0,
-                             num_workers: int = 1) -> "ChunkEgs":
+                             num_workers: int = 1,
+                             probe: bool = False) -> "ChunkEgs":
     """Module-level ChunkEgs factory (picklable for MultiprocessLoader
     spawn workers); composes the (worker, pool-size) split into ChunkEgs's
     (rank, world_size) like the reference's DistributedSampler. With

@@ -66,13 +66,23 @@ def _frame_opts_supported(fo) -> bool:
     )
 
 
+def _mel_opts_supported(mo) -> bool:
+    """The C API forwards only num_bins; low/high freq must be at the
+    C++ defaults or the native output would silently differ."""
+    return (
+        abs(mo.low_freq - 20.0) < 1e-9
+        and abs(mo.high_freq - 0.0) < 1e-9
+    )
+
+
 def native_fbank(wave: np.ndarray, opts) -> Optional[np.ndarray]:
     """[S] float32 -> [T, num_bins] via the C++ frontend, or None when the
     lib/options can't serve the request (caller falls back to numpy)."""
     lib = _lib()
     if lib is None:
         return None
-    if opts.use_energy or not _frame_opts_supported(opts.frame_opts):
+    if (opts.use_energy or not _frame_opts_supported(opts.frame_opts)
+            or not _mel_opts_supported(opts.mel_opts)):
         return None
     w = np.ascontiguousarray(np.asarray(wave, np.float32))
     nb = int(opts.mel_opts.num_bins)
@@ -93,7 +103,10 @@ def native_mfcc(wave: np.ndarray, opts) -> Optional[np.ndarray]:
     lib = _lib()
     if lib is None:
         return None
-    if not _frame_opts_supported(opts.frame_opts):
+    if (not _frame_opts_supported(opts.frame_opts)
+            or not _mel_opts_supported(opts.mel_opts)
+            or abs(getattr(opts, "cepstral_lifter", 22.0) - 22.0) > 1e-9
+            or getattr(opts, "energy_floor", 0.0) != 0.0):
         return None
     w = np.ascontiguousarray(np.asarray(wave, np.float32))
     nb, nc = int(opts.mel_opts.num_bins), int(opts.num_ceps)

@@ -410,12 +410,12 @@ def write_mat(fd_or_path, mat: np.ndarray, key: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _is_binary_file(fd: BinaryIO) -> bool:
+def _read_head(fd: BinaryIO):
+    """(is_binary, head_bytes): peeks WITHOUT seeking (pipes from
+    open_or_fd('cmd |') can't seek) — text callers prepend head_bytes to
+    the rest of the stream."""
     head = fd.read(2)
-    if head == b"\x00B":
-        return True
-    fd.seek(-len(head), io.SEEK_CUR)
-    return False
+    return head == b"\x00B", head
 
 
 def read_token(fd: BinaryIO) -> str:
@@ -436,11 +436,20 @@ def write_token(fd: BinaryIO, tok: str) -> None:
     fd.write(tok.encode() + b" ")
 
 
+def expect_token(fd: BinaryIO, want: str) -> None:
+    """Read a token and require it (NOT an assert: the read is a format-
+    critical side effect that must survive python -O)."""
+    got = read_token(fd)
+    if got != want:
+        raise ValueError(f"expected Kaldi token {want!r}, got {got!r}")
+
+
 def _read_text_block(text: str):
     """Parse consecutive '[ ... ]' numeric blocks from Kaldi text.
 
-    Vector blocks yield a flat list; matrix blocks (rows on separate
-    lines, Kaldi's text Matrix::Write layout) yield a list of rows."""
+    Every block yields a LIST OF ROWS (rows = lines inside the block,
+    Kaldi's text Matrix::Write layout); vector callers flatten, matrix
+    callers np.asarray the rows — so a 1xN matrix keeps its 2-D shape."""
     blocks = []
     in_block = False
     rows: list = []
@@ -452,7 +461,7 @@ def _read_text_block(text: str):
             elif tok == "]":
                 if row:
                     rows.append(row)
-                blocks.append(rows[0] if len(rows) == 1 else rows)
+                blocks.append(rows)
                 in_block, rows, row = False, [], []
             elif in_block:
                 row.append(float(tok))
@@ -467,7 +476,8 @@ def read_vec(fd_or_path) -> np.ndarray:
     binary or text."""
     fd = open_or_fd(fd_or_path)
     try:
-        if _is_binary_file(fd):
+        binary, head = _read_head(fd)
+        if binary:
             header = fd.read(3)
             if header == b"FV ":
                 dtype, size = np.float32, 4
@@ -477,9 +487,11 @@ def read_vec(fd_or_path) -> np.ndarray:
                 raise ValueError(f"unknown vector header {header!r}")
             dim = _read_int32(fd)
             return np.frombuffer(fd.read(dim * size), dtype=dtype).copy()
-        rows = open(fd_or_path).read() if isinstance(fd_or_path, str) else \
-            fd.read().decode()
-        return np.asarray(_read_text_block(rows)[0], np.float64)
+        text = (head + fd.read()).decode()
+        rows = _read_text_block(text)[0]
+        return np.asarray(
+            [v for r in rows for v in r], np.float64
+        )
     finally:
         if fd is not fd_or_path:
             fd.close()
@@ -528,11 +540,12 @@ def read_mat_file(fd_or_path) -> np.ndarray:
     artifact), binary or text."""
     fd = open_or_fd(fd_or_path)
     try:
-        if _is_binary_file(fd):
+        binary, head = _read_head(fd)
+        if binary:
             return _read_mat_body(fd, fd.read(3), None)
-        text = open(fd_or_path).read() if isinstance(fd_or_path, str) else \
-            fd.read().decode()
-        return np.asarray(_read_text_block(text)[0], np.float64)
+        text = (head + fd.read()).decode()
+        rows = _read_text_block(text)[0]
+        return np.asarray(rows, np.float64)
     finally:
         if fd is not fd_or_path:
             fd.close()

@@ -210,9 +210,11 @@ class Launcher:
                 # wave path, so wave-trained models validate consistently)
                 compute_feat=True,
                 feat_opts=self.feat_opts,
-                # same family as training (mfcc opts into the fbank branch
-                # would AttributeError after the first epoch)
+                # same family AND backend as training (a native-trained
+                # run validating on numpy features would carry a
+                # systematic 2e-3 offset into the plateau metric)
                 feat_type=p.get("feat_type", "fbank"),
+                feat_backend=p.get("feat_backend", "numpy"),
                 shuffle_buffer=1,
                 seed=self.params["seed"],
             )

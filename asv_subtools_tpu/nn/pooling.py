@@ -50,6 +50,24 @@ class StatisticsPooling(nn.Module):
         return jnp.concatenate([mean, std], axis=-1) if self.stddev else mean
 
 
+class FreeStatisticsPooling(nn.Module):
+    """Statistics over ALL frames unconditionally (reference
+    pooling.py:24-92): unlike StatisticsPooling it IGNORES any mask —
+    padded frames enter the mean/std exactly as the reference computes
+    them. Only for bit-parity with reference models evaluated on padded
+    batches; the masked variant is the correct default."""
+
+    stddev: bool = True
+    unbiased: bool = False
+    eps: float = _EPS
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        mean, std = _masked_moments(x, None, unbiased=self.unbiased,
+                                    eps=self.eps)
+        return jnp.concatenate([mean, std], axis=-1) if self.stddev else mean
+
+
 class LDEPooling(nn.Module):
     """Learnable dictionary encoding pooling (reference pooling.py:130-163).
 
@@ -467,11 +485,7 @@ class MQMHASPLinear(nn.Module):
 
 POOLINGS = {
     "statistics": StatisticsPooling,
-    # FreeStatisticsPooling (reference pooling.py:24-92): statistics over
-    # ALL frames unconditionally — StatisticsPooling with mask=None is
-    # the identical computation, so the alias shares the class (callers
-    # that pass a mask get the masked behavior, same as "statistics")
-    "free-statistics": StatisticsPooling,
+    "free-statistics": FreeStatisticsPooling,
     "lde": LDEPooling,
     "attentive": AttentiveStatisticsPooling,
     "multi-head": MultiHeadAttentionPooling,

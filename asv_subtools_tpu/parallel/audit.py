@@ -130,19 +130,41 @@ def audit_compiled_text(hlo_text: str, stderr_text: str = "") -> CollectiveAudit
         if not m:
             continue
         # -start/-done pairs describe ONE collective; count the -start (or
-        # the plain op) and skip the matching -done
-        if re.search(r"(all-gather|all-reduce|collective-permute)-done\(",
-                     line):
+        # the plain op) and skip the matching -done (any async form)
+        if re.search(
+            r"(all-gather|all-reduce|reduce-scatter|collective-permute|"
+            r"all-to-all)-done\(",
+            line,
+        ):
             continue
         name = line.strip().split(" ")[0]
         if name in seen:
             continue
         seen.add(name)
+        shape = m.group("shape")
+        is_start = f"{m.group('op')}-start(" in line
+        if is_start and shape.startswith("("):
+            # async-start results are (operand..., result...) tuples —
+            # counting every member would double the moved bytes; the
+            # RESULT is the last member
+            # the final full shape token (dtype[dims]{layout}) is the result
+            mlast = list(_SHAPE_RE.finditer(shape))
+            nbytes = 0
+            if mlast:
+                fin = mlast[-1]
+                d = _DTYPE_BYTES.get(fin.group("dtype"), 0)
+                n = 1
+                for x in fin.group("dims").split(","):
+                    if x:
+                        n *= int(x)
+                nbytes = n * d
+        else:
+            nbytes = _shape_bytes(shape)
         collectives.append(
             {
                 "op": m.group("op"),
-                "shape": m.group("shape"),
-                "bytes": _shape_bytes(m.group("shape")),
+                "shape": shape,
+                "bytes": nbytes,
             }
         )
     n_remat = stderr_text.count("Involuntary full rematerialization")
