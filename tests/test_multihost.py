@@ -110,6 +110,45 @@ state2, m2 = step(state2, gbatch, rng)
 loss2 = float(jax.device_get(m2["loss"]))
 assert np.isfinite(loss2)
 print(f"RANK{rank} CKPT loss2={loss2:.4f}")
+
+# FSDP (ZeRO-3) through the public Trainer across BOTH processes: params
+# sharded over the global data axis (each process holds only its shards),
+# at-use gather constraint active, loss must decrease
+from asv_subtools_tpu.parallel import make_fsdp_rules, shard_batch
+from asv_subtools_tpu.train import Trainer
+
+trainer = Trainer(
+    net, tx,
+    config=TrainStepConfig(compute_dtype=jnp.float32),
+    mesh=mesh,
+    partition_rules=make_fsdp_rules(mesh, min_size=64),
+)
+fstate = trainer.init_state(rng, {k: jnp.asarray(v) for k, v in host_batch.items()})
+n_sharded = sum(
+    1 for x in jax.tree_util.tree_leaves(fstate.params)
+    if any(ax is not None for ax in x.sharding.spec)
+)
+assert n_sharded > 0, "no param sharded under FSDP rules"
+# a sharded param's addressable shards live only on LOCAL devices
+w = next(
+    x for x in jax.tree_util.tree_leaves(fstate.params)
+    if any(ax is not None for ax in x.sharding.spec)
+)
+assert len(w.addressable_shards) == 4, len(w.addressable_shards)
+losses = []
+for i in range(3):
+    fb = {
+        k: multihost_utils.host_local_array_to_global_array(v, mesh, P("data"))
+        for k, v in host_batch.items()
+    }
+    fstate, fm = trainer._train_step_nomask(
+        fstate, fb, jax.random.PRNGKey(i),
+        jnp.asarray(1.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+    )
+    losses.append(float(jax.device_get(fm["loss"])))
+assert losses[-1] < losses[0], losses
+print(f"RANK{rank} FSDP ok losses={[round(l,3) for l in losses]}")
 """
 
 
