@@ -290,18 +290,12 @@ struct ClientOptionStub {
 };
 #endif  // ASVTPU_WITH_PJRT
 
-// wav path -> VAD-selected, submeaned features [kept, dim-1].
-static bool ComputeSelectedFeats(const std::string& path,
-                                 const FbankComputer& computer,
-                                 const VadOptions& vad_opts, bool do_vad,
-                                 bool do_submean, std::vector<float>* selected,
-                                 int* kept_out, int* total_out,
-                                 double* wav_s_out) {
-  WavReader reader(path);
-  std::vector<float> wav = reader.Channel(0);
-  *wav_s_out = double(wav.size()) / reader.sample_rate();
-  std::vector<float> feats = computer.Compute(wav);  // [T, 1+bins]
-  int dim = computer.Dim();
+// [T, 1+bins] features (energy in column 0) -> VAD-selected, submeaned
+// [kept, dim-1]. Shared by the batch frontend and the streaming path.
+static void SelectAndNormalize(const std::vector<float>& feats, int dim,
+                               const VadOptions& vad_opts, bool do_vad,
+                               bool do_submean, std::vector<float>* selected,
+                               int* kept_out, int* total_out) {
   int t_frames = int(feats.size()) / dim;
   std::vector<float> log_e(t_frames);
   for (int t = 0; t < t_frames; ++t) log_e[t] = feats[size_t(t) * dim];
@@ -336,6 +330,21 @@ static bool ComputeSelectedFeats(const std::string& path,
   }
   *kept_out = kept;
   *total_out = t_frames;
+}
+
+// wav path -> VAD-selected, submeaned features [kept, dim-1].
+static bool ComputeSelectedFeats(const std::string& path,
+                                 const FbankComputer& computer,
+                                 const VadOptions& vad_opts, bool do_vad,
+                                 bool do_submean, std::vector<float>* selected,
+                                 int* kept_out, int* total_out,
+                                 double* wav_s_out) {
+  WavReader reader(path);
+  std::vector<float> wav = reader.Channel(0);
+  *wav_s_out = double(wav.size()) / reader.sample_rate();
+  std::vector<float> feats = computer.Compute(wav);  // [T, 1+bins]
+  SelectAndNormalize(feats, computer.Dim(), vad_opts, do_vad, do_submean,
+                     selected, kept_out, total_out);
   return true;
 }
 
@@ -525,35 +534,10 @@ int main(int argc, char** argv) {
       pipe.InputFinished();
       drain.join();
       // post-selection identical to the batch path
-      std::vector<float> log_e(t_frames);
-      for (int t = 0; t < t_frames; ++t) log_e[t] = feats[size_t(t) * dim];
-      std::vector<uint8_t> voiced =
-          do_vad ? ComputeVadEnergy(vad_opts, log_e)
-                 : std::vector<uint8_t>(t_frames, 1);
       std::vector<float> selected;
-      int kept = 0, fdim = dim - 1;
-      for (int t = 0; t < t_frames; ++t) {
-        if (!voiced[t]) continue;
-        for (int dd = 1; dd < dim; ++dd)
-          selected.push_back(feats[size_t(t) * dim + dd]);
-        ++kept;
-      }
-      if (kept == 0) {
-        for (int t = 0; t < t_frames; ++t)
-          for (int dd = 1; dd < dim; ++dd)
-            selected.push_back(feats[size_t(t) * dim + dd]);
-        kept = t_frames;
-      }
-      if (do_submean && kept > 0) {
-        for (int dd = 0; dd < fdim; ++dd) {
-          double mean = 0;
-          for (int t = 0; t < kept; ++t)
-            mean += selected[size_t(t) * fdim + dd];
-          mean /= kept;
-          for (int t = 0; t < kept; ++t)
-            selected[size_t(t) * fdim + dd] -= float(mean);
-        }
-      }
+      int kept = 0, total = 0, fdim = dim - 1;
+      SelectAndNormalize(feats, dim, vad_opts, do_vad, do_submean,
+                         &selected, &kept, &total);
       std::string err;
       std::vector<float> emb = pjrt->Embed(selected, kept, fdim, &err);
       auto t_done = Clock::now();
