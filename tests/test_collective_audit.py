@@ -93,3 +93,32 @@ class TestSpmdPartitioning:
         counts = a.counts()
         assert counts.get("all-to-all", 0) == 0, counts
         assert counts.get("collective-permute", 0) == 0, counts
+
+
+class TestHloParsing:
+    def test_async_start_done_accounting(self):
+        """TPU-style async collectives: -done forms are skipped for every
+        op kind, -start tuple results count only the RESULT member (not
+        operand+result), sync tuple all-reduces still sum members."""
+        hlo = """
+  %all-gather-start.1 = (bf16[16,512]{1,0}, bf16[128,512]{1,0}) all-gather-start(%p), dimensions={0}
+  %all-gather-done.1 = bf16[128,512]{1,0} all-gather-done(%all-gather-start.1)
+  %reduce-scatter.2 = f32[16,512]{1,0} reduce-scatter(%g), dimensions={0}
+  %reduce-scatter-done.9 = f32[16,512]{1,0} reduce-scatter-done(%x)
+  %all-to-all-done.3 = f32[4,4]{1,0} all-to-all-done(%y)
+  %all-reduce.3 = (f32[8]{0}, f32[8]{0}) all-reduce(%a, %b)
+"""
+        a = audit_compiled_text(hlo)
+        assert a.counts() == {
+            "all-gather": 1, "reduce-scatter": 1, "all-reduce": 1
+        }, a.counts()
+        b = a.bytes_by_op()
+        assert b["all-gather"] == 128 * 512 * 2   # result member only
+        assert b["reduce-scatter"] == 16 * 512 * 4
+        assert b["all-reduce"] == 8 * 4 * 2       # sync tuple: sum
+
+    def test_remat_warning_count(self):
+        stderr = ("x\n[SPMD] Involuntary full rematerialization. blah\n"
+                  "[SPMD] Involuntary full rematerialization. blah\n")
+        a = audit_compiled_text("", stderr)
+        assert a.involuntary_remats == 2
