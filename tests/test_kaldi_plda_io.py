@@ -215,3 +215,33 @@ class TestStandaloneArtifacts:
         got = read_mat_file(str(tmp_path / "t.txt"))
         assert np.asarray(got).shape == m.shape
         np.testing.assert_allclose(got, m, rtol=1e-12)
+
+
+class TestRxfilenameForms:
+    """Kaldi rxfilename support for the standalone object readers (round-4
+    review #8): pipes cannot seek, so the binary/text sniff must not."""
+
+    def test_vec_through_pipe(self, tmp_path):
+        v = np.arange(5, dtype=np.float64)
+        p = tmp_path / "m.vec"
+        write_vec(str(p), v)  # binary
+        got = read_vec(f"cat {p} |")
+        np.testing.assert_array_equal(got, v)
+        # text form through a pipe too
+        pt = tmp_path / "m.txt"
+        write_vec(str(pt), v, binary=False)
+        np.testing.assert_allclose(read_vec(f"cat {pt} |"), v, rtol=1e-12)
+
+    def test_mat_through_pipe(self, tmp_path):
+        m = np.arange(12, dtype=np.float64).reshape(3, 4)
+        p = tmp_path / "t.mat"
+        write_mat_file(str(p), m)
+        np.testing.assert_array_equal(read_mat_file(f"cat {p} |"), m)
+
+    def test_single_row_text_matrix_keeps_shape(self, tmp_path):
+        m = np.asarray([[1.0, 2.0, 3.0, 4.0]])
+        p = tmp_path / "row.txt"
+        write_mat_file(str(p), m, binary=False)
+        got = read_mat_file(str(p))
+        assert np.asarray(got).shape == (1, 4)
+        np.testing.assert_allclose(got, m, rtol=1e-12)
