@@ -771,3 +771,54 @@ class TestEcapaRoadmapPreset:
         stats = l2.extract(str(corpus / "eval.scp"),
                            str(tmp_path / "xv_lm"), state2)
         assert stats["utts"] == 8
+
+
+class TestModelWarmupWiring:
+    def test_model_warmup_steps_reaches_the_train_step(self, corpus, tmp_path):
+        """Regression (r4): train.model_warmup_steps was silently dropped
+        by the Launcher — the reference transformer path depends on the
+        encoder layer-bypass warmup (trainer_online.py:227). With a huge
+        warmup the early-step encoder blends alpha~0.1 of each block; the
+        trained params must therefore DIFFER from a warmup-off run on the
+        identical seed/data."""
+        import jax
+
+        def run(warmup_steps):
+            params = {
+                "exp_dir": str(tmp_path / f"exp_w{warmup_steps}"),
+                "data": {
+                    "train_wav_scp": str(corpus / "wav.scp"),
+                    "train_utt2spk": str(corpus / "utt2spk"),
+                    "chunk_seconds": 0.6, "batch_size": 8,
+                    "shuffle_buffer": 8, "num_bins": 40,
+                },
+                "model": {"name": "conformer_xvector",
+                          "params": {"attention_dim": 32,
+                                     "attention_heads": 2,
+                                     "num_blocks": 1, "linear_units": 64,
+                                     "embd_dim": 16}},
+                "loss": {"name": "softmax", "params": {}},
+                "train": {"epochs": 1,
+                          "optimizer": {"name": "adamW",
+                                        "learning_rate": 1e-3},
+                          "lr_schedule": {"name": "constant",
+                                          "base_lr": 1e-3},
+                          "model_warmup_steps": warmup_steps,
+                          "report_interval": 100},
+            }
+            l = Launcher(params)
+            egs = l.build_egs()
+            l.build_model()
+            state = l.train(egs)
+            return jax.device_get(state.params)
+
+        p_warm = run(100000)  # alpha ~0.1 for the whole short run
+        p_off = run(0)
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree_util.tree_leaves(p_warm),
+                            jax.tree_util.tree_leaves(p_off))
+        ]
+        assert max(diffs) > 1e-4, (
+            "model_warmup_steps had no effect on training"
+        )
