@@ -323,3 +323,57 @@ class TestKaldiIvectorExtractorIO:
             want = np.linalg.solve(quad, lin)
             want[0] -= model.prior_offset
             np.testing.assert_allclose(got[i], want, rtol=1e-9, atol=1e-10)
+
+
+class TestSamPlateauScale:
+    def test_lr_scale_scales_the_update_not_the_grads(self):
+        """Regression (r4): SAM multiplied the plateau lr_scale into the
+        gradients, which Adam-family optimizers are invariant to — the
+        reduceP+SAM combination silently no-opped. The scale must act on
+        the post-optimizer UPDATE: halving it must halve the param delta."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from asv_subtools_tpu.models import Xvector
+        from asv_subtools_tpu.models.framework import SpeakerNet
+        from asv_subtools_tpu.train.sam import make_sam_train_step
+        from asv_subtools_tpu.train.trainer import (
+            TrainState,
+            TrainStepConfig,
+            init_train_state,
+        )
+
+        net = SpeakerNet(
+            backbone=Xvector(num_frame_channels=16, embd_dim=8),
+            loss_name="softmax", loss_params={}, num_targets=4,
+        )
+        tx = optax.adamw(1e-2)
+        step = jax.jit(make_sam_train_step(
+            net, tx, config=TrainStepConfig(compute_dtype=jnp.float32,
+                                            skip_nonfinite=False),
+        ))
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "x": jnp.asarray(np.random.default_rng(0).normal(
+                size=(8, 20, 8)), jnp.float32),
+            "y": jnp.asarray(np.arange(8) % 4, jnp.int32),
+        }
+        state0 = init_train_state(net, rng, batch, tx)
+
+        def delta(lr_scale):
+            s, _ = step(state0, batch, rng, 1.0, 0.0,
+                        jnp.asarray(lr_scale, jnp.float32))
+            return jax.tree_util.tree_map(
+                lambda a, b: np.asarray(a) - np.asarray(b),
+                jax.device_get(s.params), jax.device_get(state0.params),
+            )
+
+        d1 = delta(1.0)
+        dh = delta(0.5)
+        n1 = float(np.sqrt(sum(
+            float((x**2).sum()) for x in jax.tree_util.tree_leaves(d1))))
+        nh = float(np.sqrt(sum(
+            float((x**2).sum()) for x in jax.tree_util.tree_leaves(dh))))
+        assert abs(nh / n1 - 0.5) < 1e-3, (n1, nh)
