@@ -855,3 +855,48 @@ class TestNativeFeatureBackend:
             pytest.skip("libasvtpu_capi.so not built")
         opts = FbankOptions(frame_opts=FrameOptions(dither=1.0))
         assert native_fbank(np.zeros(16000, np.float32), opts) is None
+
+
+def _mp_native_factory(cfg, worker_id=0, num_workers=1, probe=False):
+    from asv_subtools_tpu.data.dataset import _build_train_egs
+
+    return _build_train_egs(cfg, worker_id=worker_id,
+                            num_workers=num_workers, probe=probe)
+
+
+class TestNativeBackendInSpawnWorkers:
+    def test_pool_parity_native_vs_numpy(self, wav_dir):
+        """feat_backend='native' must load the ctypes lib inside SPAWN
+        workers and agree with the numpy pool on every batch key set and
+        feature shape (values at the native tolerance)."""
+        import functools
+
+        from asv_subtools_tpu.data import MultiprocessLoader, build_spk2int
+        from asv_subtools_tpu.features.native import native_available
+
+        if not native_available():
+            pytest.skip("libasvtpu_capi.so not built")
+        spk2int = build_spk2int(str(wav_dir / "utt2spk"))
+
+        def batches(backend):
+            cfg = dict(
+                train_scp=str(wav_dir / "wav.scp"),
+                train_u2s=str(wav_dir / "utt2spk"),
+                spk2int=spk2int, chunk_seconds=0.5, batch_size=2,
+                compute_feat=True, feat_backend=backend, shuffle_buffer=8,
+            )
+            loader = MultiprocessLoader(
+                functools.partial(_mp_native_factory, cfg), num_workers=2)
+            try:
+                out = {k: b["x"][i] for b in loader
+                       for i, k in enumerate(b["keys"])}
+            finally:
+                loader.close()
+            return out
+
+        a = batches("numpy")
+        b = batches("native")
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k].shape == b[k].shape
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-3)
