@@ -775,6 +775,23 @@ def convert_snowdar_state_dict(sd: Dict) -> Tuple[Dict, Dict]:
                     "bias": np.asarray(sd[f"se{i}.fc_2.bias"], np.float32),
                 },
             }
+    if "stats.prior_mean" in sd:
+        # xi-vector pooling head (pooling="xi-postmean/postdist-softplus2",
+        # snowdar_xvector.py:131-134 -> pooling.py:165-218): learnable
+        # prior rows [1, D] squeeze to our [D] params, plus the
+        # log-precision estimator TDNN (lin1_relu_bn + lin2)
+        lin1_p, lin1_s = _tdnn_layer(sd, "stats.lin1_relu_bn")
+        lin2 = {"kernel": _conv_kernel(sd["stats.lin2.weight"])}
+        if "stats.lin2.bias" in sd:
+            lin2["bias"] = np.asarray(sd["stats.lin2.bias"], np.float32)
+        params["stats"] = {
+            "prior_mean": np.asarray(sd["stats.prior_mean"][0], np.float32),
+            "prior_logprec": np.asarray(sd["stats.prior_logprec"][0],
+                                        np.float32),
+            "lin1_relu_bn": lin1_p,
+            "lin2": {"conv": lin2},
+        }
+        stats["stats"] = {"lin1_relu_bn": lin1_s}
     params["tdnn6_affine"] = {
         "kernel": _dense_kernel(sd["tdnn6.affine.weight"]),
         "bias": np.asarray(sd["tdnn6.affine.bias"], np.float32),

@@ -453,6 +453,47 @@ class TestSnowdarParity:
         assert our_emb.shape == ref_np.shape
         np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("pooling", ["xi-postmean-softplus2",
+                                         "xi-postdist-softplus2"])
+    def test_xi_pooling_embeddings_allclose(self, reference_snowdar, pooling):
+        """Snowdar + xi-vector pooling (snowdar_xvector.py:131-134): the
+        converter's stats.* subtree mapping (prior rows + log-precision
+        estimator TDNN) produces identical embeddings — the model-level
+        gate behind the Xi-vector reverse round-trip."""
+        from asv_subtools_tpu.convert import convert_snowdar_state_dict
+        from asv_subtools_tpu.models import Xvector
+
+        torch.manual_seed(1)
+        feat = 30
+        ref = reference_snowdar.Xvector(
+            feat, 50, training=False, pooling=pooling,
+            pooling_params={"hidden_size": 16},
+            extracted_embedding="near",
+        )
+        ref.eval()
+        params, stats = convert_snowdar_state_dict(ref.state_dict())
+        ours = Xvector(
+            pooling="xi",
+            pooling_params={"hidden_size": 16,
+                            "stddev": pooling.endswith("postdist-softplus2")},
+        )
+        variables = {"params": params, "batch_stats": stats}
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(2, 90, feat)).astype(np.float32)
+        refs = []
+        with torch.no_grad():
+            for i in range(2):
+                refs.append(
+                    ref.extract_embedding(torch.from_numpy(x[i])).numpy()
+                )
+        ref_np = np.stack(refs)
+        our_emb = np.asarray(
+            ours.apply(variables, jnp.asarray(x), train=False,
+                       position="near")
+        )
+        assert our_emb.shape == ref_np.shape
+        np.testing.assert_allclose(our_emb, ref_np, rtol=2e-3, atol=2e-3)
+
 
 class TestConformerVariantParity:
     """Converter parity for the OTHER encoder variants: abs_pos / rot_pos /

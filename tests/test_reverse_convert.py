@@ -1,7 +1,8 @@
 """Round-trip migration gate: train HERE -> export BACK to the reference
-(VERDICT r3 missing #3).
+(VERDICT r3 missing #3; extended to ALL 10 convertible families r5 per
+VERDICT r4 missing #3).
 
-For ECAPA / ResNet34 / Conformer:
+For every family:
   1. instantiate the reference torch model, forward-convert its weights
      into a SpeakerNet (the established one-way path),
   2. TRAIN several real optimization steps in this framework (so the
@@ -72,8 +73,34 @@ def _train_here(net, params_bb, stats_bb, x_btd, y, steps=5):
     return jax.device_get(state)
 
 
+def _extract_jit(ref, x_btd, position="near"):
+    """Reference deployment path: extract_embedding_jit on a [B, D, T]
+    batch (framework.py:133-143)."""
+    with torch.no_grad():
+        e = ref.extract_embedding_jit(
+            torch.from_numpy(
+                np.ascontiguousarray(np.transpose(x_btd, (0, 2, 1)))
+            ),
+            position=position,
+        )
+    return e.squeeze(-1).numpy() if e.ndim == 3 else e.numpy()
+
+
+def _extract_matrix(ref, x_btd):
+    """Per-matrix extract_embedding (the for_extract_embedding decorator,
+    utils.py — one [T, D] matrix per call) for reference models whose
+    extract_embedding_jit is absent or broken (snowdar_xvector.py:279-307
+    references self.repvgg — a copy-paste bug in the reference itself)."""
+    outs = []
+    with torch.no_grad():
+        for i in range(x_btd.shape[0]):
+            outs.append(ref.extract_embedding(
+                torch.from_numpy(x_btd[i])).numpy())
+    return np.stack(outs)
+
+
 def _roundtrip(ref, backbone, convert_fn, x_btd, y, our_position="near",
-               min_cos=0.9999):
+               min_cos=0.9999, extract_fn=_extract_jit):
     net = SpeakerNet(
         backbone=backbone, loss_name="margin_softmax",
         loss_params={"method": "aam", "m": 0.2}, num_targets=N_TARGETS,
@@ -89,15 +116,7 @@ def _roundtrip(ref, backbone, convert_fn, x_btd, y, our_position="near",
     ref.load_state_dict(merged)
     ref.eval()
 
-    with torch.no_grad():
-        ref_emb = ref.extract_embedding_jit(
-            torch.from_numpy(
-                np.ascontiguousarray(np.transpose(x_btd, (0, 2, 1)))
-            ),
-            position="near",
-        )
-    ref_np = (ref_emb.squeeze(-1).numpy() if ref_emb.ndim == 3
-              else ref_emb.numpy())
+    ref_np = extract_fn(ref, x_btd)
     our_emb = np.asarray(net.backbone.apply(
         {"params": state.params["backbone"],
          "batch_stats": state.batch_stats["backbone"]},
@@ -216,3 +235,368 @@ class TestConformerRoundTrip:
             lambda sd: convert_conformer_state_dict(sd, blocks, freq_out),
             x, y,
         )
+
+
+# ---------------------------------------------------------------------------
+# r5: the remaining seven families (VERDICT r4 missing #3) — every
+# convertible family now round-trips train-here -> export -> reference
+# extracts.
+# ---------------------------------------------------------------------------
+
+from asv_subtools_tpu.convert import (  # noqa: E402
+    convert_ecapa_lawlict_state_dict,
+    convert_ftdnn_state_dict,
+    convert_multitask_state_dict,
+    convert_repvgg_state_dict,
+    convert_snowdar_state_dict,
+)
+from asv_subtools_tpu.models import (  # noqa: E402
+    EcapaLawlict,
+    FactoredXvector,
+    RepVggXvector,
+    SnowdarXvector,
+    Xvector,
+)
+
+
+def _snowdar_uncovered_ok(rc):
+    """Snowdar-family masked context taps (tdnn2 [-2,0,2] in width-5,
+    tdnn3 [-3,0,3] in width-7, ex_tdnn4 [-4,0,4] in width-9 — reference
+    components.py:118-136 multiplies weight*mask every forward, so
+    zero-fill is behavior-exact) + int bookkeeping counters."""
+    for k, n in rc.uncovered.items():
+        assert (
+            "num_batches_tracked" in k
+            or (k.endswith("affine.weight")
+                and any(t in k for t in ("tdnn2", "tdnn3", "ex_tdnn4")))
+        ), (k, n)
+
+
+class TestSnowdarRoundTrip:
+    def test_train_export_extract(self):
+        """Standard snowdar x-vector with SE blocks (snowdar_xvector.py:12).
+        extract_embedding_jit is broken in the reference file itself
+        (copy-pasted repvgg body, :279-307) so the decorated per-matrix
+        extract_embedding IS its deployment path here."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "snowdar_rt_ref",
+        )
+        torch.manual_seed(0)
+        feat = 30
+        ref = ref_mod.Xvector(feat, 100, training=False, SE=True,
+                              extracted_embedding="near")
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        rc = _roundtrip(
+            ref, SnowdarXvector(se_block=True),
+            convert_snowdar_state_dict, x, y,
+            extract_fn=_extract_matrix,
+        )
+        _snowdar_uncovered_ok(rc)
+
+
+class TestETdnnRoundTrip:
+    def test_train_export_extract(self):
+        """E-TDNN via snowdar extend=True + skip_connection=True (the
+        configuration the reference's extended-xvector recipes run,
+        snowdar_xvector.py:95-113)."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "etdnn_rt_ref",
+        )
+        torch.manual_seed(1)
+        feat = 30
+        ref = ref_mod.Xvector(feat, 100, training=False, extend=True,
+                              skip_connection=True,
+                              extracted_embedding="near")
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        rc = _roundtrip(
+            ref, SnowdarXvector(extend=True, skip_connection=True),
+            convert_snowdar_state_dict, x, y,
+            extract_fn=_extract_matrix,
+        )
+        _snowdar_uncovered_ok(rc)
+
+
+class TestXiVectorRoundTrip:
+    def test_train_export_extract(self):
+        """Snowdar + xi-vector Gaussian-posterior pooling
+        (pooling="xi-postmean-softplus2", snowdar_xvector.py:131-132):
+        the trained posterior-prior rows and the log-precision estimator
+        TDNN export back into the reference pooling module."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/snowdar_xvector.py",
+            "xivec_rt_ref",
+        )
+        torch.manual_seed(2)
+        feat = 30
+        ref = ref_mod.Xvector(
+            feat, 100, training=False,
+            pooling="xi-postmean-softplus2",
+            pooling_params={"hidden_size": 16},
+            extracted_embedding="near",
+        )
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        rc = _roundtrip(
+            ref, Xvector(pooling="xi", pooling_params={"hidden_size": 16}),
+            convert_snowdar_state_dict, x, y,
+            extract_fn=_extract_matrix,
+        )
+        # xi pooling weights must be FULLY covered (no masked taps there;
+        # only its BN bookkeeping counter may stay unexported)
+        for k in rc.uncovered:
+            assert not k.startswith("stats.") or "num_batches_tracked" in k, (
+                k, rc.uncovered[k]
+            )
+        _snowdar_uncovered_ok(rc)
+
+
+class TestFtdnnRoundTrip:
+    def test_train_export_extract(self):
+        """F-TDNN: the semi-orthogonally factorized blocks (factor +
+        affine per FTdnnBlock) round-trip in factored form — the
+        reference keeps the factors too (factored_xvector.py:31-52), so
+        no folding is required. Masked context taps (factor over [-c,0]
+        valid {0,c}; affine over [0,c] valid {0,c}) are zero-filled,
+        behavior-exact (components.py:133-136)."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/factored_xvector.py",
+            "ftdnn_rt_ref",
+        )
+        torch.manual_seed(3)
+        feat = 30
+        ref = ref_mod.Xvector(feat, 50, training=False)
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=(2, 70, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=2).astype(np.int64)
+        rc = _roundtrip(
+            ref, FactoredXvector(width=1.0, embd_dim=512),
+            convert_ftdnn_state_dict, x, y,
+            our_position="far",
+            extract_fn=lambda r, xb: _extract_jit(r, xb, position="far"),
+        )
+        for k, n in rc.uncovered.items():
+            assert (
+                "num_batches_tracked" in k
+                or k.endswith("factor.weight")
+                or k.endswith("affine.weight")
+            ), (k, n)
+
+
+class TestLawlictRoundTrip:
+    def test_train_export_extract(self):
+        """lawlict ECAPA (ecapa-tdnn-xvector.py): no jit extractor in the
+        reference file — the decorated extract_embedding is the
+        deployment path."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/ecapa-tdnn-xvector.py",
+            "lawlict_rt_ref",
+        )
+        torch.manual_seed(4)
+        feat, channels, embd = 30, 64, 16
+        ref = ref_mod.ECAPA_TDNN(feat, 100, training=False,
+                                 channels=channels, embd_dim=embd)
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        rc = _roundtrip(
+            ref, EcapaLawlict(channels=channels, embd_dim=embd),
+            convert_ecapa_lawlict_state_dict, x, y,
+            extract_fn=_extract_matrix,
+        )
+        for k, n in rc.uncovered.items():
+            assert "num_batches_tracked" in k, (k, n)
+
+
+class TestRepVggRoundTrip:
+    def test_train_export_extract_and_deploy(self):
+        """RepVGG both ways: (1) train-shape export extracts identically;
+        (2) the REFERENCE's own deploy reparam (switch_to_deploy,
+        libs/nnet/repvgg.py) applied to the exported train-shape
+        state_dict still matches our embeddings — the exported model is
+        deployable through the reference's own fusion path."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/repvgg_xvector.py",
+            "repvgg_rt_ref",
+        )
+        torch.manual_seed(5)
+        feat, embd, num_blocks, base = 16, 32, (1, 1, 1, 1), 16
+        freq_out = -(-feat // 8)
+        ref = ref_mod.RepVggXvector(
+            feat, 50, embd_dim=embd, training=False,
+            repvgg_config={
+                "block": "RepSPK",
+                "repvgg_params": {
+                    "num_blocks": list(num_blocks),
+                    "strides": [1, 1, 2, 2, 2],
+                    "base_width": base,
+                    "width_multiplier": [1, 1, 1, 1],
+                    "norm_layer_params": {"momentum": 0.5, "affine": True},
+                    "override_groups_map": None,
+                    "use_se": False,
+                },
+            },
+        )
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=(4, 64, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        convert_fn = lambda sd: convert_repvgg_state_dict(
+            sd, freq_out, num_blocks=num_blocks
+        )
+        rc = _roundtrip(
+            ref,
+            RepVggXvector(num_blocks=num_blocks, width_multiplier=(1, 1, 1, 1),
+                          base_channels=base, block="spk", embd_dim=embd),
+            convert_fn, x, y,
+        )
+        for k, n in rc.uncovered.items():
+            assert "num_batches_tracked" in k, (k, n)
+
+        # (2) deploy via the reference's own reparam on the EXPORTED model
+        our_emb = _extract_jit(ref, x)  # ref currently holds our export
+        for m in ref.modules():
+            if hasattr(m, "switch_to_deploy"):
+                m.switch_to_deploy()
+        deploy_emb = _extract_jit(ref, x)
+        cos = np.sum(our_emb * deploy_emb, axis=-1) / (
+            np.linalg.norm(our_emb, axis=-1)
+            * np.linalg.norm(deploy_emb, axis=-1) + 1e-12
+        )
+        assert np.all(cos >= 0.9999), f"deploy reparam cosine {cos}"
+
+
+class TestMultiTaskRoundTrip:
+    def test_train_export_extract_both_heads(self):
+        """Multi-task x-vector: backbone + BOTH loss heads export
+        (multi_task_xvector_fix.py:160-165 — loss_spk margin weight
+        [T, E, 1] and loss_phone frame affine). Verified by (a) speaker
+        embedding cosine through the reference's extract_embedding and
+        (b) identical joint loss on the same batch in both stacks."""
+        from asv_subtools_tpu.models import MultiTaskNet, MultiTaskXvector
+
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/multi_task_xvector_fix.py",
+            "mt_rt_ref",
+        )
+        torch.manual_seed(6)
+        feat, n_phones, mt_alpha = 30, 12, 0.1
+        ref = ref_mod.Xvector(
+            feat, N_TARGETS, n_phones, training=True, aug_dropout=0.0,
+            margin_loss=True,
+            margin_loss_params={"method": "aam", "m": 0.2},
+            extracted_embedding="near",
+        )
+        net = MultiTaskNet(
+            backbone=MultiTaskXvector(),
+            num_targets=N_TARGETS, num_phones=n_phones,
+            loss_name="margin_softmax",
+            loss_params={"method": "aam", "m": 0.2},
+            mt_alpha=mt_alpha,
+        )
+        rng_np = np.random.default_rng(9)
+        x = rng_np.normal(size=(4, 80, feat)).astype(np.float32)
+        y_spk = rng_np.integers(0, N_TARGETS, size=4).astype(np.int64)
+        y_phone = rng_np.integers(0, n_phones, size=(4, 80)).astype(np.int64)
+
+        # -- train HERE (real optimization steps, both heads active)
+        rng = jax.random.PRNGKey(0)
+        init_v = net.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(x[:2]),
+            {"spk": jnp.asarray(y_spk[:2]),
+             "phone": jnp.asarray(y_phone[:2])},
+            train=False,
+        )
+        params_bb, stats_bb = convert_multitask_state_dict(ref.state_dict())
+        params = dict(init_v["params"])
+        params["backbone"] = jax.tree_util.tree_map(jnp.asarray, params_bb)
+        sd0 = ref.state_dict()
+        params["loss_spk"] = {
+            "weight": jnp.asarray(sd0["loss_spk.weight"]
+                                  .detach().numpy()[:, :, 0])
+        }
+        params["phone_affine"] = {
+            "kernel": jnp.asarray(sd0["loss_phone.affine.weight"]
+                                  .detach().numpy()[:, :, 0].T),
+            "bias": jnp.asarray(sd0["loss_phone.affine.bias"]
+                                .detach().numpy()),
+        }
+        batch_stats = {"backbone": jax.tree_util.tree_map(jnp.asarray,
+                                                          stats_bb)}
+        tx = optax.adamw(1e-3)
+        step = jax.jit(make_train_step(
+            net, tx,
+            config=TrainStepConfig(compute_dtype=jnp.float32,
+                                   skip_nonfinite=False),
+        ))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=tx.init(params),
+        )
+        batch = {"x": jnp.asarray(x),
+                 "y": {"spk": jnp.asarray(y_spk, jnp.int32),
+                       "phone": jnp.asarray(y_phone, jnp.int32)}}
+        for _ in range(5):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, batch, sub)
+        assert np.isfinite(float(m["loss"]))
+        state = jax.device_get(state)
+
+        # -- export: backbone via value-traced inversion + both heads
+        rc = ReverseConverter(convert_multitask_state_dict, ref.state_dict())
+        sd = rc(state.params["backbone"], state.batch_stats["backbone"])
+        w_spk = np.asarray(state.params["loss_spk"]["weight"], np.float32)
+        sd["loss_spk.weight"] = torch.from_numpy(w_spk[:, :, None].copy())
+        k_ph = np.asarray(state.params["phone_affine"]["kernel"], np.float32)
+        b_ph = np.asarray(state.params["phone_affine"]["bias"], np.float32)
+        sd["loss_phone.affine.weight"] = torch.from_numpy(
+            np.ascontiguousarray(k_ph.T[:, :, None])
+        )
+        sd["loss_phone.affine.bias"] = torch.from_numpy(b_ph.copy())
+        merged = dict(ref.state_dict())
+        merged.update(sd)
+        ref.load_state_dict(merged)
+        ref.eval()
+
+        # (a) speaker embedding parity through the reference extractor
+        ref_emb = _extract_matrix(ref, x)
+        our_emb = np.asarray(net.backbone.apply(
+            {"params": state.params["backbone"],
+             "batch_stats": state.batch_stats["backbone"]},
+            jnp.asarray(x), train=False, position="near",
+        )[0])
+        cos = np.sum(our_emb * ref_emb, axis=-1) / (
+            np.linalg.norm(our_emb, axis=-1)
+            * np.linalg.norm(ref_emb, axis=-1) + 1e-12
+        )
+        assert np.all(cos >= 0.9999), f"round-trip cosine {cos}"
+
+        # (b) BOTH heads: identical joint loss on the same batch.
+        # Weight-norm feature-normalized margin heads make loss equality a
+        # sharp check on every exported tensor (backbone + both heads).
+        ref.train()
+        with torch.no_grad():
+            l_spk, l_phone = ref.forward(
+                torch.from_numpy(
+                    np.ascontiguousarray(np.transpose(x, (0, 2, 1)))
+                ),
+                torch.from_numpy(y_spk),
+                torch.from_numpy(y_phone[:, None, :]),
+            )
+            ref_joint = float(l_spk + mt_alpha * l_phone)
+        our_loss, _, _ = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x),
+            {"spk": jnp.asarray(y_spk, jnp.int32),
+             "phone": jnp.asarray(y_phone, jnp.int32)},
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )[0]
+        np.testing.assert_allclose(float(our_loss), ref_joint,
+                                   rtol=5e-4, atol=5e-5)
