@@ -29,6 +29,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+REPS = 5  # differential-timing repetitions (noise model, VERDICT r4 weak #1)
+
+
+def _diff_samples(timed_small, timed_big, reps=REPS):
+    """Per-rep differential estimates: interleave (small, big) timings and
+    difference them pairwise, so tunnel drift hits both terms of each pair
+    equally. Returns `reps` independent dt samples."""
+    out = []
+    for _ in range(reps):
+        t1 = timed_small()
+        t2 = timed_big()
+        out.append(max(t2 - t1, 1e-9))
+    return out
+
+
+def _stats(samples, scale):
+    """Median + spread of a derived metric `scale/dt` over the dt samples."""
+    vals = sorted(scale / s for s in samples)
+    return {
+        "median": vals[len(vals) // 2],
+        "min": vals[0],
+        "max": vals[-1],
+        "spread_pct": round(100.0 * (vals[-1] - vals[0]) / vals[len(vals) // 2], 2),
+    }
+
 
 def _train_net(family: str, num_targets: int):
     """Production-scale training nets per family (the voxcelebSRC recipe
@@ -66,7 +91,8 @@ def _train_net(family: str, num_targets: int):
     raise ValueError(family)
 
 
-def bench_train(family="ecapa", with_cost=False, remat=None):
+def bench_train(family="ecapa", with_cost=False, remat=None,
+                with_stats=False):
     """Jitted train-step throughput: audio-s/s and ms/step on one chip.
 
     with_cost=True also returns the XLA cost analysis of one step (FLOPs,
@@ -126,28 +152,39 @@ def bench_train(family="ecapa", with_cost=False, remat=None):
 
         return multi_step
 
-    def timed(jfn):
-        st, losses = jfn(state, batch_d, rng)  # compile + warm
+    multi_small, multi_big = make_multi(iters), make_multi(2 * iters)
+    for jfn in (multi_small, multi_big):  # compile + warm
+        _, losses = jfn(state, batch_d, rng)
         jax.device_get(losses)
-        best = float("inf")
-        for _ in range(2):
+
+    def one_timing(jfn):
+        def f():
             t0 = time.perf_counter()
-            st2, losses = jfn(state, batch_d, rng)
+            _, losses = jfn(state, batch_d, rng)
             jax.device_get(losses)  # D2H: true completion barrier on axon
-            best = min(best, time.perf_counter() - t0)
-        return best
+            return time.perf_counter() - t0
+        return f
 
-    t1 = timed(make_multi(iters))
-    t2 = timed(make_multi(2 * iters))
-    dt = max(t2 - t1, 1e-9)
-
+    samples = _diff_samples(one_timing(multi_small), one_timing(multi_big))
     audio_seconds = iters * batch * chunk_seconds
+    tp = _stats(samples, audio_seconds)
+    ms_vals = sorted(s * 1000.0 / iters for s in samples)
+    ms = {
+        "median": ms_vals[len(ms_vals) // 2],
+        "min": ms_vals[0],
+        "max": ms_vals[-1],
+        "spread_pct": round(
+            100.0 * (ms_vals[-1] - ms_vals[0]) / ms_vals[len(ms_vals) // 2], 2
+        ),
+    }
     if with_cost:
         from asv_subtools_tpu.utils.profiling import flops_estimate
 
         cost = flops_estimate(step_fn, state, batch_d, rng)
-        return audio_seconds / dt, dt / iters * 1000.0, cost
-    return audio_seconds / dt, dt / iters * 1000.0
+        return tp["median"], ms["median"], cost
+    if with_stats:
+        return tp, ms
+    return tp["median"], ms["median"]
 
 
 def main():
@@ -205,40 +242,51 @@ def main():
 
         return extract_scan
 
-    def timed(jfn):
-        float(jax.device_get(jfn(jnp.float32(0), wave)))  # compile + warm
-        best = float("inf")
-        for rep in range(3):
+    scan_small, scan_big = make_scan(iters), make_scan(2 * iters)
+    salt = [0.0]
+    for jfn in (scan_small, scan_big):  # compile + warm
+        float(jax.device_get(jfn(jnp.float32(salt[0]), wave)))
+        salt[0] += 1000.0
+
+    def one_timing(jfn):
+        def f():
+            salt[0] += 1000.0  # vary input (relay caches identical executes)
             t0 = time.perf_counter()
-            float(jax.device_get(jfn(jnp.float32(1000 * (rep + 1)), wave)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            float(jax.device_get(jfn(jnp.float32(salt[0]), wave)))
+            return time.perf_counter() - t0
+        return f
 
-    t1 = timed(make_scan(iters))
-    t2 = timed(make_scan(2 * iters))
-    dt = max(t2 - t1, 1e-9)
-
+    samples = _diff_samples(one_timing(scan_small), one_timing(scan_big))
     audio_seconds = iters * batch * utt_seconds
-    throughput = audio_seconds / dt  # audio-s per wall-s per chip
+    ex = _stats(samples, audio_seconds)
     baseline = 1.0 / 0.071  # reference C++ runtime, 1 CPU thread
 
-    train_tp, step_ms = bench_train("ecapa")
-    conf_tp, conf_ms = bench_train("conformer")
-    rn_tp, rn_ms = bench_train("resnet34")
+    train_tp, train_ms = bench_train("ecapa", with_stats=True)
+    conf_tp, conf_ms = bench_train("conformer", with_stats=True)
+    rn_tp, rn_ms = bench_train("resnet34", with_stats=True)
+
+    def spread(st):
+        return {"min": round(st["min"], 1), "max": round(st["max"], 1),
+                "spread_pct": st["spread_pct"], "reps": REPS}
+
     print(
         json.dumps(
             {
                 "metric": "ecapa_c1024_extract_throughput",
-                "value": round(throughput, 1),
+                "value": round(ex["median"], 1),
                 "unit": "audio_seconds_per_second_per_chip",
-                "vs_baseline": round(throughput / baseline, 1),
-                "train_value": round(train_tp, 1),
+                "vs_baseline": round(ex["median"] / baseline, 1),
+                "extract_spread": spread(ex),
+                "train_value": round(train_tp["median"], 1),
                 "train_unit": "train_audio_seconds_per_second_per_chip",
-                "train_step_ms": round(step_ms, 2),
-                "train_conformer_value": round(conf_tp, 1),
-                "train_conformer_step_ms": round(conf_ms, 2),
-                "train_resnet34_value": round(rn_tp, 1),
-                "train_resnet34_step_ms": round(rn_ms, 2),
+                "train_step_ms": round(train_ms["median"], 2),
+                "train_spread": spread(train_tp),
+                "train_conformer_value": round(conf_tp["median"], 1),
+                "train_conformer_step_ms": round(conf_ms["median"], 2),
+                "train_conformer_spread": spread(conf_tp),
+                "train_resnet34_value": round(rn_tp["median"], 1),
+                "train_resnet34_step_ms": round(rn_ms["median"], 2),
+                "train_resnet34_spread": spread(rn_tp),
             }
         )
     )
