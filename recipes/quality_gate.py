@@ -11,6 +11,12 @@ moves this EER out of band.
 Usage: python recipes/quality_gate.py [--steps 400] [--spk 48] [--cpu]
 Prints ONE JSON line {"eer_percent", "band", "pass", ...}; exit 1 if out
 of band. The driver/judge records it round-over-round in PROGRESS.
+
+Statistical power (r5 calibration, see the note above CALIBRATION):
+`--multi` is a PAIRED 5-seed gate — per-seed deltas vs recorded
+calibration EERs, |mean delta| <= 0.45 — whose minimum reliably
+detectable quality regression is ~0.5 pt EER ~ 7% RELATIVE; a plain
+absolute band at the same seed budget could only catch ~12%.
 """
 
 import argparse
@@ -82,18 +88,32 @@ def synth_utt(spk, dur, rng, sr=SR):
     return (out + noise).astype(np.float32)
 
 
-# Calibration (round 4, real chip, 400 steps): per-seed EER is
-# deterministic (seed 7 run twice -> identical 7.36 to every digit) but
-# the 400-step trajectory is chaotic across corpus seeds AND across any
-# graph change: seeds 7/8/9 -> 7.36 / 6.60 / 6.79 (mean 6.92, range
-# 0.76). r2's 6.69 and r3's 7.36 both lie INSIDE that seed spread — the
-# round-over-round "drift" was single-draw sensitivity, not a quality
-# regression. The regression signal is therefore the 3-SEED MEAN, banded
-# mean +/- 0.75 (just above the observed spread); the single-seed band is
-# widened accordingly and marked as a smoke check only.
-MULTI_SEEDS = (7, 8, 9)
-MULTI_BAND = (6.17, 7.67)   # 6.92 +/- 0.75
-SINGLE_BAND = (5.6, 8.3)    # per-seed envelope +/- margin; smoke only
+# Calibration (r4 -> r5, real chip, 400 steps). Facts, in order of
+# discovery:
+#   * per-seed EER is DETERMINISTIC (seed 7 run twice -> identical 7.36
+#     to every digit);
+#   * across CORPUS seeds the spread is large — 8 seeds (r5):
+#     7.36/6.60/6.79/6.74/8.68/9.42/6.27/5.56, mean 7.18, per-seed
+#     s = 1.28 — each seed draws genuinely easier/harder speakers, so an
+#     ABSOLUTE mean band cannot detect less than ~2*s/sqrt(k) ~ 0.9 pt
+#     (12% relative at k=5);
+#   * across GRAPH changes the SAME seed moves much less (~±0.4 pt
+#     observed over r2->r4 bisection; corpus difficulty is fixed by the
+#     seed).
+# The r5 gate is therefore PAIRED: each seed's EER is compared to its
+# recorded calibration value below, and the regression signal is the
+# MEAN PER-SEED DELTA — corpus difficulty cancels exactly, leaving only
+# cross-graph chaos (sigma ~ 0.4/seed -> sigma_mean = 0.4/sqrt(5) =
+# 0.18). Band |mean delta| <= 0.45 (2.5 sigma): minimum reliably
+# detectable regression ~ 0.5 pt ~ 7% relative on the 7.2 base — vs the
+# ~12% an absolute band allows at the same cost. An absolute sanity band
+# on the mean (chance-level/broken-run catch) is kept, wide.
+CALIBRATION = {7: 7.36, 8: 6.60, 9: 6.79, 10: 6.74, 11: 8.68,
+               12: 9.42, 13: 6.27, 14: 5.56}  # r5, 400 steps, this code
+MULTI_SEEDS = (7, 8, 9, 10, 11)
+DELTA_BAND = 0.45           # |mean(EER_seed - CALIBRATION[seed])| bound
+MULTI_BAND = (5.5, 9.0)     # absolute sanity band on the k-seed mean
+SINGLE_BAND = (4.8, 10.2)   # per-seed envelope +/- margin; smoke only
 
 
 def run_gate(steps=400, n_spk=48, channels=128, batch_size=64,
@@ -202,17 +222,25 @@ def run_gate(steps=400, n_spk=48, channels=128, batch_size=64,
     return out
 
 
-def run_gate_multi(seeds=MULTI_SEEDS, band=MULTI_BAND, **kw):
-    """The regression gate proper: mean EER over the calibration seeds,
-    banded mean +/- 0.75 (see the calibration note above)."""
+def run_gate_multi(seeds=MULTI_SEEDS, band=MULTI_BAND,
+                   delta_band=DELTA_BAND, **kw):
+    """The regression gate proper (r5, PAIRED design — see the
+    calibration note above): per-seed EER deltas vs the recorded
+    calibration values; gate = |mean delta| <= delta_band, plus a wide
+    absolute sanity band on the mean."""
     runs = [run_gate(seed=s, band=(0.0, 100.0), **kw) for s in seeds]
     eers = [r["eer_percent"] for r in runs]
     mean = float(np.mean(eers))
-    ok = band[0] <= mean <= band[1]
+    deltas = [e - CALIBRATION[s] for s, e in zip(seeds, eers)
+              if s in CALIBRATION]
+    mean_delta = float(np.mean(deltas)) if deltas else 0.0
+    ok = (band[0] <= mean <= band[1]) and abs(mean_delta) <= delta_band
     out = {
         "metric": "quality_gate_eer_mean",
         "eer_percent_mean": round(mean, 2),
         "per_seed": {s: e for s, e in zip(seeds, eers)},
+        "mean_delta_vs_calibration": round(mean_delta, 3),
+        "delta_band": delta_band,
         "band": list(band),
         "pass": bool(ok),
     }

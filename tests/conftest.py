@@ -56,6 +56,7 @@ QUICK_PATTERNS = (
     "test_loss_parity.py",
     "test_collective_audit.py",
     "test_runtime_parity.py",
+    "test_quality_gate.py",
     # representatives from the expensive suites
     "test_convert_parity.py::TestEcapaParity::",
     "test_train_parity.py::TestEcapaTrainParity::",
