@@ -165,3 +165,53 @@ def test_margin_warm_and_lambda_anneal():
     for s in (0, 1, 100, 5000, 100000):
         factor = max(0.0, 1000.0 * (1 + 1e-4 * s) ** (-5.0))
         np.testing.assert_allclose(lam.step(s)[1], 1.0 / (1.0 + factor))
+
+
+@pytest.mark.parametrize("pattern", ["improve", "plateau", "worsen",
+                                     "sawtooth"])
+def test_reduceP_vs_torch(pattern):
+    """reduceP parity: our host-side ReduceOnPlateau must track torch's
+    ReduceLROnPlateau (mode=min, threshold_mode=rel — the reference's
+    valid_loss configuration, lr_scheduler_online.py:106-117) scale-for-
+    scale over adversarial validation-loss sequences: monotone
+    improvement (no reductions), hard plateau (periodic reductions +
+    cooldown), monotone worsening (reductions to the floor), and a
+    sawtooth that alternates just-above/just-below the rel threshold."""
+    from asv_subtools_tpu.train.lr_scheduler import ReduceOnPlateau
+
+    factor, patience, threshold, cooldown = 0.5, 2, 1e-4, 1
+    base_lr = 0.1
+    min_scale = 1e-2
+
+    n = 40
+    if pattern == "improve":
+        losses = [2.0 * (0.95 ** i) for i in range(n)]
+    elif pattern == "plateau":
+        losses = [2.0 - 0.05 * min(i, 5) for i in range(n)]
+    elif pattern == "worsen":
+        losses = [2.0 * (1.05 ** i) for i in range(n)]
+    else:  # sawtooth around the rel-threshold boundary
+        losses = []
+        v = 2.0
+        for i in range(n):
+            v = v * (1.0 - 2e-4 if i % 2 else 1.0 + 5e-5)
+            losses.append(v)
+
+    ours = ReduceOnPlateau(factor=factor, patience=patience,
+                           threshold=threshold, cooldown=cooldown,
+                           min_lr_scale=min_scale)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=factor, patience=patience,
+        threshold=threshold, threshold_mode="rel", cooldown=cooldown,
+        min_lr=base_lr * min_scale,
+    )
+
+    for i, v in enumerate(losses):
+        ours.update(v)
+        ref.step(v)
+        ref_scale = opt.param_groups[0]["lr"] / base_lr
+        np.testing.assert_allclose(
+            ours.scale, ref_scale, rtol=1e-12,
+            err_msg=f"{pattern} step {i} (loss {v})")
