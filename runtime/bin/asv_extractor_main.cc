@@ -23,6 +23,7 @@
 #include <iostream>
 #include <map>
 #include <memory>
+#include <mutex>
 #include <sstream>
 #include <string>
 #include <thread>
@@ -362,6 +363,7 @@ int main(int argc, char** argv) {
   bool pjrt_warmup = false;
   bool streaming = false;
   int block_ms = 200;
+  int streams = 1;  // concurrent streaming sessions (--streams N)
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() { return std::string(argv[++i]); };
@@ -378,6 +380,7 @@ int main(int argc, char** argv) {
     else if (a == "--pjrt_warmup") pjrt_warmup = true;
     else if (a == "--streaming") streaming = true;
     else if (a == "--block_ms") block_ms = std::stoi(next());
+    else if (a == "--streams") streams = std::stoi(next());
     else if (a == "--threads") frontend_threads = std::stoi(next());
     else if (a == "--pjrt_opt" || a == "--pjrt_iopt") {
       bool is_int = (a == "--pjrt_iopt");
@@ -396,7 +399,8 @@ int main(int argc, char** argv) {
       std::cerr << "usage: asv_extractor_main --wav_scp scp"
                 << " (--port P | --pjrt_plugin SO --pjrt_bundles DIR"
                 << " [--pjrt_axon] [--pjrt_opt k=v] [--pjrt_iopt k=v])"
-                << " [--output emb.txt] [--num_bins N] [--no_vad]\n";
+                << " [--output emb.txt] [--num_bins N] [--no_vad]"
+                << " [--streaming [--block_ms N] [--streams N]]\n";
       return 1;
     }
   }
@@ -500,76 +504,118 @@ int main(int argc, char** argv) {
     // that matters for this mode is the FINALIZE latency (last audio
     // block -> embedding ready): the frontend cost is hidden behind the
     // stream, unlike batch mode's all-at-once frontend.
-    double total_wav_s = 0, stream_s = 0, finalize_s = 0;
-    int n = 0, failures = 0;
+    // --streams N drives N SIMULTANEOUS sessions (one FeaturePipeline
+    // each, the shared PJRT executor serialized by a mutex — one chip),
+    // the reference's per-stream threading model
+    // (runtime/frontend/feature_pipeline.h) under concurrent load.
+    std::vector<std::pair<std::string, std::string>> entries;
+    {
+      std::string line;
+      while (std::getline(scp, line)) {
+        std::istringstream iss(line);
+        std::string key, path;
+        if (iss >> key >> path) entries.emplace_back(key, path);
+      }
+    }
+    std::atomic<size_t> next_utt{0};
+    std::atomic<int> failures{0};
+    std::mutex embed_mu, agg_mu;
+    double total_wav_s = 0, stream_s = 0;
+    std::vector<double> finalize_ms;
+    int n = 0;
+    int dim = computer.Dim();
     auto t_all = Clock::now();
-    std::string line;
-    while (std::getline(scp, line)) {
-      std::istringstream iss(line);
-      std::string key, path;
-      if (!(iss >> key >> path)) continue;
-      WavReader reader(path);
-      std::vector<float> wav = reader.Channel(0);
-      double wav_s = double(wav.size()) / reader.sample_rate();
-      int block = std::max(1, int(reader.sample_rate()) * block_ms / 1000);
 
-      FeaturePipeline pipe(opts);
-      std::vector<float> feats;  // [T, 1+bins] incrementally drained
-      int t_frames = 0;
-      int dim = computer.Dim();
-      std::thread drain([&]() {
-        std::vector<float> fr;
-        while (pipe.ReadOne(&fr)) {
-          feats.insert(feats.end(), fr.begin(), fr.end());
-          ++t_frames;
+    auto stream_worker = [&]() {
+      while (true) {
+        size_t i = next_utt.fetch_add(1);
+        if (i >= entries.size()) break;
+        const std::string& key = entries[i].first;
+        WavReader reader(entries[i].second);
+        std::vector<float> wav = reader.Channel(0);
+        double wav_s = double(wav.size()) / reader.sample_rate();
+        int block = std::max(1, int(reader.sample_rate()) * block_ms / 1000);
+
+        FeaturePipeline pipe(opts);
+        std::vector<float> feats;  // [T, 1+bins] incrementally drained
+        int t_frames = 0;
+        std::thread drain([&]() {
+          std::vector<float> fr;
+          while (pipe.ReadOne(&fr)) {
+            feats.insert(feats.end(), fr.begin(), fr.end());
+            ++t_frames;
+          }
+        });
+        auto t0 = Clock::now();
+        for (size_t off = 0; off < wav.size(); off += size_t(block)) {
+          size_t end = std::min(wav.size(), off + size_t(block));
+          pipe.AcceptWaveform(
+              std::vector<float>(wav.begin() + off, wav.begin() + end));
         }
-      });
-      auto t0 = Clock::now();
-      for (size_t off = 0; off < wav.size(); off += size_t(block)) {
-        size_t end = std::min(wav.size(), off + size_t(block));
-        pipe.AcceptWaveform(
-            std::vector<float>(wav.begin() + off, wav.begin() + end));
+        auto t_final0 = Clock::now();
+        pipe.InputFinished();
+        drain.join();
+        // post-selection identical to the batch path
+        std::vector<float> selected;
+        int kept = 0, total = 0, fdim = dim - 1;
+        SelectAndNormalize(feats, dim, vad_opts, do_vad, do_submean,
+                           &selected, &kept, &total);
+        std::string err;
+        std::vector<float> emb;
+        {
+          std::lock_guard<std::mutex> lk(embed_mu);
+          emb = pjrt->Embed(selected, kept, fdim, &err);
+        }
+        auto t_done = Clock::now();
+        double s_s = std::chrono::duration<double>(t_final0 - t0).count();
+        double f_s = std::chrono::duration<double>(t_done - t_final0).count();
+        if (emb.empty()) {
+          std::cerr << key << " FAILED " << err << "\n";
+          failures.fetch_add(1);
+          continue;
+        }
+        std::lock_guard<std::mutex> lk(agg_mu);
+        stream_s += s_s;
+        finalize_ms.push_back(f_s * 1e3);
+        total_wav_s += wav_s;
+        if (streams == 1)
+          std::cout << key << " frames=" << kept << "/" << t_frames
+                    << " stream_s=" << s_s << " finalize_ms=" << f_s * 1e3
+                    << "\n";
+        if (out.is_open()) {
+          out << key;
+          for (float v : emb) out << " " << v;
+          out << "\n";
+        }
+        ++n;
       }
-      auto t_final0 = Clock::now();
-      pipe.InputFinished();
-      drain.join();
-      // post-selection identical to the batch path
-      std::vector<float> selected;
-      int kept = 0, total = 0, fdim = dim - 1;
-      SelectAndNormalize(feats, dim, vad_opts, do_vad, do_submean,
-                         &selected, &kept, &total);
-      std::string err;
-      std::vector<float> emb = pjrt->Embed(selected, kept, fdim, &err);
-      auto t_done = Clock::now();
-      double s_s = std::chrono::duration<double>(t_final0 - t0).count();
-      double f_s = std::chrono::duration<double>(t_done - t_final0).count();
-      stream_s += s_s;
-      finalize_s += f_s;
-      total_wav_s += wav_s;
-      if (emb.empty()) {
-        std::cerr << key << " FAILED " << err << "\n";
-        ++failures;
-        continue;
-      }
-      std::cout << key << " frames=" << kept << "/" << t_frames
-                << " stream_s=" << s_s << " finalize_ms=" << f_s * 1e3
-                << "\n";
-      if (out.is_open()) {
-        out << key;
-        for (float v : emb) out << " " << v;
-        out << "\n";
-      }
-      ++n;
+    };
+    {
+      std::vector<std::thread> workers;
+      for (int i = 0; i < std::max(1, streams); ++i)
+        workers.emplace_back(stream_worker);
+      for (auto& w : workers) w.join();
     }
     double dt = std::chrono::duration<double>(Clock::now() - t_all).count();
-    std::cout << "TOTAL utts=" << n << " failures=" << failures
+    std::sort(finalize_ms.begin(), finalize_ms.end());
+    auto pct = [&](double p) {
+      if (finalize_ms.empty()) return 0.0;
+      size_t i = size_t(p * double(finalize_ms.size() - 1));
+      return finalize_ms[i];
+    };
+    double fin_sum = 0;
+    for (double v : finalize_ms) fin_sum += v;
+    std::cout << "TOTAL utts=" << n << " failures=" << failures.load()
               << " wav_s=" << total_wav_s << " elapsed_s=" << dt
               << " RTF=" << (total_wav_s > 0 ? dt / total_wav_s : 0)
               << "\n";
-    std::cout << "STREAMING block_ms=" << block_ms
-              << " mean_finalize_ms=" << (n ? finalize_s / n * 1e3 : 0)
+    std::cout << "STREAMING streams=" << streams << " block_ms=" << block_ms
+              << " agg_audio_s_per_s=" << (dt > 0 ? total_wav_s / dt : 0)
+              << " mean_finalize_ms=" << (n ? fin_sum / n : 0)
+              << " p50_finalize_ms=" << pct(0.50)
+              << " p95_finalize_ms=" << pct(0.95)
               << " frontend_stream_s=" << stream_s << "\n";
-    return failures == 0 ? 0 : 2;
+    return failures.load() == 0 ? 0 : 2;
   }
   if (use_pjrt && pjrt->batch_capacity() > 1) {
     // Batched pipelined mode (bundles exported with batch > 1): N frontend

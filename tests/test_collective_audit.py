@@ -122,3 +122,76 @@ class TestHloParsing:
                   "[SPMD] Involuntary full rematerialization. blah\n")
         a = audit_compiled_text("", stderr)
         assert a.involuntary_remats == 2
+
+
+@pytest.fixture(scope="module")
+def conformer_audit():
+    """Same gate for the SECOND headline family: conformer attention/FFN
+    params have different shapes/rank than ECAPA convs, so the FSDP
+    last-dim rules + at-use gather must be re-proven on them."""
+    from asv_subtools_tpu.models.conformer import ConformerXvector
+
+    mesh = make_mesh(num_data=4, num_model=2)
+    net = SpeakerNet(
+        backbone=ConformerXvector(num_blocks=2, attention_dim=128,
+                                  attention_heads=4, linear_units=256,
+                                  input_layer="conv2d"),
+        loss_name="margin_softmax",
+        loss_params={"method": "aam", "m": 0.2},
+        num_targets=512,
+    )
+    trainer = Trainer(
+        net, get_optimizer("adamW", learning_rate=1e-3),
+        config=TrainStepConfig(compute_dtype=jnp.bfloat16, wave_input=True),
+        mesh=mesh,
+        partition_rules=make_fsdp_rules(mesh, min_size=4096),
+    )
+    from asv_subtools_tpu.features import FbankOptions
+    from asv_subtools_tpu.features.pallas_fbank import fused_fbank
+
+    feats0, _ = fused_fbank(jnp.zeros((2, 16000), jnp.float32),
+                            FbankOptions())
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), {"x": feats0, "y": jnp.zeros(2, jnp.int32)}
+    )
+    abstract_state = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                       sharding=x.sharding),
+        state,
+    )
+    batch = {
+        "x": jax.ShapeDtypeStruct((32, 32000), jnp.float32),
+        "y": jax.ShapeDtypeStruct((32,), jnp.int32),
+    }
+    scal = jax.ShapeDtypeStruct((), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    with capture_stderr_fd() as err:
+        compiled = trainer._train_step_nomask.lower(
+            abstract_state, batch, key, scal, scal, scal
+        ).compile()
+    a = audit_compiled_text(compiled.as_text(), err[0] if err else "")
+    n_params = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(state.params)
+    )
+    return a, n_params
+
+
+class TestConformerSpmdPartitioning:
+    def test_zero_involuntary_rematerializations(self, conformer_audit):
+        a, _ = conformer_audit
+        assert a.involuntary_remats == 0
+
+    def test_collective_volume_is_zero3_scale(self, conformer_audit):
+        a, n_params = conformer_audit
+        budget = 10 * n_params * 4
+        assert a.total_bytes < budget, (
+            f"{a.total_bytes / 1e6:.0f} MB/step vs budget "
+            f"{budget / 1e6:.0f} MB — activation collectives are back"
+        )
+
+    def test_no_all_to_all_or_permute(self, conformer_audit):
+        a, _ = conformer_audit
+        counts = a.counts()
+        assert counts.get("all-to-all", 0) == 0, counts
+        assert counts.get("collective-permute", 0) == 0, counts
