@@ -600,3 +600,51 @@ class TestMultiTaskRoundTrip:
         )[0]
         np.testing.assert_allclose(float(our_loss), ref_joint,
                                    rtol=5e-4, atol=5e-5)
+
+
+class TestConformerVariantRoundTrip:
+    """Reverse round-trip for the OTHER conformer encoder variants —
+    the value-traced inversion must hold for every positional-encoding /
+    subsampling layout, not just the rel_pos+conv2d base case."""
+
+    def _variant(self, pos_enc, input_layer, freq_out_fn, seed):
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/transformer_xvector.py",
+            f"conf_var_rt_{pos_enc}_{input_layer}",
+        )
+        torch.manual_seed(seed)
+        feat, d_att, blocks = 30, 32, 2
+        ref = ref_mod.TransformerXvector(
+            feat, 100, training=False, embd_dim=16,
+            transformer_params={
+                "attention_dim": d_att, "attention_heads": 2,
+                "linear_units": 64, "num_blocks": blocks,
+                "pos_enc_type": pos_enc, "input_layer": input_layer,
+                "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+                "attention_dropout_rate": 0.0,
+            },
+            tansformer_out={"out_dim": 48},
+        )
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        _roundtrip(
+            ref,
+            ConformerXvector(
+                embd_dim=16, attention_dim=d_att, attention_heads=2,
+                linear_units=64, num_blocks=blocks, out_dim=48,
+                dropout_rate=0.0, pos_enc_type=pos_enc,
+                input_layer=input_layer,
+            ),
+            lambda sd: convert_conformer_state_dict(
+                sd, blocks, freq_out_fn(feat)),
+            x, y,
+        )
+
+    def test_rot_pos_conv2d(self):
+        self._variant("rot_pos", "conv2d",
+                      lambda f: ((f - 1) // 2 - 1) // 2, seed=11)
+
+    def test_no_pos_conv2d6(self):
+        self._variant("no_pos", "conv2d6",
+                      lambda f: ((f - 1) // 2 - 2) // 3, seed=12)
