@@ -86,6 +86,11 @@ def load_checkpoint(
 
 
 def _restore_like(template: Any, data: Any) -> Any:
+    """Restore `data` leaves onto `template`'s shapes/dtypes — and its
+    SHARDINGS: a template whose leaves live sharded on a mesh (FSDP /
+    model-axis training states) gets each restored leaf device_put with
+    the same NamedSharding, so resuming a sharded run re-shards directly
+    instead of materializing a replicated copy per device."""
     flat_t, treedef = jax.tree_util.tree_flatten(template)
     flat_d = jax.tree_util.tree_leaves(data)
     if len(flat_t) != len(flat_d):
@@ -93,10 +98,13 @@ def _restore_like(template: Any, data: Any) -> Any:
             f"checkpoint structure mismatch: {len(flat_d)} leaves vs "
             f"{len(flat_t)} in template"
         )
-    restored = [
-        np.asarray(d).reshape(t.shape).astype(t.dtype)
-        for t, d in zip(flat_t, flat_d)
-    ]
+    restored = []
+    for t, d in zip(flat_t, flat_d):
+        arr = np.asarray(d).reshape(t.shape).astype(t.dtype)
+        sharding = getattr(t, "sharding", None)
+        if sharding is not None and getattr(sharding, "mesh", None) is not None:
+            arr = jax.device_put(arr, sharding)
+        restored.append(arr)
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
