@@ -69,10 +69,22 @@ class ReverseConverter:
         ref_model.load_state_dict({**ref_model.state_dict(), **sd})
 
     `convert_fn(sd) -> (params, batch_stats)` must be a pure reindexing
-    (all of convert.py's per-family converters are).
+    (all of convert.py's per-family converters are) — except for tensors
+    matched by `freeze`.
+
+    `freeze(key) -> bool` pins matching template tensors to 0.0 during
+    tracing AND in the export. Use it for converters that FOLD a
+    (weight, scale) pair multiplicatively, like the ReConformer's
+    Scaled* layers (w_eff = w * exp(w_scale), encoder.py Scaled
+    modules): the fold cannot be uniquely inverted, but exporting the
+    FOLDED weight into `weight` with `w_scale = 0` is behavior-identical
+    (exp(0) = 1) — and with the scales pinned to zero during tracing the
+    remaining mapping IS a pure reindexing, so the standard inversion
+    applies.
     """
 
-    def __init__(self, convert_fn: Callable, template_sd: Dict):
+    def __init__(self, convert_fn: Callable, template_sd: Dict,
+                 freeze: Callable[[str], bool] | None = None):
         import torch
 
         self._shapes = {k: tuple(v.shape) for k, v in template_sd.items()}
@@ -80,13 +92,17 @@ class ReverseConverter:
         self._numel = {k: int(np.prod(s)) if s else 1
                        for k, s in self._shapes.items()}
         self._keys = list(template_sd.keys())
+        self._frozen = {k for k in self._keys if freeze and freeze(k)}
         max_numel = max(self._numel.values())
         n_tensors = len(self._keys)
 
         def tagged(fill):
             out = {}
             for tid, k in enumerate(self._keys):
-                vals = fill(tid, self._numel[k]).astype(np.float64)
+                if k in self._frozen:
+                    vals = np.zeros(self._numel[k], np.float64)
+                else:
+                    vals = fill(tid, self._numel[k]).astype(np.float64)
                 out[k] = torch.from_numpy(
                     vals.reshape(self._shapes[k]) if self._shapes[k]
                     else vals.reshape(())

@@ -648,3 +648,75 @@ class TestConformerVariantRoundTrip:
     def test_no_pos_conv2d6(self):
         self._variant("no_pos", "conv2d6",
                       lambda f: ((f - 1) // 2 - 2) // 3, seed=12)
+
+
+class TestReConformerRoundTrip:
+    def test_train_export_extract_with_frozen_scales(self):
+        """ReConformer (transformer_type="re_conformer": Zipformer-style
+        Scaled* layers, BasicNorm, DoubleSwish): the forward converter
+        FOLDS w_eff = w * exp(w_scale) (convert.py), which has no unique
+        inverse — the export instead writes the FOLDED weights with every
+        weight_scale/bias_scale pinned to 0 (exp(0)=1), which is
+        behavior-identical in the reference's own forward
+        (scaling.py:105-140). ReverseConverter(freeze=...) traces with
+        the scales zeroed, making the remaining mapping a pure
+        reindexing."""
+        ref_mod = _load_ref_module(
+            "/root/reference/pytorch/model/transformer_xvector.py",
+            "reconf_rt_ref",
+        )
+        torch.manual_seed(7)
+        feat, d_att, blocks = 30, 32, 2
+        ref = ref_mod.TransformerXvector(
+            feat, 100, training=False, embd_dim=16,
+            transformer_type="re_conformer",
+            transformer_params={
+                "attention_dim": d_att, "attention_heads": 2,
+                "linear_units": 64, "num_blocks": blocks,
+                "pos_enc_type": "rel_pos", "input_layer": "conv2d",
+                "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+                "attention_dropout_rate": 0.0,
+            },
+            tansformer_out={"out_dim": 48},
+        )
+        freq_out = ((feat - 1) // 2 - 1) // 2
+        rng = np.random.default_rng(15)
+        x = rng.normal(size=(4, 80, feat)).astype(np.float32)
+        y = rng.integers(0, N_TARGETS, size=4).astype(np.int64)
+        convert_fn = lambda sd: convert_conformer_state_dict(
+            sd, blocks, freq_out)
+        net = SpeakerNet(
+            backbone=ConformerXvector(
+                embd_dim=16, attention_dim=d_att, attention_heads=2,
+                linear_units=64, num_blocks=blocks, out_dim=48,
+                dropout_rate=0.0, transformer_type="re_conformer",
+            ),
+            loss_name="margin_softmax",
+            loss_params={"method": "aam", "m": 0.2}, num_targets=N_TARGETS,
+        )
+        params_bb, stats_bb = convert_fn(ref.state_dict())
+        state = _train_here(net, params_bb, stats_bb, x, y)
+
+        freeze = lambda k: k.endswith("weight_scale") or k.endswith(
+            "bias_scale")
+        rc = ReverseConverter(convert_fn, ref.state_dict(), freeze=freeze)
+        sd = rc(state.params["backbone"], state.batch_stats["backbone"])
+        merged = dict(ref.state_dict())
+        merged.update(sd)
+        ref.load_state_dict(merged)
+        ref.eval()
+
+        ref_np = _extract_jit(ref, x)
+        our_emb = np.asarray(net.backbone.apply(
+            {"params": state.params["backbone"],
+             "batch_stats": state.batch_stats["backbone"]},
+            jnp.asarray(x), train=False, position="near",
+        ))
+        cos = np.sum(our_emb * ref_np, axis=-1) / (
+            np.linalg.norm(our_emb, axis=-1)
+            * np.linalg.norm(ref_np, axis=-1) + 1e-12
+        )
+        assert np.all(cos >= 0.9999), f"round-trip cosine {cos}"
+        # only the pinned scales (and any counters) may be uncovered
+        for k, n in rc.uncovered.items():
+            assert freeze(k) or "num_batches_tracked" in k, (k, n)
