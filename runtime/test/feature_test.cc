@@ -118,6 +118,56 @@ static void TestStreamingMatchesBatch() {
   std::printf("TestStreamingMatchesBatch OK (%zu frames)\n", t);
 }
 
+static void TestConcurrentPipelines() {
+  // The extractor's --streams N mode (asv_extractor_main.cc) runs one
+  // FeaturePipeline + drain thread PER STREAM, concurrently — the
+  // reference's per-stream threading model
+  // (/root/reference/runtime/frontend/feature_pipeline.h). Assert N
+  // simultaneous pipelines each reproduce their own serial batch
+  // computation exactly (no shared mutable state between instances).
+  FbankOptions opts;
+  opts.mel_opts.num_bins = 23;
+  const int kStreams = 8;
+  std::vector<std::vector<float>> wavs(kStreams), refs(kStreams);
+  for (int s = 0; s < kStreams; ++s) {
+    std::mt19937 rng(100 + s);
+    std::normal_distribution<float> d(0, 1000);
+    wavs[s].resize(6000 + 400 * s);
+    for (auto& v : wavs[s]) v = d(rng);
+    FbankComputer batch(opts);
+    refs[s] = batch.Compute(wavs[s]);
+  }
+  std::vector<int> ok(kStreams, 0);
+  std::vector<std::thread> workers;
+  for (int s = 0; s < kStreams; ++s) {
+    workers.emplace_back([&, s]() {
+      FeaturePipeline pipe(opts);
+      std::vector<float> feats;
+      std::thread drain([&]() {
+        std::vector<float> fr;
+        while (pipe.ReadOne(&fr)) feats.insert(feats.end(), fr.begin(), fr.end());
+      });
+      size_t block = 777;
+      for (size_t off = 0; off < wavs[s].size(); off += block) {
+        size_t end = std::min(wavs[s].size(), off + block);
+        pipe.AcceptWaveform(
+            std::vector<float>(wavs[s].begin() + off, wavs[s].begin() + end));
+      }
+      pipe.InputFinished();
+      drain.join();
+      if (feats.size() != refs[s].size()) return;
+      for (size_t i = 0; i < feats.size(); ++i)
+        if (std::abs(feats[i] - refs[s][i]) >
+            1e-4f * std::max(1.0f, std::abs(refs[s][i])))
+          return;
+      ok[s] = 1;
+    });
+  }
+  for (auto& w : workers) w.join();
+  for (int s = 0; s < kStreams; ++s) assert(ok[s] == 1);
+  std::printf("TestConcurrentPipelines OK (%d streams)\n", kStreams);
+}
+
 static void TestPitchTracksTone() {
   // 137 Hz harmonic tone: the tracker's normalized-log-pitch must be
   // near zero (steady pitch) and the POV feature clearly voiced; the
@@ -165,6 +215,7 @@ int main() {
   TestVad();
   TestBlockingQueue();
   TestStreamingMatchesBatch();
+  TestConcurrentPipelines();
   TestPitchTracksTone();
   std::printf("ALL C++ TESTS PASSED\n");
   return 0;
